@@ -1,0 +1,115 @@
+package graft.cli
+
+import graft.audio.AudioGen
+import graft.exec.{Engine, Validator}
+import graft.compile.SuiteCompiler
+import graft.spec.{Spec, SpecError}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** spark-submit entry point — the engine's analogue of the reference's `jv`
+  * CLI (/root/reference/cmd/jv/main.go:16-218): compile a spec, validate a
+  * table, print a verdict in one of several output formats, exit non-zero on
+  * invalid data (1) or usage/spec errors (2) — same exit-code contract as
+  * /root/reference/README.md:80.
+  *
+  * Usage:
+  *   graft.cli.Main --spec <file|'clip-suite'> --table <parquet dir|'synth:N'>
+  *     [--key col1,col2] [--output flag|basic|summary] [--violations-out dir]
+  *     [--ref name=parquetDir]... [--master local[N]]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList, Map.empty)
+    def opt(k: String): Option[String] = opts.get(k)
+
+    val spark = SparkSession.builder()
+      .master(opt("master").getOrElse("local[*]"))
+      .appName("graft-validate")
+      .config("spark.sql.shuffle.partitions",
+        opt("shuffle-partitions").getOrElse("32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      AudioGen.registerFormats()
+      val specJson = opt("spec") match {
+        case Some("clip-suite") => graft.ClipSuite.specJson
+        case Some(path) => new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        case None => usage("missing --spec")
+      }
+      val df: DataFrame = opt("table") match {
+        case Some(t) if t.startsWith("synth:") =>
+          AudioGen.clips(spark, t.stripPrefix("synth:").toLong)
+        case Some(dir) => spark.read.parquet(dir)
+        case None      => usage("missing --table")
+      }
+      val keyCols = opt("key").map(_.split(",").toSeq)
+        .getOrElse(Seq(df.columns.head))
+      val refs: Map[String, DataFrame] = opts.collect {
+        case (k, v) if k.startsWith("ref:") => k.stripPrefix("ref:") -> v
+      }.map { case (n, dir) =>
+        n -> (if (dir == "builtin:ref_codecs") graft.ClipSuite.refCodecs(spark)
+              else spark.read.parquet(dir))
+      }
+
+      val suite = SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
+      val mode = opt("output").getOrElse("summary")
+      val invalid: Long = mode match {
+        case "flag" =>
+          // cheap boolResult path (/root/reference/output.go:114-122)
+          val n = Validator.flag(df, suite)
+            .filter(!org.apache.spark.sql.functions.col("valid")).count()
+          println(s"""{"valid":${n == 0}}""")
+          n
+        case "basic" | "summary" =>
+          val vios = Engine.allViolations(df, suite, keyCols, refs)
+          val persisted = opt("violations-out") match {
+            case Some(out) =>
+              vios.write.mode("overwrite").parquet(out); spark.read.parquet(out)
+            case None => vios
+          }
+          val n = persisted.count()
+          if (mode == "basic") {
+            persisted.orderBy("keyword", "instance_path")
+              .limit(opt("limit").map(_.toInt).getOrElse(20))
+              .collect()
+              .foreach(r => println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
+          }
+          println(s"""{"valid":${n == 0},"violations":$n}""")
+          n
+        case other => usage(s"unknown --output '$other'")
+      }
+      spark.stop()
+      if (invalid > 0) sys.exit(1)
+    } catch {
+      case e: SpecError =>
+        System.err.println(e.getMessage)
+        spark.stop()
+        sys.exit(2)
+    }
+  }
+
+  private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case "--ref" :: kv :: rest if kv.contains("=") =>
+        val Array(n, dir) = kv.split("=", 2)
+        parseArgs(rest, acc + (s"ref:$n" -> dir))
+      case flag :: value :: rest if flag.startsWith("--") =>
+        parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
+      case other :: _ => usage(s"unexpected argument '$other'")
+    }
+
+  private def usage(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    System.err.println(
+      "usage: graft.cli.Main --spec <file|clip-suite> --table <parquet|synth:N> " +
+        "[--key cols] [--output flag|basic|summary] [--violations-out dir] [--ref name=dir]")
+    sys.exit(2)
+  }
+}

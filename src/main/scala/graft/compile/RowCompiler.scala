@@ -1,0 +1,463 @@
+package graft.compile
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.functions.Formats
+import graft.spec.{SchemaNode, Spec, SpecError}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** One compiled row-level check: a boolean predicate (TRUE = pass) plus the
+  * three coordinates every violation row carries, mirroring the reference's
+  * `ValidationError{SchemaURL, InstanceLocation, ErrorKind}`
+  * (/root/reference/validator.go:958-976):
+  *   - keywordPath  — where in the spec the failed keyword lives
+  *     (scope-chain keyword location, /root/reference/validator.go:896-909)
+  *   - instancePath — where in the row the offending value lives
+  *     (vloc, /root/reference/validator.go:54-55)
+  *   - detail       — rendered failure message (kind/kind.go analogue)
+  *
+  * `pred`/`detail` are pure Catalyst `Column` trees over the input row — the
+  * whole check set fuses into a single WholeStageCodegen pass.
+  */
+final case class Check(
+    keywordPath: String,
+    instancePath: String,
+    pred: Column,
+    detail: Column
+)
+
+/** Compiles a [[SchemaNode]] applied to a typed column into [[Check]]s.
+  *
+  * This is the engine's analogue of the reference's validator dispatch
+  * (/root/reference/validator.go:70-196) — except the dispatch happens ONCE
+  * at compile time on the static Spark `DataType`, and the emitted artifact
+  * is a vectorized expression tree instead of a tree-walking interpreter.
+  * Keywords that can never apply to the column's static type are pruned at
+  * compile time (the lazy-conversion optimization of
+  * /root/reference/validator.go:516-521, taken to its static conclusion).
+  *
+  * NULL semantics: SQL NULL = absent value; every keyword is vacuous on NULL
+  * (see [[graft.spec.SchemaNode]] scaladoc). Only `required` rejects NULL.
+  */
+object RowCompiler {
+
+  private val Dec = DecimalType(38, 12)
+
+  /** Wrap a core predicate so NULL input passes and a NULL-valued core
+    * (three-valued logic leak) fails closed.
+    */
+  private def vac(v: Column, core: Column): Column =
+    when(v.isNull, lit(true)).otherwise(coalesce(core, lit(false)))
+
+  private def jsonTypeName(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "integer"
+    case FloatType | DoubleType | _: DecimalType       => "number"
+    case StringType | BinaryType                       => "string"
+    case BooleanType                                   => "boolean"
+    case _: ArrayType                                  => "array"
+    case _: StructType | _: MapType                    => "object"
+    case DateType | TimestampType | TimestampNTZType   => "string"
+    case _                                             => "unknown"
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Literal for a JSON constant, coerced for comparison against a column of
+    * type `dt`. Numeric cross-type equality (2 == 2.0) follows the
+    * reference's big.Rat comparison (/root/reference/util.go:322-325) via a
+    * common DecimalType.
+    */
+  private def constEq(v: Column, dt: DataType, node: JsonNode, at: String): Column = {
+    if (node.isNull) return v.isNull
+    dt match {
+      case _ if node.isNumber && isNumeric(dt) =>
+        v.cast(Dec) === lit(node.decimalValue()).cast(Dec)
+      case StringType if node.isTextual  => v === lit(node.asText())
+      case BooleanType if node.isBoolean => v === lit(node.asBoolean())
+      case at2: ArrayType if node.isArray =>
+        val elems = node.asScala.toSeq.map(e => constLit(e, at2.elementType, at))
+        v === array(elems: _*).cast(at2)
+      case DateType | TimestampType | TimestampNTZType if node.isTextual =>
+        v.cast(StringType) === lit(node.asText())
+      case _ => lit(false) // type can never match the constant
+    }
+  }
+
+  private def constLit(node: JsonNode, dt: DataType, at: String): Column =
+    if (node.isNumber) lit(node.decimalValue()).cast(dt)
+    else if (node.isTextual) lit(node.asText()).cast(dt)
+    else if (node.isBoolean) lit(node.asBoolean()).cast(dt)
+    else if (node.isNull) lit(null).cast(dt)
+    else throw SpecError(at, s"unsupported constant element: $node")
+
+  /** Pushdown-friendly numeric literal: native type when exact, decimal
+    * compare otherwise (keeps parquet predicate pushdown for the common
+    * integer-bound case — verified via explain/PushedFilters).
+    */
+  private def boundCmp(v: Column, dt: DataType, bd: BigDecimal)(
+      native: (Column, Column) => Column): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType if bd.isValidLong =>
+      native(v, lit(bd.toLong))
+    case FloatType | DoubleType if bd.isExactDouble =>
+      native(v, lit(bd.toDouble))
+    case d: DecimalType => native(v, lit(bd.bigDecimal).cast(d))
+    case _ => native(v.cast(Dec), lit(bd.bigDecimal).cast(Dec))
+  }
+
+  /** Spark type inferred from a schema node's `type` keyword — used to give
+    * `contentSchema` (JSON-in-string) a from_json read schema.
+    */
+  def sparkTypeOf(node: SchemaNode, at: String): DataType = {
+    val t = node.types.getOrElse(
+      if (node.properties.nonEmpty) Set("object")
+      else if (node.items.nonEmpty || node.prefixItems.nonEmpty) Set("array")
+      else throw SpecError(at, "contentSchema subschemas need an explicit 'type'"))
+    t.toSeq match {
+      case Seq("integer") => LongType
+      case Seq("number")  => DoubleType
+      case Seq("string")  => StringType
+      case Seq("boolean") => BooleanType
+      case Seq("array") =>
+        ArrayType(node.items.map(i => sparkTypeOf(i, at + "/items")).getOrElse(StringType))
+      case Seq("object") =>
+        StructType(node.properties.map { case (k, s) =>
+          StructField(k, sparkTypeOf(s, s"$at/properties/$k"))
+        })
+      case _ => throw SpecError(at, s"cannot map type set $t to a Spark type")
+    }
+  }
+
+  /** boolResult mode (/root/reference/validator.go:66): the conjunction of a
+    * node's checks, used by not/anyOf/oneOf/if probes — no violation structs
+    * are built, so codegen short-circuits exactly like the reference's
+    * error-suppressed probes.
+    */
+  def predicate(spec: Spec, node: SchemaNode, v: Column, dt: DataType,
+                stack: List[String] = Nil): Column =
+    compile(spec, node, v, dt, "", stack)
+      .map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Compile a schema node applied to value `v` of static type `dt` at
+    * instance path `instPath`. Keyword order mirrors the reference's fixed
+    * evaluation order (/root/reference/validator.go:70-196).
+    */
+  def compile(spec: Spec, node: SchemaNode, v: Column, dt: DataType,
+              instPath: String, stack: List[String] = Nil): Seq[Check] = {
+    val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
+    def kw(parts: String*): String =
+      (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
+    val out = Vector.newBuilder[Check]
+    def add(kwPath: String, pred: Column, detail: Column): Unit =
+      out += Check(kwPath, instPath, pred, detail)
+    def lstr(s: String): Column = lit(s)
+
+    // boolean schema (/root/reference/validator.go:75-81)
+    node.boolSchema match {
+      case Some(false) =>
+        add(kwBase, vac(v, lit(false)), lstr("false schema: always fails"))
+        return out.result()
+      case Some(true) => return Vector.empty
+      case None       =>
+    }
+
+    // $ref — compile-time inlining with cycle rejection
+    // (/root/reference/objcompiler.go:353-380; cycles: validator.go:84-90)
+    node.ref.foreach { r =>
+      val target = spec.resolve(r, stack)
+      out ++= compile(spec, target, v, dt, instPath,
+        r.stripPrefix("#/$defs/") :: stack)
+    }
+
+    // type (/root/reference/validator.go:98-103)
+    node.types.foreach { ts =>
+      val s = jsonTypeName(dt)
+      val ok: Option[Column] =
+        if (ts.contains(s)) None
+        else if (ts.contains("number") && s == "integer") None
+        else if (ts.contains("integer") && s == "number")
+          Some(v.cast(Dec) === floor(v.cast(Dec)).cast(Dec)) // zero-fraction rule, util.go:272-275
+        else Some(lit(false))
+      ok.foreach { core =>
+        add(kw("type"), vac(v, core),
+          concat(lstr(s"type: got $s value "), v.cast(StringType),
+            lstr(s", want ${ts.mkString("|")}")))
+      }
+    }
+
+    // const (/root/reference/validator.go:106-113)
+    node.const.foreach { c =>
+      add(kw("const"), vac(v, constEq(v, dt, c, kw("const"))),
+        concat(lstr("const: got "), v.cast(StringType), lstr(s", want $c")))
+    }
+
+    // enum — type-compatible values only (prefilter analogue of
+    // /root/reference/schema.go:226-237)
+    node.enumVals.foreach { vals =>
+      val eqs = vals.map(c => constEq(v, dt, c, kw("enum")))
+      val core = eqs.reduceOption(_ || _).getOrElse(lit(false))
+      add(kw("enum"), vac(v, core),
+        concat(lstr("enum: got "), v.cast(StringType),
+          lstr(s", want one of ${vals.mkString(", ")}")))
+    }
+
+    // format (/root/reference/validator.go:136-146) — strings only, vacuous
+    // on other types (format.go:43-45)
+    node.format.foreach { f =>
+      if (dt == StringType || dt == BinaryType) {
+        val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
+        add(kw("format"), vac(v, fn(v)),
+          concat(lstr(s"format: "), v.cast(StringType), lstr(s" is not a valid $f")))
+      }
+    }
+
+    // number keywords (/root/reference/validator.go:513-550)
+    if (isNumeric(dt)) {
+      node.minimum.foreach { b =>
+        add(kw("minimum"), vac(v, boundCmp(v, dt, b)(_ >= _)),
+          concat(lstr("minimum: got "), v.cast(StringType), lstr(s", want >= $b")))
+      }
+      node.maximum.foreach { b =>
+        add(kw("maximum"), vac(v, boundCmp(v, dt, b)(_ <= _)),
+          concat(lstr("maximum: got "), v.cast(StringType), lstr(s", want <= $b")))
+      }
+      node.exclusiveMinimum.foreach { b =>
+        add(kw("exclusiveMinimum"), vac(v, boundCmp(v, dt, b)(_ > _)),
+          concat(lstr("exclusiveMinimum: got "), v.cast(StringType), lstr(s", want > $b")))
+      }
+      node.exclusiveMaximum.foreach { b =>
+        add(kw("exclusiveMaximum"), vac(v, boundCmp(v, dt, b)(_ < _)),
+          concat(lstr("exclusiveMaximum: got "), v.cast(StringType), lstr(s", want < $b")))
+      }
+      // exact rational divisibility via DecimalType
+      // (/root/reference/validator.go:545-549 uses big.Rat; Decimal(38,12) is
+      // exact for this engine's declared numeric domain)
+      node.multipleOf.foreach { m =>
+        val core = dt match {
+          case ByteType | ShortType | IntegerType | LongType if m.isValidLong =>
+            pmod(v, lit(m.toLong)) === lit(0L)
+          case _ =>
+            pmod(v.cast(Dec), lit(m.bigDecimal).cast(Dec)) === lit(java.math.BigDecimal.ZERO).cast(Dec)
+        }
+        add(kw("multipleOf"), vac(v, core),
+          concat(lstr("multipleOf: got "), v.cast(StringType), lstr(s", want multiple of $m")))
+      }
+    }
+
+    // string keywords (/root/reference/validator.go:432-511)
+    if (dt == StringType) {
+      // Spark `length` counts characters — same rune semantics as
+      // /root/reference/validator.go:435-445
+      node.minLength.foreach { n =>
+        add(kw("minLength"), vac(v, length(v) >= n),
+          concat(lstr("minLength: got "), length(v).cast(StringType), lstr(s" chars, want >= $n")))
+      }
+      node.maxLength.foreach { n =>
+        add(kw("maxLength"), vac(v, length(v) <= n),
+          concat(lstr("maxLength: got "), length(v).cast(StringType), lstr(s" chars, want <= $n")))
+      }
+      // rlike = regex *search*, matching /root/reference/validator.go:455-459
+      node.pattern.foreach { p =>
+        add(kw("pattern"), vac(v, v.rlike(p)),
+          concat(lstr("pattern: "), v.cast(StringType), lstr(s" does not match '$p'")))
+      }
+      node.contentMediaType.foreach { mt =>
+        if (mt != "application/json")
+          throw SpecError(kw("contentMediaType"), s"unsupported media type '$mt'")
+        add(kw("contentMediaType"), vac(v, try_parse_json(v).isNotNull),
+          lstr("contentMediaType: value is not valid application/json"))
+      }
+      // contentSchema: recursive compile over from_json
+      // (/root/reference/validator.go:497-510)
+      node.contentSchema.foreach { cs =>
+        val st = sparkTypeOf(cs, kw("contentSchema"))
+        val parsed = from_json(v, st)
+        out ++= compile(spec, cs, parsed, st, instPath + "!json", stack)
+      }
+    }
+
+    // array keywords (/root/reference/validator.go:324-430)
+    dt match {
+      case ArrayType(et, _) =>
+        node.minItems.foreach { n =>
+          add(kw("minItems"), vac(v, size(v) >= n),
+            concat(lstr("minItems: got "), size(v).cast(StringType), lstr(s", want >= $n")))
+        }
+        node.maxItems.foreach { n =>
+          add(kw("maxItems"), vac(v, size(v) <= n),
+            concat(lstr("maxItems: got "), size(v).cast(StringType), lstr(s", want <= $n")))
+        }
+        if (node.uniqueItems) {
+          // hash-based dedup — the scalable arm of
+          // /root/reference/util.go:331-361
+          add(kw("uniqueItems"), vac(v, size(array_distinct(v)) === size(v)),
+            lstr("uniqueItems: duplicate items found"))
+        }
+        val prefixN = node.prefixItems.size
+        node.prefixItems.zipWithIndex.foreach { case (ps, i) =>
+          val elem = element_at(v, i + 1)
+          val p = predicate(spec, ps, elem, et, stack)
+          add(kw("prefixItems", i.toString), vac(v, size(v) <= i || coalesce(p, lit(false))),
+            lstr(s"prefixItems/$i: element does not match"))
+        }
+        node.items.foreach { is =>
+          val rest = if (prefixN == 0) v else slice(v, lit(prefixN + 1), greatest(size(v) - prefixN, lit(0)))
+          val p = forall(rest, x => coalesce(predicate(spec, is, x, et, stack), lit(false)))
+          val failed = size(filter(rest, x => !coalesce(predicate(spec, is, x, et, stack), lit(false))))
+          add(kw("items"), vac(v, p),
+            concat(lstr("items: "), failed.cast(StringType), lstr(" element(s) do not match")))
+        }
+        node.contains.foreach { cs =>
+          val cnt = size(filter(v, x => coalesce(predicate(spec, cs, x, et, stack), lit(false))))
+          val minC = node.minContains.getOrElse(1)
+          val core = node.maxContains match {
+            case Some(mx) => cnt >= minC && cnt <= mx
+            case None     => cnt >= minC
+          }
+          add(kw("contains"), vac(v, core),
+            concat(lstr("contains: "), cnt.cast(StringType),
+              lstr(s" matching element(s), want >= $minC" +
+                node.maxContains.map(m => s" and <= $m").getOrElse(""))))
+        }
+      case _ =>
+    }
+
+    // object keywords (/root/reference/validator.go:198-322)
+    dt match {
+      case st: StructType =>
+        val fields = st.fieldNames.toSet
+        node.requiredProps.foreach { k =>
+          val core = if (fields.contains(k)) v.getField(k).isNotNull else lit(false)
+          add(kw("required"), vac(v, core), lstr(s"required: missing property '$k'"))
+        }
+        node.properties.foreach { case (k, ps) =>
+          if (fields.contains(k)) {
+            val ft = st(k).dataType
+            out ++= compile(spec, ps, v.getField(k), ft,
+              if (instPath.isEmpty) k else s"$instPath/$k", stack)
+          } // absent field: subschema vacuous
+        }
+        node.dependentRequired.foreach { case (k, reqs) =>
+          if (fields.contains(k)) {
+            val core = reqs.map(r => if (fields.contains(r)) v.getField(r).isNotNull else lit(false))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            add(kw("dependentRequired", k), vac(v, !v.getField(k).isNotNull || core),
+              lstr(s"dependentRequired: '$k' present but ${reqs.mkString(",")} missing"))
+          }
+        }
+        val nProps = st.fields.map(f => v.getField(f.name).isNotNull.cast(IntegerType))
+          .reduceOption(_ + _).getOrElse(lit(0))
+        node.minProperties.foreach { n =>
+          add(kw("minProperties"), vac(v, nProps >= n),
+            concat(lstr("minProperties: got "), nProps.cast(StringType), lstr(s", want >= $n")))
+        }
+        node.maxProperties.foreach { n =>
+          add(kw("maxProperties"), vac(v, nProps <= n),
+            concat(lstr("maxProperties: got "), nProps.cast(StringType), lstr(s", want <= $n")))
+        }
+        // additionalProperties=false over a closed struct is statically true;
+        // a subschema form applies to fields not named in `properties`
+        node.additionalProperties.foreach {
+          case Left(_)   => // struct is statically closed — nothing to check
+          case Right(as) =>
+            val known = node.properties.map(_._1).toSet
+            st.fields.filterNot(f => known.contains(f.name)).foreach { f =>
+              out ++= compile(spec, as, v.getField(f.name), f.dataType,
+                if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack)
+            }
+        }
+      case MapType(StringType, vt, _) =>
+        val keys = map_keys(v)
+        node.requiredProps.foreach { k =>
+          add(kw("required"), vac(v, array_contains(keys, k)),
+            lstr(s"required: missing property '$k'"))
+        }
+        node.properties.foreach { case (k, ps) =>
+          val p = predicate(spec, ps, element_at(v, k), vt, stack)
+          add(kw("properties", k), vac(v, !array_contains(keys, k) || coalesce(p, lit(false))),
+            lstr(s"properties/$k: value does not match"))
+        }
+        node.patternProperties.foreach { case (re, ps) =>
+          val sub = map_filter(v, (k, _) => k.rlike(re))
+          val p = forall(map_values(sub), x => coalesce(predicate(spec, ps, x, vt, stack), lit(false)))
+          add(kw("patternProperties", re), vac(v, p),
+            lstr(s"patternProperties: value(s) for keys matching '$re' do not match"))
+        }
+        node.propertyNames.foreach { ps =>
+          val p = forall(keys, k => coalesce(predicate(spec, ps, k, StringType, stack), lit(false)))
+          add(kw("propertyNames"), vac(v, p), lstr("propertyNames: key does not match"))
+        }
+        node.additionalProperties.foreach { ap =>
+          val known = node.properties.map(_._1)
+          val pats = node.patternProperties.map(_._1)
+          def isKnown(k: Column): Column = {
+            val inProps = known.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
+            val inPats = pats.map(k.rlike(_)).reduceOption(_ || _).getOrElse(lit(false))
+            inProps || inPats
+          }
+          ap match {
+            case Left(false) =>
+              add(kw("additionalProperties"), vac(v, forall(keys, isKnown)),
+                lstr("additionalProperties: unexpected key(s)"))
+            case Left(true) =>
+            case Right(as) =>
+              val rem = map_filter(v, (k, _) => !isKnown(k))
+              val p = forall(map_values(rem), x => coalesce(predicate(spec, as, x, vt, stack), lit(false)))
+              add(kw("additionalProperties"), vac(v, p),
+                lstr("additionalProperties: value(s) do not match"))
+          }
+        }
+        node.minProperties.foreach { n =>
+          add(kw("minProperties"), vac(v, size(keys) >= n),
+            concat(lstr("minProperties: got "), size(keys).cast(StringType), lstr(s", want >= $n")))
+        }
+        node.maxProperties.foreach { n =>
+          add(kw("maxProperties"), vac(v, size(keys) <= n),
+            concat(lstr("maxProperties: got "), size(keys).cast(StringType), lstr(s", want <= $n")))
+        }
+      case _ =>
+    }
+
+    // composition (/root/reference/validator.go:552-631)
+    node.allOf.foreach { ch => out ++= compile(spec, ch, v, dt, instPath, stack) }
+    if (node.anyOf.nonEmpty) {
+      val ps = node.anyOf.map(ch => predicate(spec, ch, v, dt, stack))
+      add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lstr("anyOf: no subschema matched"))
+    }
+    if (node.oneOf.nonEmpty) {
+      val cnt = node.oneOf
+        .map(ch => when(coalesce(predicate(spec, ch, v, dt, stack), lit(false)), 1).otherwise(0))
+        .reduce(_ + _)
+      add(kw("oneOf"), vac(v, cnt === 1),
+        concat(lstr("oneOf: "), cnt.cast(StringType), lstr(" subschemas matched, want exactly 1")))
+    }
+    node.not.foreach { ch =>
+      add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, dt, stack), lit(false))),
+        lstr("not: subschema matched"))
+    }
+    // if/then/else — conditional gating of the branch checks
+    // (/root/reference/validator.go:622-630); a literal-false `if` prunes the
+    // branch at compile time (objcompiler.go:226-237 analogue via Catalyst
+    // ConstantFolding)
+    node.ifS.foreach { ifn =>
+      val ifPred = coalesce(predicate(spec, ifn, v, dt, stack), lit(false))
+      node.thenS.foreach { tn =>
+        compile(spec, tn, v, dt, instPath, stack).foreach { c =>
+          out += c.copy(pred = !ifPred || c.pred)
+        }
+      }
+      node.elseS.foreach { en =>
+        compile(spec, en, v, dt, instPath, stack).foreach { c =>
+          out += c.copy(pred = ifPred || c.pred)
+        }
+      }
+    }
+
+    out.result()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.exec
+
+import graft.compile.{CompiledSuite, SuiteCompiler}
+import graft.spec._
+import graft.table.TableChecks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top-level entry: compile a spec against a table and run it — the engine's
+  * analogue of the reference's `Compiler.Compile` + `Schema.Validate`
+  * lifecycle (/root/reference/compiler.go:153-214,
+  * /root/reference/validator.go:15-17), re-shaped for Spark: compilation is
+  * driver-only; execution is a handful of declarative DataFrame plans.
+  */
+object Engine {
+
+  /** Compile: spec JSON + concrete table → compiled suite. */
+  def compile(specJson: String, df: DataFrame): CompiledSuite =
+    SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
+
+  /** All violations — row-level (keyed by `keyCols`) UNION table-level — in
+    * the reference's flat BasicOutput shape
+    * (/root/reference/output.go:126-152). `refTables` resolves foreignKey
+    * targets by name.
+    */
+  def allViolations(
+      df: DataFrame,
+      suite: CompiledSuite,
+      keyCols: Seq[String],
+      refTables: Map[String, DataFrame] = Map.empty
+  ): DataFrame = {
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val rowVios = Validator.violations(df, suite, keyCols)
+      .select(col("keyword"),
+        concat(key, lit("/"), col("instance_path")).as("instance_path"),
+        col("detail"))
+    val tableVios: Seq[DataFrame] = suite.tableConstraints.flatMap {
+      case u: Unique => Some(TableChecks.uniqueViolations(df, u))
+      case fk: ForeignKey =>
+        val ref = refTables.getOrElse(fk.refTable,
+          throw SpecError("#/table/foreignKey", s"no table named '${fk.refTable}' provided"))
+        Some(TableChecks.fkViolations(df, fk, ref))
+      case d: Drift => Some(TableChecks.driftViolations(df, d))
+      case _: Stats => None
+    }
+    tableVios.foldLeft(rowVios)(_ unionByName _)
+  }
+
+  /** Full report: per-row annotated frame + flat violations + stats. */
+  final case class Report(
+      annotated: DataFrame,
+      violations: DataFrame,
+      stats: Option[DataFrame]
+  )
+
+  def run(
+      df: DataFrame,
+      specJson: String,
+      keyCols: Seq[String],
+      refTables: Map[String, DataFrame] = Map.empty
+  ): Report = {
+    val suite = compile(specJson, df)
+    val statsDf = suite.tableConstraints.collectFirst { case s: Stats =>
+      TableChecks.stats(df, s.columns)
+    }
+    Report(
+      annotated = Validator.annotate(df, suite),
+      violations = allViolations(df, suite, keyCols, refTables),
+      stats = statsDf)
+  }
+}

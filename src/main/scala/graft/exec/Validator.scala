@@ -1,0 +1,78 @@
+package graft.exec
+
+import graft.compile.{Check, CompiledSuite}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level execution of a compiled suite — one fused, WholeStageCodegen'd
+  * pass over the table, in one of two modes mirroring the reference's
+  * boolResult switch (/root/reference/validator.go:66, 171-195):
+  *
+  *  - '''flag mode''' ([[flag]]): a single AND-fused boolean per row — the
+  *    cheap pass/fail path ("FlagOutput", /root/reference/output.go:114-122).
+  *    No violation structs are materialized; Catalyst short-circuits.
+  *  - '''violation mode''' ([[annotate]]/[[violations]]): every failed
+  *    keyword produces a struct(keyword, instance_path, detail) — full error
+  *    accumulation (/root/reference/validator.go:171-195, "BasicOutput"
+  *    output.go:126-152).
+  *
+  * Both are pure column transforms: filters/column-pruning still push down to
+  * the scan, and no shuffle is introduced. At 100 TB this pass is
+  * scan-bound — the plan must never read columns the spec doesn't mention
+  * (verified in tests via the scan's ReadSchema).
+  */
+object Validator {
+
+  private def violationStruct(c: Check): Column =
+    when(!c.pred,
+      struct(
+        lit(c.keywordPath).as("keyword"),
+        lit(c.instancePath).as("instance_path"),
+        c.detail.as("detail")))
+
+  /** Adds `violations: array<struct<keyword,instance_path,detail>>` and
+    * `valid: boolean` to every row.
+    */
+  def annotate(df: DataFrame, suite: CompiledSuite): DataFrame = {
+    if (suite.rowChecks.isEmpty)
+      return df.withColumn("violations",
+          array().cast("array<struct<keyword:string,instance_path:string,detail:string>>"))
+        .withColumn("valid", lit(true))
+    val arr = filter(
+      array(suite.rowChecks.map(violationStruct): _*),
+      x => x.isNotNull)
+    df.withColumn("violations", arr)
+      .withColumn("valid", size(col("violations")) === 0)
+  }
+
+  /** Flag mode: adds only `valid: boolean` (no violation structs built). */
+  def flag(df: DataFrame, suite: CompiledSuite): DataFrame = {
+    val pred = suite.rowChecks.map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
+    df.withColumn("valid", pred)
+  }
+
+  /** Basic output: one flat row per violation, keyed by `keyCols` —
+    * the reference's BasicOutput unit list
+    * (/root/reference/output.go:126-152).
+    */
+  def violations(df: DataFrame, suite: CompiledSuite, keyCols: Seq[String]): DataFrame = {
+    annotate(df, suite)
+      .filter(!col("valid"))
+      .select(keyCols.map(col) :+ explode(col("violations")).as("v"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("v.keyword").as("keyword"),
+        col("v.instance_path").as("instance_path"),
+        col("v.detail").as("detail")): _*)
+  }
+
+  /** Table-level verdict + counts in ONE aggregation over the annotated
+    * frame (no second scan).
+    */
+  def verdict(df: DataFrame, suite: CompiledSuite): DataFrame = {
+    annotate(df, suite).agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_rows"),
+      sum(size(col("violations")).cast("long")).as("violations"),
+      (sum(when(col("valid"), 0L).otherwise(1L)) === 0).as("valid"))
+  }
+}

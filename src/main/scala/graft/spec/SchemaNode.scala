@@ -1,0 +1,256 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import scala.jdk.CollectionConverters._
+
+/** Typed errors raised while parsing/compiling a constraint spec.
+  *
+  * Mirrors the reference's typed compile errors
+  * (/root/reference/objcompiler.go:529-537, /root/reference/util.go:406-444):
+  * every error carries the spec location (a JSON-pointer-ish path) plus a
+  * human message, and parsing rejects malformed specs *before* any Spark job
+  * runs — the analogue of metaschema validation
+  * (/root/reference/roots.go:240-248).
+  */
+final case class SpecError(path: String, message: String)
+    extends RuntimeException(s"spec error at $path: $message")
+
+/** One node of the constraint-spec tree — the engine's logical IR.
+  *
+  * Keyword set is a fixed "2020-12-like" dialect modeled on the reference's
+  * compiled `*Schema` struct (/root/reference/schema.go:11-95): one node with
+  * optional keyword slots grouped by applicability. Unlike the reference we
+  * fix a single dialect, and `$ref` only targets named blocks under `$defs`
+  * (compile-time inlined, cycles rejected — see
+  * /root/reference/compiler.go:153-214 for the worklist equivalent).
+  *
+  * Null semantics (documented divergence): SQL NULL is treated as an *absent*
+  * value — every keyword is vacuous on NULL and only `required` (column- or
+  * object-level) rejects it. The reference distinguishes JSON null from an
+  * absent property; a relational engine cannot, so we pick the data-quality
+  * reading.
+  */
+final case class SchemaNode(
+    // schema location inside the spec document, for keywordPath reporting
+    path: Vector[String] = Vector.empty,
+    boolSchema: Option[Boolean] = None,
+    // type-agnostic (/root/reference/schema.go:23-42)
+    types: Option[Set[String]] = None,
+    const: Option[JsonNode] = None,
+    enumVals: Option[Vector[JsonNode]] = None,
+    format: Option[String] = None,
+    ref: Option[String] = None,
+    // number keywords (/root/reference/schema.go:78-82)
+    minimum: Option[BigDecimal] = None,
+    maximum: Option[BigDecimal] = None,
+    exclusiveMinimum: Option[BigDecimal] = None,
+    exclusiveMaximum: Option[BigDecimal] = None,
+    multipleOf: Option[BigDecimal] = None,
+    // string keywords (/root/reference/schema.go:70-75)
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    pattern: Option[String] = None,
+    contentMediaType: Option[String] = None,
+    contentSchema: Option[SchemaNode] = None,
+    // array keywords (/root/reference/schema.go:57-67)
+    minItems: Option[Int] = None,
+    maxItems: Option[Int] = None,
+    uniqueItems: Boolean = false,
+    items: Option[SchemaNode] = None,
+    prefixItems: Vector[SchemaNode] = Vector.empty,
+    contains: Option[SchemaNode] = None,
+    minContains: Option[Int] = None,
+    maxContains: Option[Int] = None,
+    // object keywords (/root/reference/schema.go:44-54)
+    properties: Vector[(String, SchemaNode)] = Vector.empty,
+    requiredProps: Vector[String] = Vector.empty,
+    minProperties: Option[Int] = None,
+    maxProperties: Option[Int] = None,
+    propertyNames: Option[SchemaNode] = None,
+    additionalProperties: Option[Either[Boolean, SchemaNode]] = None,
+    patternProperties: Vector[(String, SchemaNode)] = Vector.empty,
+    dependentRequired: Vector[(String, Vector[String])] = Vector.empty,
+    // composition (/root/reference/validator.go:552-631)
+    allOf: Vector[SchemaNode] = Vector.empty,
+    anyOf: Vector[SchemaNode] = Vector.empty,
+    oneOf: Vector[SchemaNode] = Vector.empty,
+    not: Option[SchemaNode] = None,
+    ifS: Option[SchemaNode] = None,
+    thenS: Option[SchemaNode] = None,
+    elseS: Option[SchemaNode] = None
+)
+
+object SchemaNode {
+  val jsonTypes: Set[String] =
+    Set("null", "boolean", "integer", "number", "string", "array", "object")
+
+  private val knownKeywords: Set[String] = Set(
+    "type", "const", "enum", "format", "$ref",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+    "minLength", "maxLength", "pattern", "contentMediaType", "contentSchema",
+    "minItems", "maxItems", "uniqueItems", "items", "prefixItems",
+    "contains", "minContains", "maxContains",
+    "properties", "required", "minProperties", "maxProperties",
+    "propertyNames", "additionalProperties", "patternProperties",
+    "dependentRequired",
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    // annotations — accepted and ignored (reference: schema.go:87-94)
+    "title", "description", "$comment", "default", "examples", "deprecated"
+  )
+
+  /** Parse one schema node. Rejects unknown keywords and ill-typed keyword
+    * values with typed SpecErrors — this *is* our metaschema validation
+    * (mirrors /root/reference/roots.go:53-56).
+    */
+  def parse(n: JsonNode, path: Vector[String]): SchemaNode = {
+    val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
+    if (n.isBoolean) return SchemaNode(path = path, boolSchema = Some(n.asBoolean()))
+    if (!n.isObject) throw SpecError(at, s"schema must be object or boolean, got ${n.getNodeType}")
+
+    n.fieldNames().asScala.foreach { k =>
+      if (!knownKeywords.contains(k)) throw SpecError(at, s"unknown keyword '$k'")
+    }
+
+    def opt(k: String): Option[JsonNode] = Option(n.get(k))
+    def optInt(k: String): Option[Int] = opt(k).map { v =>
+      if (!v.canConvertToInt || !v.isIntegralNumber)
+        throw SpecError(s"$at/$k", s"expected non-negative integer, got $v")
+      val i = v.asInt()
+      if (i < 0) throw SpecError(s"$at/$k", s"expected non-negative integer, got $i")
+      i
+    }
+    def optNum(k: String): Option[BigDecimal] = opt(k).map { v =>
+      if (!v.isNumber) throw SpecError(s"$at/$k", s"expected number, got $v")
+      BigDecimal(v.decimalValue())
+    }
+    def optStr(k: String): Option[String] = opt(k).map { v =>
+      if (!v.isTextual) throw SpecError(s"$at/$k", s"expected string, got $v")
+      v.asText()
+    }
+    def optSchema(k: String): Option[SchemaNode] =
+      opt(k).map(v => parse(v, path :+ k))
+    def schemaArray(k: String): Vector[SchemaNode] = opt(k) match {
+      case None => Vector.empty
+      case Some(v) =>
+        if (!v.isArray || v.size() == 0)
+          throw SpecError(s"$at/$k", "expected non-empty array of schemas")
+        v.asScala.zipWithIndex.map { case (c, i) => parse(c, path :+ k :+ i.toString) }.toVector
+    }
+
+    val types = opt("type").map { t =>
+      val names =
+        if (t.isTextual) Vector(t.asText())
+        else if (t.isArray) t.asScala.map { e =>
+          if (!e.isTextual) throw SpecError(s"$at/type", s"expected string, got $e")
+          e.asText()
+        }.toVector
+        else throw SpecError(s"$at/type", s"expected string or array, got $t")
+      names.foreach { nm =>
+        if (!jsonTypes.contains(nm)) throw SpecError(s"$at/type", s"unknown type '$nm'")
+      }
+      names.toSet
+    }
+
+    val enumVals = opt("enum").map { e =>
+      if (!e.isArray || e.size() == 0) throw SpecError(s"$at/enum", "expected non-empty array")
+      e.asScala.toVector
+    }
+
+    val pat = optStr("pattern")
+    pat.foreach { p =>
+      // compile once at spec time, mirroring regex precompilation at
+      // /root/reference/objcompiler.go:117-126
+      try java.util.regex.Pattern.compile(p)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw SpecError(s"$at/pattern", s"invalid regex: ${e.getDescription}")
+      }
+    }
+
+    val props = opt("properties").map { p =>
+      if (!p.isObject) throw SpecError(s"$at/properties", "expected object")
+      p.fieldNames().asScala.toVector.map { k =>
+        k -> parse(p.get(k), path :+ "properties" :+ k)
+      }
+    }.getOrElse(Vector.empty)
+
+    val patProps = opt("patternProperties").map { p =>
+      if (!p.isObject) throw SpecError(s"$at/patternProperties", "expected object")
+      p.fieldNames().asScala.toVector.map { k =>
+        try java.util.regex.Pattern.compile(k)
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            throw SpecError(s"$at/patternProperties", s"invalid regex '$k': ${e.getDescription}")
+        }
+        k -> parse(p.get(k), path :+ "patternProperties" :+ k)
+      }
+    }.getOrElse(Vector.empty)
+
+    val requiredProps = opt("required").map { r =>
+      if (!r.isArray) throw SpecError(s"$at/required", "expected array of strings")
+      r.asScala.map { e =>
+        if (!e.isTextual) throw SpecError(s"$at/required", s"expected string, got $e")
+        e.asText()
+      }.toVector
+    }.getOrElse(Vector.empty)
+
+    val depReq = opt("dependentRequired").map { d =>
+      if (!d.isObject) throw SpecError(s"$at/dependentRequired", "expected object")
+      d.fieldNames().asScala.toVector.map { k =>
+        val arr = d.get(k)
+        if (!arr.isArray) throw SpecError(s"$at/dependentRequired/$k", "expected array")
+        k -> arr.asScala.map(_.asText()).toVector
+      }
+    }.getOrElse(Vector.empty)
+
+    val addProps = opt("additionalProperties").map { a =>
+      if (a.isBoolean) Left(a.asBoolean())
+      else Right(parse(a, path :+ "additionalProperties"))
+    }
+
+    SchemaNode(
+      path = path,
+      types = types,
+      const = opt("const"),
+      enumVals = enumVals,
+      format = optStr("format"),
+      ref = optStr("$ref"),
+      minimum = optNum("minimum"),
+      maximum = optNum("maximum"),
+      exclusiveMinimum = optNum("exclusiveMinimum"),
+      exclusiveMaximum = optNum("exclusiveMaximum"),
+      multipleOf = optNum("multipleOf").map { m =>
+        if (m <= 0) throw SpecError(s"$at/multipleOf", "must be > 0"); m
+      },
+      minLength = optInt("minLength"),
+      maxLength = optInt("maxLength"),
+      pattern = pat,
+      contentMediaType = optStr("contentMediaType"),
+      contentSchema = optSchema("contentSchema"),
+      minItems = optInt("minItems"),
+      maxItems = optInt("maxItems"),
+      uniqueItems = opt("uniqueItems").exists(_.asBoolean(false)),
+      items = optSchema("items"),
+      prefixItems = schemaArray("prefixItems"),
+      contains = optSchema("contains"),
+      minContains = optInt("minContains"),
+      maxContains = optInt("maxContains"),
+      properties = props,
+      requiredProps = requiredProps,
+      minProperties = optInt("minProperties"),
+      maxProperties = optInt("maxProperties"),
+      propertyNames = optSchema("propertyNames"),
+      additionalProperties = addProps,
+      patternProperties = patProps,
+      dependentRequired = depReq,
+      allOf = schemaArray("allOf"),
+      anyOf = schemaArray("anyOf"),
+      oneOf = schemaArray("oneOf"),
+      not = optSchema("not"),
+      ifS = optSchema("if"),
+      thenS = optSchema("then"),
+      elseS = optSchema("else")
+    )
+  }
+}

@@ -1,0 +1,204 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** Table-level constraints — the reference exposes these only through its
+  * custom-vocabulary extension surface (/root/reference/vocab.go:19-44; the
+  * `uniqueKeys` example at
+  * /root/reference/example_vocab_uniquekeys_test.go:14-43 is the model for
+  * [[Unique]]). They compile to DataFrame aggregation/join plans rather than
+  * row predicates.
+  */
+sealed trait TableConstraint { def name: String }
+
+/** No two rows share the same value tuple for `columns`. */
+final case class Unique(columns: Vector[String]) extends TableConstraint {
+  def name = s"unique(${columns.mkString(",")})"
+}
+
+/** Every non-null key tuple in `columns` must exist in `refColumns` of the
+  * reference table (resolved by name through a table registry at run time).
+  */
+final case class ForeignKey(
+    columns: Vector[String],
+    refTable: String,
+    refColumns: Vector[String],
+    broadcastRef: Boolean = true
+) extends TableConstraint {
+  def name = s"foreignKey(${columns.mkString(",")}->$refTable)"
+}
+
+/** Distribution-drift gate on one numeric column vs a pinned reference
+  * distribution. `method` is "psi" (fixed-bucket histogram, population
+  * stability index) or "ks" (Kolmogorov–Smirnov sup-distance on the ECDF).
+  */
+final case class Drift(
+    column: String,
+    method: String, // "psi" | "ks"
+    threshold: Double,
+    // psi: bucket edges + reference proportions (len(props) == len(edges)+1)
+    edges: Vector[Double] = Vector.empty,
+    refProportions: Vector[Double] = Vector.empty,
+    // ks: reference quantiles at ranks i/(n-1)
+    refQuantiles: Vector[Double] = Vector.empty
+) extends TableConstraint {
+  def name = s"drift($method:$column)"
+}
+
+/** Column-stats collection request (count/nulls/min/max/distinct/quantiles)
+  * — not a pass/fail check by itself, but feeds ledger + drift baselines.
+  */
+final case class Stats(columns: Vector[String]) extends TableConstraint {
+  def name = s"stats(${columns.mkString(",")})"
+}
+
+/** A parsed constraint spec over one table:
+  * per-column row-level schemas, required (non-null) columns, cross-column
+  * row rules, and table-level constraints.
+  *
+  * This is the engine's top-level "query": the analogue of a compiled root
+  * schema in the reference (/root/reference/schema.go:11-95), specialised to
+  * a relational instance model.
+  */
+final case class Spec(
+    columns: Vector[(String, SchemaNode)],
+    required: Vector[String],
+    rowRules: Vector[SchemaNode], // schemas over the whole row-as-object
+    table: Vector[TableConstraint],
+    defs: Map[String, SchemaNode]
+) {
+
+  /** Resolve a `$ref` of form `#/$defs/<name>`; cycle detection mirrors the
+    * reference's compile-time memoization + runtime cycle guard
+    * (/root/reference/compiler.go:153-164, validator.go:84-90) — except our
+    * flat columnar model lets us reject cycles outright at compile.
+    */
+  def resolve(ref: String, stack: List[String]): SchemaNode = {
+    if (!ref.startsWith("#/$defs/"))
+      throw SpecError(ref, "only '#/$defs/<name>' references are supported")
+    val nm = ref.stripPrefix("#/$defs/")
+    if (stack.contains(nm))
+      throw SpecError(ref, s"cyclic $$ref chain: ${(nm :: stack).reverse.mkString(" -> ")}")
+    defs.getOrElse(nm, throw SpecError(ref, s"unresolved $$ref: no $$defs/$nm"))
+  }
+}
+
+object Spec {
+  private val mapper = new ObjectMapper()
+
+  def fromJson(json: String): Spec = parse(mapper.readTree(json))
+
+  def fromFile(path: String): Spec =
+    parse(mapper.readTree(new java.io.File(path)))
+
+  private val topKeywords =
+    Set("$defs", "columns", "required", "row", "table", "title", "description", "$comment")
+
+  def parse(root: JsonNode): Spec = {
+    if (!root.isObject) throw SpecError("#", "spec root must be an object")
+    root.fieldNames().asScala.foreach { k =>
+      if (!topKeywords.contains(k)) throw SpecError("#", s"unknown top-level keyword '$k'")
+    }
+
+    val defs = Option(root.get("$defs")).map { d =>
+      if (!d.isObject) throw SpecError("#/$defs", "expected object")
+      d.fieldNames().asScala.map { k =>
+        k -> SchemaNode.parse(d.get(k), Vector("$defs", k))
+      }.toMap
+    }.getOrElse(Map.empty[String, SchemaNode])
+
+    val columns = Option(root.get("columns")).map { c =>
+      if (!c.isObject) throw SpecError("#/columns", "expected object")
+      c.fieldNames().asScala.toVector.map { k =>
+        k -> SchemaNode.parse(c.get(k), Vector("columns", k))
+      }
+    }.getOrElse(Vector.empty)
+
+    val required = Option(root.get("required")).map { r =>
+      if (!r.isArray) throw SpecError("#/required", "expected array of column names")
+      r.asScala.map { e =>
+        if (!e.isTextual) throw SpecError("#/required", s"expected string, got $e")
+        e.asText()
+      }.toVector
+    }.getOrElse(Vector.empty)
+
+    val rowRules = Option(root.get("row")).map { r =>
+      if (!r.isArray) throw SpecError("#/row", "expected array of schemas")
+      r.asScala.zipWithIndex.map { case (s, i) =>
+        SchemaNode.parse(s, Vector("row", i.toString))
+      }.toVector
+    }.getOrElse(Vector.empty)
+
+    val table = Option(root.get("table")).map(parseTable).getOrElse(Vector.empty)
+
+    Spec(columns, required, rowRules, table, defs)
+  }
+
+  private def parseTable(t: JsonNode): Vector[TableConstraint] = {
+    if (!t.isObject) throw SpecError("#/table", "expected object")
+    val known = Set("unique", "foreignKey", "drift", "stats")
+    t.fieldNames().asScala.foreach { k =>
+      if (!known.contains(k)) throw SpecError("#/table", s"unknown table constraint '$k'")
+    }
+    val out = Vector.newBuilder[TableConstraint]
+    Option(t.get("unique")).foreach { u =>
+      if (!u.isArray) throw SpecError("#/table/unique", "expected array")
+      u.asScala.foreach { e =>
+        val cols =
+          if (e.isTextual) Vector(e.asText())
+          else if (e.isArray) e.asScala.map(_.asText()).toVector
+          else throw SpecError("#/table/unique", "expected column name or array of names")
+        out += Unique(cols)
+      }
+    }
+    Option(t.get("foreignKey")).foreach { fks =>
+      if (!fks.isArray) throw SpecError("#/table/foreignKey", "expected array")
+      fks.asScala.zipWithIndex.foreach { case (fk, i) =>
+        val at = s"#/table/foreignKey/$i"
+        def strs(k: String): Vector[String] = Option(fk.get(k)) match {
+          case Some(v) if v.isTextual => Vector(v.asText())
+          case Some(v) if v.isArray   => v.asScala.map(_.asText()).toVector
+          case _ => throw SpecError(s"$at/$k", "expected column name(s)")
+        }
+        val refT = Option(fk.get("refTable")).filter(_.isTextual)
+          .getOrElse(throw SpecError(s"$at/refTable", "expected string")).asText()
+        out += ForeignKey(
+          strs("columns"), refT, strs("refColumns"),
+          broadcastRef = Option(fk.get("broadcast")).forall(_.asBoolean(true)))
+      }
+    }
+    Option(t.get("drift")).foreach { ds =>
+      if (!ds.isArray) throw SpecError("#/table/drift", "expected array")
+      ds.asScala.zipWithIndex.foreach { case (d, i) =>
+        val at = s"#/table/drift/$i"
+        def dbls(k: String): Vector[Double] = Option(d.get(k)).map { v =>
+          if (!v.isArray) throw SpecError(s"$at/$k", "expected array of numbers")
+          v.asScala.map(_.asDouble()).toVector
+        }.getOrElse(Vector.empty)
+        val method = Option(d.get("method")).map(_.asText())
+          .getOrElse(throw SpecError(at, "missing 'method'"))
+        if (method != "psi" && method != "ks")
+          throw SpecError(s"$at/method", s"unknown drift method '$method'")
+        val col = Option(d.get("column")).map(_.asText())
+          .getOrElse(throw SpecError(at, "missing 'column'"))
+        val thr = Option(d.get("threshold")).map(_.asDouble())
+          .getOrElse(throw SpecError(at, "missing 'threshold'"))
+        val dr = Drift(col, method, thr,
+          edges = dbls("edges"), refProportions = dbls("refProportions"),
+          refQuantiles = dbls("refQuantiles"))
+        if (method == "psi" && (dr.edges.isEmpty || dr.refProportions.size != dr.edges.size + 1))
+          throw SpecError(at, "psi drift needs edges[n] and refProportions[n+1]")
+        if (method == "ks" && dr.refQuantiles.size < 2)
+          throw SpecError(at, "ks drift needs refQuantiles (>=2 points)")
+        out += dr
+      }
+    }
+    Option(t.get("stats")).foreach { s =>
+      if (!s.isArray) throw SpecError("#/table/stats", "expected array of column names")
+      out += Stats(s.asScala.map(_.asText()).toVector)
+    }
+    out.result()
+  }
+}
