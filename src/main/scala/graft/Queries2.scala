@@ -1,0 +1,171 @@
+package graft
+
+import graft.pipeline.{Dedup, SimSearch, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch 2: training-data pipeline operators (dedup / similarity search /
+  * text analysis) with DuckDB oracles. Vector math oracles are generated
+  * with fold-identical semantics (DuckDB list_reduce ≡ Spark aggregate, both
+  * left-fold in index order) so doubles match bitwise.
+  */
+object Queries2 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- exact dedup ----
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactStats(t(spark, dir, "documents"), "text")
+
+  val sqlDedupExact: String =
+    """SELECT count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_distinct,
+              count(*) - count(DISTINCT md5(text)) AS n_dups
+       FROM documents"""
+
+  // ---- n-gram Jaccard near-dup ----
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .orderBy("a", "b")
+
+  val sqlDedupJaccard: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       sh AS (SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+       ORDER BY a, b"""
+
+  // ---- MinHash LSH candidates ----
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(spark, dir, "documents"), "doc_id", "text",
+        numBands = 8, shingleN = 3)
+      .orderBy("a", "b")
+
+  val sqlDedupMinhash: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END AS s
+              FROM toks),
+       bands AS (SELECT doc_id, r.band,
+                  list_min(list_transform(s, x -> md5(CAST(r.band AS VARCHAR) || ':' || x))) AS h
+                 FROM sh CROSS JOIN range(0, 8) r(band))
+       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+       ORDER BY a, b"""
+
+  // ---- SimHash fingerprints ----
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(t(spark, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("k", "doc_id")
+      .orderBy("doc_id")
+
+  val sqlDedupSimhash: String = {
+    val sums = (1 to 16).map(i =>
+      s"sum(CASE WHEN substr(md5(t),$i,1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s_$i")
+      .mkString(", ")
+    val bits = (1 to 16).map(i => s"CASE WHEN s_$i >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+        SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id"""
+  }
+
+  // ---- embedding fold helpers for oracle SQL ----
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  // ---- embedding cosine near-dup via random-hyperplane LSH ----
+  private val planes = SimSearch.hyperplanes(numPlanes = 8, dim = 64, seed = 42L)
+
+  def qEmbedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    SimSearch.lshNearDup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 8, dim = 64, seed = 42L)
+      .orderBy("a", "b")
+
+  val sqlEmbedNearDupLsh: String = {
+    val bucketTerms = planes.zipWithIndex.map { case (h, i) =>
+      val arr = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CASE WHEN ${duckDot("embedding", arr)} >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH withb AS (SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings)
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(${duckCos("x.embedding", "y.embedding")}, 6) AS sim
+        FROM withb x JOIN withb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE round(${duckCos("x.embedding", "y.embedding")}, 6) >= 0.4
+        ORDER BY a, b"""
+  }
+
+  // ---- brute-force cosine top-k (ANN baseline) ----
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    SimSearch.bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val sqlAnnTopK: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ${duckCos("q.qv", "c.embedding")} AS sim
+                   FROM embeddings c CROSS JOIN q
+                   WHERE c.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
+  // ---- text analysis battery ----
+  def qTextBattery(spark: SparkSession, dir: String): DataFrame =
+    TextStats.battery(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val sqlTextBattery: String = {
+    def score(ws: Seq[String]): String =
+      ws.map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))").mkString(" + ")
+    val s = TextStats.langProfiles.map { case (l, ws) => l -> s"(${score(ws)})" }.toMap
+    s"""SELECT doc_id,
+          length(text) AS n_chars,
+          len(string_split(text,' ')) AS n_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+          len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+          len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+          CASE WHEN ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")}
+                 AND ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("zh")} THEN 'en'
+               WHEN ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")}
+                 AND ${s("de")} >= ${s("zh")} THEN 'de'
+               WHEN ${s("es")} >= ${s("fr")} AND ${s("es")} >= ${s("zh")} THEN 'es'
+               WHEN ${s("fr")} >= ${s("zh")} THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        FROM documents ORDER BY doc_id"""
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_dedup_exact" -> ((qDedupExact _, sqlDedupExact)),
+    "q_dedup_jaccard" -> ((qDedupJaccard _, sqlDedupJaccard)),
+    "q_dedup_minhash" -> ((qDedupMinhash _, sqlDedupMinhash)),
+    "q_dedup_simhash" -> ((qDedupSimhash _, sqlDedupSimhash)),
+    "q_embed_neardup_lsh" -> ((qEmbedNearDupLsh _, sqlEmbedNearDupLsh)),
+    "q_ann_topk" -> ((qAnnTopK _, sqlAnnTopK)),
+    "q_text_battery" -> ((qTextBattery _, sqlTextBattery))
+  )
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two arms:
+  *  - brute-force cosine top-k — correct baseline; the probe set is
+  *    broadcast, so the big side streams once with no shuffle of vectors.
+  *  - random-hyperplane LSH — the scale path: a per-vector bucket signature
+  *    computed in the scan (pure expressions), then a bucket-equality
+  *    self-join; only bucket-colliding pairs pay the exact cosine.
+  *
+  * All arithmetic is double-precision positional fold (aggregate over
+  * zip_with) so results are bit-reproducible across partitionings and match
+  * the DuckDB oracle exactly.
+  */
+object SimSearch {
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each probe vector (probes broadcast).
+    * Output: (query_id, neighbor_id, rank); ties broken by neighbor id.
+    */
+  def bruteTopK(corpus: DataFrame, probes: DataFrame, keyCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes (splitmix64-seeded) as literal
+    * arrays — reproducible across engines, embeddable in an oracle query.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    def mix(a: Long): Long = {
+      var z = a + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim)(d => if (mix(seed ^ (p.toLong << 32) ^ d) >= 0) 1.0 else -1.0)
+    }
+  }
+
+  /** Sign-bit bucket id from the hyperplane battery — computed inline in the
+    * scan, no UDF.
+    */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      val hLit = array(h.map(lit): _*)
+      when(dot(vec, hLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-duplicate pairs above a cosine threshold, candidate-filtered by an
+    * LSH bucket equality join (identical sign signature ⇒ low angular
+    * distance). Recall/cost tradeoff via numPlanes.
+    */
+  def lshNearDup(df: DataFrame, keyCol: String, vecCol: String,
+                 threshold: Double, numPlanes: Int = 8,
+                 dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val withB = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    withB.as("x").join(withB.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.k") < col("y.k"))
+      .withColumn("sim", round(cosine(col("x.v"), col("y.v")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("x.k").as("a"), col("y.k").as("b"), col("sim"))
+  }
+
+  /** Brute-force near-dup (all pairs) — the oracle/recall baseline. */
+  def bruteNearDup(df: DataFrame, keyCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val v = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+    v.as("x").join(v.as("y"), col("x.k") < col("y.k"))
+      .withColumn("sim", round(cosine(col("x.v"), col("y.v")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("x.k").as("a"), col("y.k").as("b"), col("sim"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.audio.AudioGen
+import graft.pipeline.{Dedup, Multimodal, SimSearch}
+import org.apache.spark.sql.functions._
+
+/** Pipeline operators with no SQL oracle: multimodal feature extraction,
+  * LSH recall vs brute force, dedup invariants.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val clips = AudioGen.clips(spark, 500, seed = 42L).cache()
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("audio features: real decode over binary column, sane physics") {
+    val feats = Multimodal.audioFeatureTable(clips, "clip_id", "bytes").cache()
+    val decodable = feats.filter($"n_samples".isNotNull)
+    assert(decodable.count() == 500 - (0 until 500).count(_ % 677 == 29))
+    // rms <= peak <= 1, zcr in [0,1], duration consistent with samples/sr
+    assert(decodable.filter($"rms" > $"peak" || $"peak" > 1.0).count() == 0)
+    assert(decodable.filter($"zero_cross_rate" < 0 || $"zero_cross_rate" > 1).count() == 0)
+    assert(decodable.filter(
+      abs($"duration_s" - $"n_samples" / $"sr_hz") > 1e-9).count() == 0)
+  }
+
+  test("frame sampling produces expected frame counts") {
+    val fe = Multimodal.frameEnergies(frameLen = 160, stride = 2)
+    val r = clips.limit(50).select($"clip_id", fe($"bytes").as("frames"),
+      Multimodal.audioFeatures($"bytes").getField("n_samples").as("n"))
+      .filter($"frames".isNotNull)
+    assert(r.filter(size($"frames") =!= ceil(floor($"n" / 160) / 2).cast("int")).count() == 0)
+  }
+
+  test("image decode stub: deterministic metadata + resize contract") {
+    val meta = clips.limit(20)
+      .select($"clip_id", Multimodal.decodeImageStub($"bytes").as("m"))
+      .withColumn("r", Multimodal.resizeMeta($"m", 256))
+    val rows = meta.select($"m.width", $"m.height", $"r.width", $"r.height").collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) <= 256 && r.getInt(3) <= 256)
+      assert(math.max(r.getInt(2), r.getInt(3)) <= math.max(r.getInt(0), r.getInt(1)))
+    }
+    // deterministic: same bytes → same meta
+    val a = meta.select("m").collect().map(_.toString)
+    val b = clips.limit(20).select(Multimodal.decodeImageStub($"bytes").as("m"))
+      .select("m").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("LSH near-dup finds every brute-force pair at its threshold (recall)") {
+    val brute = SimSearch.bruteNearDup(emb, "vec_id", "embedding", 0.4)
+      .select("a", "b").collect().map(_.toString).toSet
+    val lsh = SimSearch.lshNearDup(emb, "vec_id", "embedding", 0.4, numPlanes = 4)
+      .select("a", "b").collect().map(_.toString).toSet
+    // 4 planes = coarse buckets → high recall on this corpus
+    assert(lsh.subsetOf(brute))
+    assert(brute.isEmpty || lsh.nonEmpty)
+  }
+
+  test("minhash candidates superset high-jaccard pairs (banding guarantee)") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(_.toString).toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", numBands = 8)
+      .collect().map(_.toString).toSet
+    assert(jac.subsetOf(cand), s"missing: ${jac.diff(cand).take(3)}")
+  }
+
+  test("simhash: identical docs share codes; codes in 16-bit range") {
+    val sh = Dedup.simhash16(docs, "doc_id", "text")
+    assert(sh.filter($"simhash" < 0 || $"simhash" > 0xFFFFL).count() == 0)
+    val dupDf = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 100000, $"text"))
+    val codes = Dedup.simhash16(dupDf, "doc_id", "text")
+    val joined = codes.as("x").join(codes.as("y"),
+      col("x.k") + 100000 === col("y.k"))
+    assert(joined.filter(col("x.simhash") =!= col("y.simhash")).count() == 0)
+  }
+}
