@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // G1's default tiny young gen collapses under allocation-heavy local[32]
+  // runs (measured 14x slowdown on the decode pass); ParallelGC with a
+  // half-heap young gen restores thread scaling.
+  "-XX:+UseParallelGC", "-XX:NewRatio=1",
+) ++ sys.env.get("GRAFT_GC_LOG").map(_ => "-Xlog:gc").toSeq ++
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

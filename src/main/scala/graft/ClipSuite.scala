@@ -44,6 +44,16 @@ object ClipSuite {
       }
     }"""
 
+  /** Deep suite: everything in [[specJson]] PLUS the audio decodability
+    * check over `bytes` (contentEncoding analogue, SURVEY.md §2.2) — the
+    * representative production workload where per-row decode compute
+    * dominates I/O. Requires [[graft.audio.AudioGen.registerFormats]].
+    */
+  val deepSpecJson: String = {
+    val withBytes = """"bytes":   { "format": "wav" },"""
+    specJson.replace(""""clip_id":""", withBytes + "\n        \"clip_id\":")
+  }
+
   /** The reference codec dimension table (FIXTURES.md §2). */
   def refCodecs(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {

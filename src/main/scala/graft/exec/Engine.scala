@@ -68,4 +68,65 @@ object Engine {
       violations = allViolations(df, suite, keyCols, refTables),
       stats = statsDf)
   }
+
+  final case class FusedResult(
+      totalViolations: Long,
+      stats: Map[String, Any]
+  )
+
+  /** Builds the fused single-action plan (violations union with observed
+    * stats) WITHOUT executing it — callers that re-run the action (bench,
+    * resume) pay Catalyst planning once.
+    */
+  def fusedPlan(
+      df: DataFrame,
+      specJson: String,
+      keyCols: Seq[String],
+      refTables: Map[String, DataFrame] = Map.empty
+  ): (DataFrame, org.apache.spark.sql.Observation) = {
+    val suite = compile(specJson, df)
+    val statsCols = suite.tableConstraints.collectFirst { case s: Stats => s.columns }
+    val annotated = Validator.annotate(df, suite)
+
+    val obs = new org.apache.spark.sql.Observation()
+    val baseAggs = Seq(
+      count(lit(1)).as("rows"),
+      sum(size(col("violations")).cast("long")).as("row_violations"))
+    val allAggs = baseAggs ++ statsCols.toSeq.flatMap(cs =>
+      TableChecks.statAggs(df, cs))
+    val observed = annotated.observe(obs, allAggs.head, allAggs.tail: _*)
+
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val rowVios = observed
+      .filter(!col("valid"))
+      .select(explode(col("violations")).as("v"), key.as("k"))
+      .select(col("v.keyword").as("keyword"),
+        concat(col("k"), lit("/"), col("v.instance_path")).as("instance_path"),
+        col("v.detail").as("detail"))
+    val tableVios: Seq[DataFrame] = suite.tableConstraints.flatMap {
+      case u: Unique => Some(TableChecks.uniqueViolations(df, u))
+      case fk: ForeignKey =>
+        Some(TableChecks.fkViolations(df, fk, refTables(fk.refTable)))
+      case d: Drift => Some(TableChecks.driftViolations(df, d))
+      case _: Stats => None
+    }
+    (tableVios.foldLeft(rowVios)(_ unionByName _), obs)
+  }
+
+  /** The north star's fused single pass, as ONE Spark action: the violations
+    * union (row keywords + unique + referential + drift, each branch
+    * column-pruned to exactly what it needs) counted once, with column stats
+    * piggybacked on the row-pass scan via `observe` (CollectMetrics) — zero
+    * extra scans, zero extra jobs for stats.
+    */
+  def runFused(
+      df: DataFrame,
+      specJson: String,
+      keyCols: Seq[String],
+      refTables: Map[String, DataFrame] = Map.empty
+  ): FusedResult = {
+    val (plan, obs) = fusedPlan(df, specJson, keyCols, refTables)
+    val total = plan.count()
+    FusedResult(total, obs.get)
+  }
 }

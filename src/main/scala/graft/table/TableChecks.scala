@@ -70,59 +70,70 @@ object TableChecks {
           lit(s" row(s) reference missing key in ${fk.refTable}")).as("detail"))
   }
 
-  /** Population Stability Index of `column` vs pinned reference proportions
-    * over fixed bucket edges. One partial+final aggregation; result is a
-    * single driver-side double (formula on the driver, histogram on the
-    * cluster — SURVEY.md §2.9).
+  /** Lazy PSI: one row (psi: double). Histogram = partial+final hash agg of
+    * O(buckets) rows; the PSI formula itself runs IN the plan (tiny
+    * single-partition window over ≤ buckets+1 rows), so drift composes into
+    * the same action as every other check — no eager driver collect, no
+    * extra serial job (north star: fused single pass).
     */
-  def psi(df: DataFrame, column: String, edges: Seq[Double], refProps: Seq[Double]): Double = {
+  def psiDf(df: DataFrame, column: String, edges: Seq[Double], refProps: Seq[Double]): DataFrame = {
     val eps = 1e-6
-    val hist = histogram(df, column, edges)
-    val total = hist.sum.toDouble.max(1.0)
-    hist.zip(refProps).map { case (n, q0) =>
-      val p = math.max(n / total, eps)
-      val q = math.max(q0, eps)
-      (p - q) * math.log(p / q)
-    }.sum
+    val c = col(column).cast("double")
+    val bucket = bucketOf(c, edges)
+    val refArr = array(refProps.map(lit): _*)
+    val hist = df.filter(c.isNotNull)
+      .groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val total = sum("n").over(Window.partitionBy())
+    hist
+      .withColumn("p", greatest(col("n") / total, lit(eps)))
+      .withColumn("q", greatest(element_at(refArr, col("b") + 1), lit(eps)))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
+
+  /** Eager PSI (driver double) — test/report convenience over [[psiDf]]. */
+  def psi(df: DataFrame, column: String, edges: Seq[Double], refProps: Seq[Double]): Double =
+    psiDf(df, column, edges, refProps).collect()(0).getDouble(0)
+
+  private def bucketOf(c: Column, edges: Seq[Double]): Column =
+    edges.zipWithIndex.reverse.foldLeft(lit(edges.size): Column) {
+      case (acc, (e, i)) => when(c < e, i).otherwise(acc)
+    }
 
   /** Bucket counts for fixed edges: bucket 0 = (-inf, e0), i = [e(i-1), e(i)),
     * last = [eN, +inf). NULLs excluded. Returns edges.size+1 counts.
+    * (CASE chain is codegen'd; one pass, partial agg → O(buckets) shuffle.)
     */
   def histogram(df: DataFrame, column: String, edges: Seq[Double]): Array[Long] = {
     val c = col(column).cast("double")
-    // width_bucket(v, ...) needs uniform buckets; arbitrary edges via a fused
-    // CASE chain (codegen'd, one pass, partial agg → O(buckets) shuffle rows)
-    // build the CASE chain so the SMALLEST edge is the outermost test
-    val bucket = edges.zipWithIndex.reverse.foldLeft(lit(edges.size): Column) {
-      case (acc, (e, i)) => when(c < e, i).otherwise(acc)
-    }
     val counts = df.filter(c.isNotNull)
-      .groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+      .groupBy(bucketOf(c, edges).as("b")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     Array.tabulate(edges.size + 1)(i => counts.getOrElse(i, 0L))
   }
 
-  /** Two-sample-style KS statistic of `column` against a pinned reference
-    * quantile vector (refQuantiles(i) ≈ value at rank i/(n-1)): sup over the
-    * reference quantile points of |ECDF_data(q) - i/(n-1)|. The data-side
-    * ECDF at the fixed points is ONE aggregation (no sort, no window): each
-    * point is a sum(v <= q)/count — fused into a single pass.
+  /** Lazy KS vs a pinned reference quantile vector: the data-side ECDF at
+    * every fixed point is ONE aggregation row (sum(v <= q)/count per point —
+    * no sort, no global window), sup-distance computed in-plan via
+    * greatest(). Returns one row (ks: double).
     */
-  def ksAgainstQuantiles(df: DataFrame, column: String, refQuantiles: Seq[Double]): Double = {
+  def ksDf(df: DataFrame, column: String, refQuantiles: Seq[Double]): DataFrame = {
     val c = col(column).cast("double")
     val aggs = refQuantiles.zipWithIndex.map { case (q, i) =>
       sum(when(c <= q, 1L).otherwise(0L)).as(s"le_$i")
     } :+ count(c).as("n")
-    val row = df.filter(c.isNotNull).agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getAs[Long]("n").toDouble.max(1.0)
     val m = refQuantiles.size
-    refQuantiles.indices.map { i =>
-      val ecdf = row.getAs[Long](s"le_$i") / n
+    val agg = df.filter(c.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val dists = refQuantiles.indices.map { i =>
       val refCdf = if (m == 1) 1.0 else i.toDouble / (m - 1)
-      math.abs(ecdf - refCdf)
-    }.max
+      abs(col(s"le_$i") / greatest(col("n").cast("double"), lit(1.0)) - lit(refCdf))
+    }
+    agg.select((if (dists.size == 1) dists.head else greatest(dists: _*)).as("ks"))
   }
+
+  /** Eager KS (driver double) — convenience over [[ksDf]]. */
+  def ksAgainstQuantiles(df: DataFrame, column: String, refQuantiles: Seq[Double]): Double =
+    ksDf(df, column, refQuantiles).collect()(0).getDouble(0)
 
   /** Exact two-sample KS between two columns (small/medium data; the oracle
     * arm). Distributed-friendly: ECDFs computed per distinct value via
@@ -146,54 +157,60 @@ object TableChecks {
       .collect()(0).getDouble(0)
   }
 
-  /** Drift violations: empty DataFrame when within threshold, one violation
-    * row otherwise.
+  /** Drift violations — LAZY: empty when within threshold, one violation row
+    * otherwise. The metric is computed in-plan ([[psiDf]]/[[ksDf]]) so drift
+    * unions into the same single action as every other constraint.
     */
   def driftViolations(df: DataFrame, d: Drift): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val value = d.method match {
-      case "psi" => psi(df, d.column, d.edges, d.refProportions)
-      case "ks"  => ksAgainstQuantiles(df, d.column, d.refQuantiles)
+    val metric = d.method match {
+      case "psi" => psiDf(df, d.column, d.edges, d.refProportions).withColumnRenamed("psi", "m")
+      case "ks"  => ksDf(df, d.column, d.refQuantiles).withColumnRenamed("ks", "m")
     }
-    val rows =
-      if (value <= d.threshold) Seq.empty[(String, String, String)]
-      else Seq((s"table/drift/${d.method}/${d.column}", d.column,
-        f"drift: ${d.method} = $value%.6f exceeds threshold ${d.threshold}%.6f"))
-    rows.toDF(vioCols: _*)
+    metric
+      .filter(col("m") > d.threshold)
+      .select(
+        lit(s"table/drift/${d.method}/${d.column}").as("keyword"),
+        lit(d.column).as("instance_path"),
+        format_string(s"drift: ${d.method} = %.6f exceeds threshold ${d.threshold}",
+          col("m")).as("detail"))
   }
 
-  /** Column statistics in ONE pass: count, nulls, min, max, HLL distinct,
-    * approximate quartiles (SURVEY.md §2.9). Output: one row per column.
+  /** Per-column stat aggregate expressions: count, nulls, min, max, HLL
+    * distinct, approximate quartiles (SURVEY.md §2.9). Shared by the lazy
+    * [[stats]] plan and the observe-fused path in
+    * [[graft.exec.Engine.runFused]].
     */
-  def stats(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def statAggs(df: DataFrame, columns: Seq[String]): Seq[Column] = {
     val numericSet = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSet
-    val aggs: Seq[Column] = columns.flatMap { c =>
-      val base = Seq(
+    columns.flatMap { c =>
+      Seq(
         count(col(c)).as(s"${c}__count"),
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
-        approx_count_distinct(col(c)).as(s"${c}__distinct"))
-      if (numericSet.contains(c))
-        base :+ percentile_approx(col(c).cast("double"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"${c}__quartiles")
-      else base
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        (if (numericSet.contains(c))
+          array_join(transform(
+            percentile_approx(col(c).cast("double"),
+              array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)),
+            q => q.cast("string")), ",")
+        else lit("")).as(s"${c}__q"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to one row per column
-    val spark = df.sparkSession
-    import spark.implicits._
-    val r = row.collect()(0)
-    columns.map { c =>
-      val q = if (numericSet.contains(c))
-        Option(r.getAs[scala.collection.Seq[Double]](s"${c}__quartiles")).map(_.mkString(",")).getOrElse("")
-      else ""
-      (c, r.getAs[Long](s"${c}__count"), r.getAs[Long](s"${c}__nulls"),
-        r.getAs[String](s"${c}__min"), r.getAs[String](s"${c}__max"),
-        r.getAs[Long](s"${c}__distinct"), q)
-    }.toDF("column", "count", "nulls", "min", "max", "approx_distinct", "quartiles")
+  }
+
+  /** Column statistics in ONE pass, fully LAZY: a single wide aggregation
+    * unpivoted in-plan via stack() to one row per column.
+    */
+  def stats(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = statAggs(df, columns)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val tuples = columns.map { c =>
+      s"'$c', `${c}__count`, `${c}__nulls`, `${c}__min`, `${c}__max`, `${c}__distinct`, `${c}__q`"
+    }
+    wide.select(expr(
+      s"stack(${columns.size}, ${tuples.mkString(", ")}) AS " +
+        "(column, count, nulls, min, max, approx_distinct, quartiles)"))
   }
 }
