@@ -1,0 +1,90 @@
+package graft
+
+import graft.table.TableChecks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch 3: distribution-drift operators (exact two-sample KS, PSI) with
+  * DuckDB oracles, + the fused verdict aggregate.
+  */
+object Queries3 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- exact two-sample KS: returnflag A vs R on l_extendedprice ----
+  def qDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    TableChecks.ksTwoSampleDf(
+        li.filter(col("l_returnflag") === "A"), "l_extendedprice",
+        li.filter(col("l_returnflag") === "R"), "l_extendedprice")
+      .select(round(col("ks"), 6).as("ks"))
+  }
+
+  val sqlDriftKs: String =
+    """WITH av AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
+                   WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
+       bv AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
+              WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL),
+       u AS (SELECT v, 1 a, 0 b FROM av UNION ALL SELECT v, 0, 1 FROM bv),
+       per AS (SELECT v, sum(a) ca, sum(b) cb FROM u GROUP BY v),
+       cum AS (SELECT v,
+                 sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1.0
+                   / (SELECT sum(ca) FROM per) AS fa,
+                 sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1.0
+                   / (SELECT sum(cb) FROM per) AS fb
+               FROM per)
+       SELECT round(max(abs(fa - fb)), 6) AS ks FROM cum"""
+
+  // ---- PSI: l_extendedprice distribution of returnflag A vs fixed ref ----
+  private val psiEdges = Seq(2000.0, 10000.0, 30000.0, 60000.0)
+  private val psiRef = Seq(0.05, 0.25, 0.40, 0.25, 0.05)
+
+  def qDriftPsi(spark: SparkSession, dir: String): DataFrame =
+    TableChecks.psiDf(
+        t(spark, dir, "lineitem").filter(col("l_returnflag") === "A"),
+        "l_extendedprice", psiEdges, psiRef)
+      .select(round(col("psi"), 6).as("psi"))
+
+  val sqlDriftPsi: String = {
+    val bucket = "CASE WHEN v < 2000.0 THEN 0 WHEN v < 10000.0 THEN 1 " +
+      "WHEN v < 30000.0 THEN 2 WHEN v < 60000.0 THEN 3 ELSE 4 END"
+    val refArr = psiRef.mkString("[", ",", "]")
+    s"""WITH vals AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
+                      WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
+        hist AS (SELECT $bucket AS b, count(*) AS n FROM vals GROUP BY 1),
+        withp AS (SELECT b,
+                    greatest(n * 1.0 / (SELECT sum(n) FROM hist), 1e-6) AS p,
+                    greatest(($refArr)[b + 1], 1e-6) AS q
+                  FROM hist)
+        SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM withp"""
+  }
+
+  // ---- fused verdict aggregate (rows / invalid / violations / valid) ----
+  def qVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "lineitem")
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson(
+        """{"columns":{"l_quantity":{"minimum":5,"maximum":45},
+            "l_discount":{"maximum":0.08}}}"""), df.schema)
+    graft.exec.Validator.verdict(df, suite)
+  }
+
+  val sqlVerdict: String =
+    """WITH checks AS (SELECT
+         (CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 5) THEN 1 ELSE 0 END
+        + CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity <= 45) THEN 1 ELSE 0 END
+        + CASE WHEN l_discount IS NOT NULL AND NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS nv
+       FROM lineitem)
+       SELECT count(*) AS rows,
+              sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS invalid_rows,
+              sum(nv) AS violations,
+              sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS valid
+       FROM checks"""
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_drift_ks" -> ((qDriftKs _, sqlDriftKs)),
+    "q_drift_psi" -> ((qDriftPsi _, sqlDriftPsi)),
+    "q_verdict" -> ((qVerdict _, sqlVerdict))
+  )
+}

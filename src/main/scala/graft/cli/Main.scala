@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Usage:
   *   graft.cli.Main --spec <file|'clip-suite'> --table <parquet dir|'synth:N'>
-  *     [--key col1,col2] [--output flag|basic|summary] [--violations-out dir]
+  *     [--key col1,col2] [--output flag|basic|summary|detailed|simple] [--violations-out dir]
   *     [--ref name=parquetDir]... [--master local[N]]
   */
 object Main {
@@ -66,7 +66,7 @@ object Main {
             .filter(!org.apache.spark.sql.functions.col("valid")).count()
           println(s"""{"valid":${n == 0}}""")
           n
-        case "basic" | "summary" =>
+        case "basic" | "summary" | "detailed" | "simple" =>
           val vios = Engine.allViolations(df, suite, keyCols, refs)
           val persisted = opt("violations-out") match {
             case Some(out) =>
@@ -74,13 +74,22 @@ object Main {
             case None => vios
           }
           val n = persisted.count()
-          if (mode == "basic") {
-            persisted.orderBy("keyword", "instance_path")
-              .limit(opt("limit").map(_.toInt).getOrElse(20))
-              .collect()
-              .foreach(r => println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
+          val limit = opt("limit").map(_.toInt).getOrElse(20)
+          mode match {
+            case "basic" =>
+              persisted.orderBy("keyword", "instance_path").limit(limit)
+                .collect()
+                .foreach(r => println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
+              println(s"""{"valid":${n == 0},"violations":$n}""")
+            case "detailed" =>
+              println(graft.output.Output.detailedJson(
+                graft.output.Output.collect(persisted, limit)))
+            case "simple" =>
+              print(graft.output.Output.simpleText(
+                graft.output.Output.collect(persisted, limit), n))
+            case _ =>
+              println(s"""{"valid":${n == 0},"violations":$n}""")
           }
-          println(s"""{"valid":${n == 0},"violations":$n}""")
           n
         case other => usage(s"unknown --output '$other'")
       }
@@ -109,7 +118,7 @@ object Main {
     System.err.println(s"error: $msg")
     System.err.println(
       "usage: graft.cli.Main --spec <file|clip-suite> --table <parquet|synth:N> " +
-        "[--key cols] [--output flag|basic|summary] [--violations-out dir] [--ref name=dir]")
+        "[--key cols] [--output flag|basic|summary|detailed|simple] [--violations-out dir] [--ref name=dir]")
     sys.exit(2)
   }
 }

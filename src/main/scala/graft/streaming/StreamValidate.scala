@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.compile.CompiledSuite
+import graft.exec.Validator
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming validation. The reference is strictly batch (no concurrency
+  * anywhere — SURVEY.md §2.11), but a Spark-native engine gets streaming
+  * nearly for free: the fused row pass is pure column expressions, so the
+  * SAME compiled suite annotates a streaming DataFrame unchanged. Only
+  * table-level constraints change shape — uniqueness/drift become windowed,
+  * watermarked aggregations (bounded state), because global distinct over an
+  * unbounded stream is not a thing.
+  *
+  * Scale notes: per-micro-batch work is the same fused codegen pass; the
+  * windowed aggregations carry watermarks so state is evicted; keyword
+  * violation-rate state is O(windows × keywords).
+  */
+object StreamValidate {
+
+  /** Row-level validation on a stream: identical plan as batch. */
+  def annotate(stream: DataFrame, suite: CompiledSuite): DataFrame =
+    Validator.annotate(stream, suite)
+
+  /** Windowed violation counts by keyword: the streaming analogue of the
+    * flat BasicOutput — one row per (event-time window, keyword) with a
+    * violation count, watermarked for state eviction.
+    */
+  def violationRates(
+      stream: DataFrame,
+      suite: CompiledSuite,
+      tsCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    annotate(stream, suite)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(col("violations")).as("v"))
+      .groupBy(window(col(tsCol), windowLen), col("v.keyword").as("keyword"))
+      .agg(count(lit(1)).as("violations"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("keyword"), col("violations"))
+
+  /** Windowed row verdict summary (rows / invalid rows per window). */
+  def verdictRates(
+      stream: DataFrame,
+      suite: CompiledSuite,
+      tsCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    annotate(stream, suite)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_rows"))
+      .select(col("window.start").as("window_start"),
+        col("rows"), col("invalid_rows"))
+
+  /** In-window duplicate keys (streaming uniqueness): key counts per
+    * watermarked window; count > 1 ⇒ duplicate within the window. Global
+    * uniqueness on an unbounded stream is intentionally unsupported —
+    * use the batch ledgered run for that.
+    */
+  def windowedDuplicates(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+}

@@ -139,23 +139,26 @@ object TableChecks {
     * arm). Distributed-friendly: ECDFs computed per distinct value via
     * aggregation, sup over the merged distinct-value set.
     */
-  def ksTwoSample(a: DataFrame, aCol: String, b: DataFrame, bCol: String): Double = {
+  def ksTwoSampleDf(a: DataFrame, aCol: String, b: DataFrame, bCol: String): DataFrame = {
     val av = a.select(col(aCol).cast("double").as("v")).filter(col("v").isNotNull)
     val bv = b.select(col(bCol).cast("double").as("v")).filter(col("v").isNotNull)
-    val na = av.count().toDouble
-    val nb = bv.count().toDouble
     val union = av.withColumn("src", lit("a")).union(bv.withColumn("src", lit("b")))
+    // per distinct value (usually ≪ row count) — the only sorted window runs
+    // over distinct values, not rows
     val perValue = union.groupBy("v").agg(
       sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
       sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
     perValue
-      .withColumn("fa", sum("ca").over(w) / na)
-      .withColumn("fb", sum("cb").over(w) / nb)
+      .withColumn("fa", sum("ca").over(w) / sum("ca").over(wAll))
+      .withColumn("fb", sum("cb").over(w) / sum("cb").over(wAll))
       .agg(max(abs(col("fa") - col("fb"))).as("ks"))
-      .collect()(0).getDouble(0)
   }
+
+  def ksTwoSample(a: DataFrame, aCol: String, b: DataFrame, bCol: String): Double =
+    ksTwoSampleDf(a, aCol, b, bCol).collect()(0).getDouble(0)
 
   /** Drift violations — LAZY: empty when within threshold, one violation row
     * otherwise. The metric is computed in-plan ([[psiDf]]/[[ksDf]]) so drift

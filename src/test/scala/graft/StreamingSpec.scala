@@ -1,0 +1,73 @@
+package graft
+
+import graft.compile.SuiteCompiler
+import graft.spec.Spec
+import graft.streaming.StreamValidate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming validation: streaming results ≡ batch results on the
+  * same data (micro-batch determinism), watermarked windowed aggregations.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** readStream needs a directory source; stage the single-file table. */
+  private lazy val src: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private val specJson =
+    """{"columns":{
+         "value":{"minimum":0,"maximum":100},
+         "event_type":{"enum":["click","view","purchase","signup","logout"]}},
+       "required":["user_id"]}"""
+
+  test("streaming row validation ≡ batch on the same events") {
+    
+    val batch = spark.read.parquet(src)
+    val suite = SuiteCompiler.compile(Spec.fromJson(specJson), batch.schema)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val out = StreamValidate.violationRates(stream, suite, "ts", "6 hours", "0 seconds")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("vrates")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM vrates")
+      .orderBy("window_start", "keyword").collect().map(_.toString)
+
+    val batchEquiv = graft.exec.Validator.annotate(batch, suite)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("ts"), explode(col("violations")).as("v"))
+      .groupBy(window(col("ts"), "6 hours"), col("v.keyword").as("keyword"))
+      .agg(count(lit(1)).as("violations"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("keyword"), col("violations"))
+      .orderBy("window_start", "keyword").collect().map(_.toString)
+
+    assert(streamed.nonEmpty || batchEquiv.isEmpty)
+    assert(streamed.sameElements(batchEquiv))
+  }
+
+  test("windowed duplicates detect in-window key repeats") {
+    
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamValidate.windowedDuplicates(stream, "user_id", "ts", "1 day", "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("dups")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*) FROM dups").collect()(0).getLong(0)
+    val exp = spark.read.parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(got == exp && got > 0)
+  }
+}
