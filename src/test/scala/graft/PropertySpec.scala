@@ -1,0 +1,118 @@
+package graft
+
+import graft.compile.SuiteCompiler
+import graft.spec.{Spec, Unique}
+import graft.table.TableChecks
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5): mode equivalence, partitioning invariance,
+  * salted/partial-agg uniqueness ≡ naive, drift metric laws. Plain
+  * ScalaCheck generators with pinned seeds (no scalatestplus bridge in the
+  * offline cache) — 5 samples per property.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail("gen failed")))
+    }
+
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private val rowGen = for {
+    n <- Gen.chooseNum(-100, 200)
+    s <- Gen.oneOf("", "a", "ab", "abc", "hello world", "ZZ-99")
+    nullS <- Gen.frequency(9 -> false, 1 -> true)
+  } yield (n, if (nullS) null else s)
+
+  private val specs = Seq(
+    """{"columns":{"n":{"minimum":0,"maximum":100},"s":{"minLength":2}}}""",
+    """{"columns":{"n":{"multipleOf":3},"s":{"pattern":"a"}},"required":["s"]}""",
+    """{"columns":{"n":{"anyOf":[{"maximum":0},{"minimum":50}]},
+        "s":{"enum":["a","ab","abc"]}}}""",
+    """{"columns":{"n":{"if":{"minimum":100},"then":{"multipleOf":2},
+        "else":{"exclusiveMinimum":-50}}}}""")
+
+  test("flag mode ≡ violation-mode emptiness on random tables × specs") {
+    forAll(Gen.listOfN(60, rowGen)) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("n", "s")
+        specs.foreach { sj =>
+          val suite = SuiteCompiler.compile(Spec.fromJson(sj), df.schema)
+          val ann = graft.exec.Validator.annotate(df, suite)
+            .select(col("valid"), size(col("violations")) === 0)
+            .collect()
+          ann.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+          val flag = graft.exec.Validator.flag(df, suite)
+            .select("valid").as[Boolean].collect().toSeq
+          assert(flag == ann.map(_.getBoolean(0)).toSeq)
+        }
+      }
+    }
+  }
+
+  test("verdicts are partitioning-invariant") {
+    forAll(Gen.listOfN(80, rowGen)) { rows =>
+      whenever(rows.nonEmpty) {
+        val suiteJson = specs.head
+        def invalids(parts: Int): Long = {
+          val df = rows.toDF("n", "s").repartition(parts)
+          val suite = SuiteCompiler.compile(Spec.fromJson(suiteJson), df.schema)
+          graft.exec.Validator.flag(df, suite).filter(!col("valid")).count()
+        }
+        assert(invalids(1) == invalids(7))
+      }
+    }
+  }
+
+  test("uniqueness via partial agg ≡ naive per-key counting") {
+    forAll(Gen.listOfN(100, Gen.chooseNum(0, 30))) { keys =>
+      whenever(keys.nonEmpty) {
+        val df = keys.map(k => (s"key_$k", k)).toDF("k", "v")
+        val got = TableChecks.duplicateKeys(df, Seq("k"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exp = keys.groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => s"key_$k" -> vs.size.toLong
+        }
+        assert(got == exp)
+      }
+    }
+  }
+
+  test("PSI: zero against itself, invariant under repartition") {
+    forAll(Gen.listOfN(100, Gen.chooseNum(0.0, 100.0))) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = xs.toDF("v")
+        val edges = Seq(25.0, 50.0, 75.0)
+        val hist = TableChecks.histogram(df, "v", edges)
+        val props = hist.map(_.toDouble / xs.size)
+        val self = TableChecks.psi(df, "v", edges, props.toSeq)
+        assert(math.abs(self) < 1e-9)
+        val re = TableChecks.psi(df.repartition(5), "v", edges, props.toSeq)
+        assert(math.abs(re - self) < 1e-12)
+      }
+    }
+  }
+
+  test("two-sample KS: identity = 0, bounded in [0,1], detects shift") {
+    val xs = (1 to 200).map(_.toDouble)
+    val df = xs.toDF("v")
+    assert(TableChecks.ksTwoSample(df, "v", df, "v") == 0.0)
+    val shifted = xs.map(_ + 150.0).toDF("v")
+    val ks = TableChecks.ksTwoSample(df, "v", shifted, "v")
+    assert(ks > 0.5 && ks <= 1.0)
+  }
+
+  test("simhash is partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.pipeline.Dedup.simhash16(docs.repartition(1), "doc_id", "text")
+      .orderBy("k").collect().map(_.toString)
+    val b = graft.pipeline.Dedup.simhash16(docs.repartition(9), "doc_id", "text")
+      .orderBy("k").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
