@@ -36,10 +36,10 @@ object Main {
 
     try {
       AudioGen.registerFormats()
-      val specJson = opt("spec") match {
-        case Some("clip-suite") => graft.ClipSuite.specJson
-        case Some(path) => new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val parsedSpec: Spec = opt("spec") match {
+        case Some("clip-suite") => Spec.fromJson(graft.ClipSuite.specJson)
+        case Some("clip-suite-deep") => Spec.fromJson(graft.ClipSuite.deepSpecJson)
+        case Some(path) => Spec.fromFile(path) // .json or .yaml/.yml
         case None => usage("missing --spec")
       }
       val df: DataFrame = opt("table") match {
@@ -57,7 +57,7 @@ object Main {
               else spark.read.parquet(dir))
       }
 
-      val suite = SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
+      val suite = SuiteCompiler.compile(parsedSpec, df.schema)
       val mode = opt("output").getOrElse("summary")
       val invalid: Long = mode match {
         case "flag" =>

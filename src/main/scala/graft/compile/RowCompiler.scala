@@ -115,8 +115,18 @@ object RowCompiler {
     */
   def sparkTypeOf(node: SchemaNode, at: String): DataType = {
     val t = node.types.getOrElse(
+      // no explicit type: infer from which keyword family is present
       if (node.properties.nonEmpty) Set("object")
       else if (node.items.nonEmpty || node.prefixItems.nonEmpty) Set("array")
+      else if (node.minimum.nonEmpty || node.maximum.nonEmpty ||
+        node.exclusiveMinimum.nonEmpty || node.exclusiveMaximum.nonEmpty ||
+        node.multipleOf.nonEmpty) Set("number")
+      else if (node.minLength.nonEmpty || node.maxLength.nonEmpty ||
+        node.pattern.nonEmpty || node.format.nonEmpty) Set("string")
+      else if (node.const.exists(_.isNumber) ||
+        node.enumVals.exists(_.forall(_.isNumber))) Set("number")
+      else if (node.const.exists(_.isTextual) ||
+        node.enumVals.exists(_.forall(_.isTextual))) Set("string")
       else throw SpecError(at, "contentSchema subschemas need an explicit 'type'"))
     t.toSeq match {
       case Seq("integer") => LongType
@@ -266,17 +276,29 @@ object RowCompiler {
         add(kw("pattern"), vac(v, v.rlike(p)),
           concat(lstr("pattern: "), v.cast(StringType), lstr(s" does not match '$p'")))
       }
+      // contentEncoding: decodability of the encoded payload
+      // (/root/reference/validator.go:468-475, content.go:17-24); downstream
+      // media-type/schema checks run over the DECODED value, mirroring the
+      // reference's decode-then-parse pipeline
+      val contentValue = node.contentEncoding match {
+        case Some(_) => try_to_binary(v, lit("base64")).cast(StringType)
+        case None    => v
+      }
+      node.contentEncoding.foreach { _ =>
+        add(kw("contentEncoding"), vac(v, contentValue.isNotNull),
+          lstr("contentEncoding: value is not valid base64"))
+      }
       node.contentMediaType.foreach { mt =>
         if (mt != "application/json")
           throw SpecError(kw("contentMediaType"), s"unsupported media type '$mt'")
-        add(kw("contentMediaType"), vac(v, try_parse_json(v).isNotNull),
+        add(kw("contentMediaType"), vac(v, try_parse_json(contentValue).isNotNull),
           lstr("contentMediaType: value is not valid application/json"))
       }
       // contentSchema: recursive compile over from_json
       // (/root/reference/validator.go:497-510)
       node.contentSchema.foreach { cs =>
         val st = sparkTypeOf(cs, kw("contentSchema"))
-        val parsed = from_json(v, st)
+        val parsed = from_json(contentValue, st)
         out ++= compile(spec, cs, parsed, st, instPath + "!json", stack)
       }
     }

@@ -56,6 +56,7 @@ object SuiteCompiler {
         if (!fieldSet.contains(c)) throw SpecError("#/table/drift", s"unknown column '$c'")
       case Stats(cols) => cols.foreach { c =>
         if (!fieldSet.contains(c)) throw SpecError("#/table/stats", s"unknown column '$c'") }
+      case _ => // custom families validate inside their own compile hook
     }
 
     CompiledSuite(spec, reqChecks ++ colChecks ++ rowChecks, spec.table)

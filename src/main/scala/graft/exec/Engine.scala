@@ -41,7 +41,8 @@ object Engine {
           throw SpecError("#/table/foreignKey", s"no table named '${fk.refTable}' provided"))
         Some(TableChecks.fkViolations(df, fk, ref))
       case d: Drift => Some(TableChecks.driftViolations(df, d))
-      case _: Stats => None
+      case c: CustomConstraint => Some(c.violations(df, refTables))
+      case _ => None
     }
     tableVios.foldLeft(rowVios)(_ unionByName _)
   }
@@ -108,7 +109,8 @@ object Engine {
       case fk: ForeignKey =>
         Some(TableChecks.fkViolations(df, fk, refTables(fk.refTable)))
       case d: Drift => Some(TableChecks.driftViolations(df, d))
-      case _: Stats => None
+      case c: CustomConstraint => Some(c.violations(df, refTables))
+      case _ => None
     }
     (tableVios.foldLeft(rowVios)(_ unionByName _), obs)
   }

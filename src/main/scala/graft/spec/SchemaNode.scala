@@ -51,6 +51,7 @@ final case class SchemaNode(
     minLength: Option[Int] = None,
     maxLength: Option[Int] = None,
     pattern: Option[String] = None,
+    contentEncoding: Option[String] = None,
     contentMediaType: Option[String] = None,
     contentSchema: Option[SchemaNode] = None,
     // array keywords (/root/reference/schema.go:57-67)
@@ -88,7 +89,8 @@ object SchemaNode {
   private val knownKeywords: Set[String] = Set(
     "type", "const", "enum", "format", "$ref",
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
-    "minLength", "maxLength", "pattern", "contentMediaType", "contentSchema",
+    "minLength", "maxLength", "pattern",
+    "contentEncoding", "contentMediaType", "contentSchema",
     "minItems", "maxItems", "uniqueItems", "items", "prefixItems",
     "contains", "minContains", "maxContains",
     "properties", "required", "minProperties", "maxProperties",
@@ -226,6 +228,10 @@ object SchemaNode {
       minLength = optInt("minLength"),
       maxLength = optInt("maxLength"),
       pattern = pat,
+      contentEncoding = optStr("contentEncoding").map { e =>
+        if (e != "base64") throw SpecError(s"$at/contentEncoding", s"unsupported encoding '$e'")
+        e
+      },
       contentMediaType = optStr("contentMediaType"),
       contentSchema = optSchema("contentSchema"),
       minItems = optInt("minItems"),

@@ -11,7 +11,35 @@ import scala.jdk.CollectionConverters._
   * [[Unique]]). They compile to DataFrame aggregation/join plans rather than
   * row predicates.
   */
-sealed trait TableConstraint { def name: String }
+trait TableConstraint { def name: String }
+
+/** Open extension point for custom table-level constraint families — the
+  * analogue of the reference's `Vocabulary{URL, Schema, Compile}` +
+  * `SchemaExt.Validate` surface (/root/reference/vocab.go:19-44). A family
+  * registers a compile hook (spec JSON node → constraint); the constraint
+  * produces violation rows shaped like every other check.
+  */
+trait CustomConstraint extends TableConstraint {
+  /** Violation rows (keyword, instance_path, detail). */
+  def violations(df: org.apache.spark.sql.DataFrame,
+                 refTables: Map[String, org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame
+}
+
+/** Registry of custom constraint families, keyed by the `#/table/<name>`
+  * keyword (mirrors Compiler.RegisterVocabulary,
+  * /root/reference/compiler.go:102-114).
+  */
+object ConstraintFamilies {
+  @volatile private var registry
+      : Map[String, com.fasterxml.jackson.databind.JsonNode => CustomConstraint] = Map.empty
+  def register(keyword: String,
+               compile: com.fasterxml.jackson.databind.JsonNode => CustomConstraint): Unit =
+    synchronized { registry = registry + (keyword -> compile) }
+  def get(keyword: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode => CustomConstraint] =
+    registry.get(keyword)
+}
 
 /** No two rows share the same value tuple for `columns`. */
 final case class Unique(columns: Vector[String]) extends TableConstraint {
@@ -88,10 +116,20 @@ final case class Spec(
 object Spec {
   private val mapper = new ObjectMapper()
 
+  private val yamlMapper = new ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
   def fromJson(json: String): Spec = parse(mapper.readTree(json))
 
+  /** YAML specs — mirrors the reference CLI's YAML loader
+    * (/root/reference/cmd/jv/loader.go:50-114).
+    */
+  def fromYaml(yaml: String): Spec = parse(yamlMapper.readTree(yaml))
+
   def fromFile(path: String): Spec =
-    parse(mapper.readTree(new java.io.File(path)))
+    if (path.endsWith(".yaml") || path.endsWith(".yml"))
+      parse(yamlMapper.readTree(new java.io.File(path)))
+    else parse(mapper.readTree(new java.io.File(path)))
 
   private val topKeywords =
     Set("$defs", "columns", "required", "row", "table", "title", "description", "$comment")
@@ -139,10 +177,13 @@ object Spec {
   private def parseTable(t: JsonNode): Vector[TableConstraint] = {
     if (!t.isObject) throw SpecError("#/table", "expected object")
     val known = Set("unique", "foreignKey", "drift", "stats")
-    t.fieldNames().asScala.foreach { k =>
-      if (!known.contains(k)) throw SpecError("#/table", s"unknown table constraint '$k'")
-    }
     val out = Vector.newBuilder[TableConstraint]
+    t.fieldNames().asScala.foreach { k =>
+      if (!known.contains(k)) ConstraintFamilies.get(k) match {
+        case Some(compile) => out += compile(t.get(k))
+        case None => throw SpecError("#/table", s"unknown table constraint '$k'")
+      }
+    }
     Option(t.get("unique")).foreach { u =>
       if (!u.isArray) throw SpecError("#/table/unique", "expected array")
       u.asScala.foreach { e =>

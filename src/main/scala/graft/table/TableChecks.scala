@@ -38,6 +38,25 @@ object TableChecks {
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
+  /** Explicit two-phase salted duplicate counting — the skew valve for hot
+    * keys (north rule: "salted repartitioning ... to defuse codec/sr_hz
+    * skew"). Phase 1 shuffles by (key, salt) so a hot key spreads over
+    * `saltBuckets` reducers; phase 2 shuffles only the per-(key,salt)
+    * partials. Hash aggregation's map-side combine already gives this
+    * behavior for pure counts — this explicit form exists for aggregations
+    * whose partial state is large (e.g. collect-based) and as the audited
+    * equivalence target (PropertySpec: salted ≡ naive).
+    */
+  def saltedDuplicateKeys(df: DataFrame, cols: Seq[String], saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+    salted
+      .groupBy((cols.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(cols.map(col): _*)
+      .agg(sum("partial").as("dup_count"))
+      .filter(col("dup_count") > 1)
+  }
+
   /** Uniqueness violations as standard violation rows. */
   def uniqueViolations(df: DataFrame, u: Unique): DataFrame = {
     val keyStr = concat_ws("|", u.columns.map(c => col(c).cast("string")): _*)

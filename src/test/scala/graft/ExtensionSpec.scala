@@ -1,0 +1,86 @@
+package graft
+
+import graft.compile.SuiteCompiler
+import graft.exec.{Engine, Validator}
+import graft.spec._
+import graft.table.TableChecks
+import org.apache.spark.sql.{DataFrame => SDF}
+import org.apache.spark.sql.functions._
+
+/** Extension surface + content pipeline + YAML specs + salted aggregation. */
+class ExtensionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("contentEncoding: base64 decodability, then media-type/schema over decoded") {
+    val good = java.util.Base64.getEncoder.encodeToString("""{"kk": 5}""".getBytes)
+    val badJson = java.util.Base64.getEncoder.encodeToString("nope".getBytes)
+    val df = Seq((1, good), (2, badJson), (3, "!!!not-base64!!!")).toDF("k", "v")
+    val spec =
+      """{"columns":{"v":{"contentEncoding":"base64",
+           "contentMediaType":"application/json",
+           "contentSchema":{"type":"object","properties":{"kk":{"minimum":0}}}}}}"""
+    val suite = SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
+    val valids = Validator.annotate(df, suite).orderBy("k")
+      .select("valid").as[Boolean].collect().toSeq
+    assert(valids == Seq(true, false, false))
+    val kws = Validator.violations(df, suite, Seq("k"))
+      .select("keyword").as[String].collect().toSet
+    assert(kws.contains("columns/v/contentMediaType"))
+  }
+
+  test("YAML spec parses to the same suite as JSON (jv YAML loader analogue)") {
+    val yaml =
+      """columns:
+        |  sr_hz:
+        |    minimum: 8000
+        |    maximum: 48000
+        |required:
+        |  - sr_hz
+        |table:
+        |  unique:
+        |    - sr_hz
+        |""".stripMargin
+    val fromY = Spec.fromYaml(yaml)
+    val fromJ = Spec.fromJson(
+      """{"columns":{"sr_hz":{"minimum":8000,"maximum":48000}},
+          "required":["sr_hz"],"table":{"unique":["sr_hz"]}}""")
+    assert(fromY.required == fromJ.required)
+    assert(fromY.table == fromJ.table)
+    assert(fromY.columns.map(_._1) == fromJ.columns.map(_._1))
+    assert(fromY.columns.head._2.minimum == fromJ.columns.head._2.minimum)
+  }
+
+  test("custom constraint family registers and runs (Vocabulary analogue)") {
+    final case class RowCountAtLeast(min: Long) extends CustomConstraint {
+      def name = s"minRows($min)"
+      def violations(df: SDF, refs: Map[String, SDF]): SDF = {
+        df.agg(count(lit(1)).as("n")).filter(col("n") < min)
+          .select(lit("table/minRows").as("keyword"),
+            lit("<table>").as("instance_path"),
+            concat(lit("minRows: got "), col("n").cast("string"),
+              lit(s", want >= $min")).as("detail"))
+      }
+    }
+    ConstraintFamilies.register("minRows",
+      node => RowCountAtLeast(node.asLong()))
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val specJson = """{"columns":{},"table":{"minRows": 10}}"""
+    val suite = SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
+    val vios = Engine.allViolations(df, suite, Seq("k")).collect()
+    assert(vios.length == 1)
+    assert(vios(0).getAs[String]("keyword") == "table/minRows")
+    assert(vios(0).getAs[String]("detail").contains("got 2, want >= 10"))
+  }
+
+  test("salted two-phase duplicate counting ≡ naive on skewed keys") {
+    // 80% of rows share one hot key — the codec/sr_hz skew shape
+    val rows = (1 to 2000).map(i => if (i % 5 != 0) "hot" else s"key_$i")
+    val df = rows.toDF("k").repartition(16)
+    val naive = TableChecks.duplicateKeys(df, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = TableChecks.saltedDuplicateKeys(df, Seq("k"), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == naive)
+    assert(naive("hot") == 1600)
+  }
+}
