@@ -57,6 +57,31 @@ object Main {
               else spark.read.parquet(dir))
       }
 
+      // ledgered, resumable partition-wise run (north rule): requires a
+      // Hive/Iceberg-style partitioned table dir + a partition column
+      (opt("ledger"), opt("partition-col")) match {
+        case (Some(ledgerDir), Some(partCol)) =>
+          val tableDir = opt("table").get
+          val out = opt("violations-out")
+            .getOrElse(usage("--ledger needs --violations-out"))
+          val specJson = opt("spec") match {
+            case Some("clip-suite") => graft.ClipSuite.specJson
+            case Some("clip-suite-deep") => graft.ClipSuite.deepSpecJson
+            case Some(p) => new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p)), "UTF-8")
+            case None => usage("missing --spec")
+          }
+          val r = graft.ledger.CheckpointedRun.run(spark, tableDir, partCol,
+            specJson, keyCols, ledgerDir, out, refs)
+          val entries = graft.ledger.Ledger.read(ledgerDir)
+          println(s"""{"processed":${r.processed.size},"resumed_skipped":${r.skipped.size},""" +
+            s""""rows":${entries.map(_.rows).sum},"violations":${entries.map(_.violations).sum}}""")
+          spark.stop()
+          sys.exit(if (entries.map(_.violations).sum > 0) 1 else 0)
+        case (Some(_), None) => usage("--ledger needs --partition-col")
+        case _ =>
+      }
+
       val suite = SuiteCompiler.compile(parsedSpec, df.schema)
       val mode = opt("output").getOrElse("summary")
       val invalid: Long = mode match {
