@@ -61,6 +61,18 @@ object StreamValidate {
       .select(col("window.start").as("window_start"),
         col("rows"), col("invalid_rows"))
 
+  /** Streaming exact dedup: keep the first row per key, with watermark-bound
+    * state — composes Spark's own `dropDuplicatesWithinWatermark` (built-in
+    * state management beats custom flatMapGroupsWithState here; preference
+    * order per the build rules).
+    */
+  def dedupStream(stream: DataFrame, keyCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** In-window duplicate keys (streaming uniqueness): key counts per
     * watermarked window; count > 1 ⇒ duplicate within the window. Global
     * uniqueness on an unbounded stream is intentionally unsupported —

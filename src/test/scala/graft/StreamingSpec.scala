@@ -55,6 +55,20 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.sameElements(batchEquiv))
   }
 
+  test("streaming dedup keeps one row per key (stateful, watermark-bound)") {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamValidate.dedupStream(stream, "user_id", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*), count(DISTINCT user_id) FROM dedup").collect()(0)
+    val distinctKeys = spark.read.parquet(src)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    // single micro-batch ⇒ exactly one row per key survives
+    assert(got.getLong(0) == distinctKeys && got.getLong(1) == distinctKeys)
+  }
+
   test("windowed duplicates detect in-window key repeats") {
     
     val schema = spark.read.parquet(src).schema
