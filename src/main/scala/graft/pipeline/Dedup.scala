@@ -71,15 +71,17 @@ object Dedup {
                         numBands: Int = 8, shingleN: Int = 3,
                         maxBucket: Long = 1000L): DataFrame = {
     val bands = minhashBands(df, keyCol, textCol, numBands, shingleN)
-    val sized = bands.groupBy("band", "h").agg(
-      collect_list(col(keyCol)).as("ks"), count(lit(1)).as("n"))
+    // drop empty/mega buckets BEFORE pairing (skew valve), then generate
+    // pairs with a bucket-equality self-join — parallelizes across buckets
+    // instead of materializing n² arrays per bucket
+    val bucketSizes = bands.groupBy("band", "h").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
-    // pairs within bucket (bucket sizes bounded by maxBucket)
-    sized
-      .select(explode(expr(
-        "filter(flatten(transform(ks, a -> transform(ks, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select("band", "h")
+    val inBuckets = bands.join(bucketSizes, Seq("band", "h"))
+    inBuckets.as("x").join(inBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col(s"x.$keyCol") < col(s"y.$keyCol"))
+      .select(col(s"x.$keyCol").as("a"), col(s"y.$keyCol").as("b"))
       .distinct()
   }
 

@@ -88,6 +88,94 @@ object SimSearch {
       .select(col("x.k").as("a"), col("y.k").as("b"), col("sim"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: Lloyd's k-means on a bounded
+    * driver-side sample (deterministic take, seeded init), centroids
+    * broadcast as literal arrays. At 100 TB the sample stays bounded and the
+    * assignment/probing is pure per-row expressions over the scan — the
+    * classic IVF layout where only nProbe cells pay the exact distance.
+    */
+  final case class IvfModel(centroids: Seq[Array[Double]]) {
+    /** Nearest-centroid id for a vector column (argmax of cosine). */
+    def cell(vec: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        struct(cosine(vec, cLit).as("s"), lit(i).as("i"))
+      }
+      array_max(array(scored: _*)).getField("i")
+    }
+
+    /** The nProbe nearest cells for a probe vector. */
+    def probeCells(vec: Column, nProbe: Int): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        struct(cosine(vec, cLit).as("s"), lit(i).as("i"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe).getField("i")
+    }
+  }
+
+  /** Train the coarse quantizer on a deterministic sample (first `sampleN`
+    * by key order — reproducible across partitionings).
+    */
+  def trainIvf(df: DataFrame, keyCol: String, vecCol: String,
+               k: Int = 16, iters: Int = 5, sampleN: Int = 2000,
+               seed: Long = 42L): IvfModel = {
+    val sample = df.orderBy(col(keyCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    def mix(a: Long): Long = {
+      var z = a + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var centroids = (0 until k).map(i =>
+      sample(math.floorMod(mix(seed ^ i), sample.length.toLong).toInt).clone()).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val best = (0 until k).maxBy(i => cos(v, centroids(i)))
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = (0 until k).map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    IvfModel(centroids.toSeq)
+  }
+
+  /** IVF top-k: probes search only their nProbe nearest cells. The cell
+    * assignment is computed in the scan; the join is an equi-join on cell id
+    * (shuffle moves O(rows) small (cell, key) pairs, never re-shuffles by
+    * probe), then exact cosine only within probed cells.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, keyCol: String,
+              vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", model.cell(col("cv")))
+    val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(model.probeCells(col("qv"), nProbe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Brute-force near-dup (all pairs) — the oracle/recall baseline. */
   def bruteNearDup(df: DataFrame, keyCol: String, vecCol: String,
                    threshold: Double): DataFrame = {

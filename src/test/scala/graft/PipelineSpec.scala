@@ -59,6 +59,21 @@ class PipelineSpec extends SparkTestBase {
     assert(brute.isEmpty || lsh.nonEmpty)
   }
 
+  test("IVF top-k: good recall vs brute force at a fraction of the distance work") {
+    val model = SimSearch.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 5)
+    assert(model.centroids.size == 8)
+    val probes = emb.filter($"vec_id" < 20)
+    val brute = SimSearch.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding", 5, model, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low") // 4/8 cells probed
+    // determinism: retraining yields identical centroids
+    val model2 = SimSearch.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 5)
+    assert(model.centroids.map(_.toSeq) == model2.centroids.map(_.toSeq))
+  }
+
   test("minhash candidates superset high-jaccard pairs (banding guarantee)") {
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("a", "b").collect().map(_.toString).toSet
