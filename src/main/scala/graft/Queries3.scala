@@ -53,10 +53,13 @@ object Queries3 {
     s"""WITH vals AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
                       WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
         hist AS (SELECT $bucket AS b, count(*) AS n FROM vals GROUP BY 1),
+        spine AS (SELECT unnest(generate_series(0, ${psiEdges.size})) AS b),
+        full_hist AS (SELECT spine.b, coalesce(hist.n, 0) AS n
+                      FROM spine LEFT JOIN hist ON spine.b = hist.b),
         withp AS (SELECT b,
-                    greatest(n * 1.0 / (SELECT sum(n) FROM hist), 1e-6) AS p,
+                    greatest(n * 1.0 / greatest((SELECT sum(n) FROM full_hist), 1), 1e-6) AS p,
                     greatest(($refArr)[b + 1], 1e-6) AS q
-                  FROM hist)
+                  FROM full_hist)
         SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM withp"""
   }
 

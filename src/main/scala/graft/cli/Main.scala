@@ -64,15 +64,8 @@ object Main {
           val tableDir = opt("table").get
           val out = opt("violations-out")
             .getOrElse(usage("--ledger needs --violations-out"))
-          val specJson = opt("spec") match {
-            case Some("clip-suite") => graft.ClipSuite.specJson
-            case Some("clip-suite-deep") => graft.ClipSuite.deepSpecJson
-            case Some(p) => new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(p)), "UTF-8")
-            case None => usage("missing --spec")
-          }
           val r = graft.ledger.CheckpointedRun.run(spark, tableDir, partCol,
-            specJson, keyCols, ledgerDir, out, refs)
+            parsedSpec, keyCols, ledgerDir, out, refs)
           val entries = graft.ledger.Ledger.read(ledgerDir)
           println(s"""{"processed":${r.processed.size},"resumed_skipped":${r.skipped.size},""" +
             s""""rows":${entries.map(_.rows).sum},"violations":${entries.map(_.violations).sum}}""")

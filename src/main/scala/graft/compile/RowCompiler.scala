@@ -291,7 +291,12 @@ object RowCompiler {
       node.contentMediaType.foreach { mt =>
         if (mt != "application/json")
           throw SpecError(kw("contentMediaType"), s"unsupported media type '$mt'")
-        add(kw("contentMediaType"), vac(v, try_parse_json(contentValue).isNotNull),
+        // a base64-decode failure is already reported by contentEncoding;
+        // downstream checks are vacuous on the null decoded value (the
+        // reference's decode-then-parse pipeline stops at the decode error)
+        add(kw("contentMediaType"),
+          vac(v, when(contentValue.isNull, lit(true))
+            .otherwise(try_parse_json(contentValue).isNotNull)),
           lstr("contentMediaType: value is not valid application/json"))
       }
       // contentSchema: recursive compile over from_json

@@ -47,6 +47,30 @@ object Engine {
     tableVios.foldLeft(rowVios)(_ unionByName _)
   }
 
+  /** Table-level violations only (unique / FK / drift / custom) — used by
+    * the ledgered run's global phase so the row pass isn't recomputed.
+    */
+  def tableViolations(
+      df: DataFrame,
+      suite: CompiledSuite,
+      refTables: Map[String, DataFrame] = Map.empty
+  ): DataFrame = {
+    val parts: Seq[DataFrame] = suite.tableConstraints.flatMap {
+      case u: Unique => Some(TableChecks.uniqueViolations(df, u))
+      case fk: ForeignKey =>
+        val ref = refTables.getOrElse(fk.refTable,
+          throw SpecError("#/table/foreignKey", s"no table named '${fk.refTable}' provided"))
+        Some(TableChecks.fkViolations(df, fk, ref))
+      case d: Drift => Some(TableChecks.driftViolations(df, d))
+      case c: CustomConstraint => Some(c.violations(df, refTables))
+      case _ => None
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      import df.sparkSession.implicits._
+      Seq.empty[(String, String, String)].toDF("keyword", "instance_path", "detail")
+    }
+  }
+
   /** Full report: per-row annotated frame + flat violations + stats. */
   final case class Report(
       annotated: DataFrame,
@@ -107,7 +131,9 @@ object Engine {
     val tableVios: Seq[DataFrame] = suite.tableConstraints.flatMap {
       case u: Unique => Some(TableChecks.uniqueViolations(df, u))
       case fk: ForeignKey =>
-        Some(TableChecks.fkViolations(df, fk, refTables(fk.refTable)))
+        val ref = refTables.getOrElse(fk.refTable,
+          throw SpecError("#/table/foreignKey", s"no table named '${fk.refTable}' provided"))
+        Some(TableChecks.fkViolations(df, fk, ref))
       case d: Drift => Some(TableChecks.driftViolations(df, d))
       case c: CustomConstraint => Some(c.violations(df, refTables))
       case _ => None

@@ -37,6 +37,11 @@ final class TDigest(val compression: Int) extends Serializable {
 
   def merge(other: TDigest): Unit = {
     other.compress()
+    // update totalWeight BEFORE inserting: a mid-loop compress() must see the
+    // full denominator or q exceeds 1 and the size limit degenerates
+    totalWeight += other.totalWeight
+    if (other.dMin < dMin) dMin = other.dMin
+    if (other.dMax > dMax) dMax = other.dMax
     var i = 0
     while (i < other.means.length) {
       if (bufN == bufMeans.length) compress()
@@ -45,9 +50,6 @@ final class TDigest(val compression: Int) extends Serializable {
       bufN += 1
       i += 1
     }
-    totalWeight += other.totalWeight
-    if (other.dMin < dMin) dMin = other.dMin
-    if (other.dMax > dMax) dMax = other.dMax
   }
 
   def compress(): Unit = {

@@ -9,31 +9,49 @@ import org.apache.spark.sql.functions._
 /** Partition-wise resumable validation over a Hive/Iceberg-style partitioned
   * table (directory layout `root/<partCol>=<value>/...`).
   *
-  * Protocol per pending partition (mirrors the ledger contract, see
-  * [[Ledger]]):
-  *   1. read ONLY that partition (partition pruning: the filter on the
-  *      partition column reaches the file listing — no other data touched);
-  *   2. run the fused row pass + per-partition verdict aggregation in one
-  *      job, write violations idempotently under `violationsOut/part=...`;
-  *   3. atomically record the ledger entry.
+  * Two check scopes, ledgered separately:
+  *  - ROW-level checks run per partition (partition-pruned scan, idempotent
+  *    violation overwrite, then an atomic ledger entry — see [[Ledger]]);
+  *  - TABLE-level constraints (uniqueness / referential / drift) run ONCE
+  *    over the whole table as a final `__table__` step — a duplicate key
+  *    split across two partitions is still a duplicate, so evaluating these
+  *    per partition would silently under-report (the global pass is the
+  *    correct semantics and is itself ledgered/resumable as one step).
   *
-  * Resume = list partitions − ledgered partitions. A killed run re-does at
-  * most the one in-flight partition; `resume ≡ fresh` is property-tested in
-  * LedgerSpec.
-  *
-  * Driver loops partitions sequentially, each step a distributed job — at
-  * production scale steps are Iceberg partitions (large) so the loop length
-  * is modest; batching N partitions per step is a trivial extension.
+  * Resume = pending steps only; a killed run re-does at most the one
+  * in-flight step. `resume ≡ fresh` is property-tested in LedgerSpec.
   */
 object CheckpointedRun {
 
+  /** The reserved ledger/output partition name for the global table phase. */
+  val TablePhase = "__table__"
+
   final case class RunResult(processed: Seq[String], skipped: Seq[String])
 
+  /** Hive-style %XX unescape (Spark escapes special chars in partition dir
+    * names; the filter value must be the UNESCAPED string).
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
   def listPartitions(spark: SparkSession, tableDir: String, partCol: String): Seq[String] = {
-    val fs = new java.io.File(tableDir)
-    fs.listFiles().toSeq
+    val root = new java.io.File(tableDir)
+    val files = Option(root.listFiles()).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$tableDir' is not a readable directory (need a $partCol=<value> partitioned layout)"))
+    files.toSeq
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-      .map(_.getName.stripPrefix(s"$partCol="))
+      .map(f => unescapePathName(f.getName.stripPrefix(s"$partCol=")))
       .sorted
   }
 
@@ -41,7 +59,7 @@ object CheckpointedRun {
       spark: SparkSession,
       tableDir: String,
       partCol: String,
-      specJson: String,
+      spec: Spec,
       keyCols: Seq[String],
       ledgerDir: String,
       violationsOut: String,
@@ -51,28 +69,53 @@ object CheckpointedRun {
     val done = Ledger.completed(ledgerDir)
     val pending = all.filterNot(done.contains)
 
+    // --- per-partition row-level phase ---
     pending.foreach { part =>
       val t0 = System.nanoTime()
       val df = spark.read.parquet(tableDir)
         .filter(col(partCol) === part) // partition-pruned scan
-      val suite = SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
-      val vios = Engine.allViolations(df, suite, keyCols, refTables)
+      val suite = SuiteCompiler.compile(spec, df.schema)
+      val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+      val rowVios = Validator.violations(df, suite, keyCols)
+        .select(col("keyword"),
+          concat(key, lit("/"), col("instance_path")).as("instance_path"),
+          col("detail"))
       // violations written BEFORE the ledger entry; overwrite = idempotent
-      vios.write.mode("overwrite")
-        .parquet(s"$violationsOut/$partCol=$part")
-      val counts = Validator.annotate(df, suite)
-        .agg(count(lit(1)), sum(size(col("violations")).cast("long")))
-        .collect()(0)
-      val bytes = partitionBytes(tableDir, partCol, part)
+      val outDir = s"$violationsOut/$partCol=$part"
+      rowVios.write.mode("overwrite").parquet(outDir)
+      val vioCount = spark.read.parquet(outDir).count() // footer-metadata count
+      val rows = df.count()
       Ledger.record(ledgerDir, LedgerEntry(
         partition = part,
-        rows = counts.getLong(0),
-        violations = Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
-        bytes = bytes,
+        rows = rows,
+        violations = vioCount,
+        bytes = partitionBytes(tableDir, partCol, part),
         wallMs = (System.nanoTime() - t0) / 1000000L,
         finishedAt = java.time.Instant.now().toString))
     }
-    RunResult(pending, all.filter(done.contains))
+
+    // --- global table-level phase (unique / FK / drift over ALL rows) ---
+    val tablePending = !Ledger.completed(ledgerDir).contains(TablePhase)
+    if (tablePending && spec.table.nonEmpty) {
+      val t0 = System.nanoTime()
+      val full = spark.read.parquet(tableDir)
+      val suite = SuiteCompiler.compile(spec, full.schema)
+      val tableVios = Engine.tableViolations(full, suite, refTables)
+      val outDir = s"$violationsOut/$partCol=$TablePhase"
+      tableVios.write.mode("overwrite").parquet(outDir)
+      val vioCount = spark.read.parquet(outDir).count()
+      Ledger.record(ledgerDir, LedgerEntry(
+        partition = TablePhase,
+        rows = 0L,
+        violations = vioCount,
+        bytes = 0L,
+        wallMs = (System.nanoTime() - t0) / 1000000L,
+        finishedAt = java.time.Instant.now().toString))
+    }
+    RunResult(
+      processed = pending ++ (if (tablePending && spec.table.nonEmpty) Seq(TablePhase) else Nil),
+      skipped = all.filter(done.contains) ++
+        (if (!tablePending) Seq(TablePhase) else Nil))
   }
 
   private def partitionBytes(tableDir: String, partCol: String, part: String): Long = {

@@ -48,11 +48,13 @@ object Ledger {
   def completed(ledgerDir: String): Set[String] = {
     val dir = Paths.get(ledgerDir)
     if (!Files.isDirectory(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => java.net.URLDecoder.decode(
         p.getFileName.toString.stripSuffix(".json"), "UTF-8"))
       .toSet
+    finally stream.close()
   }
 
   /** Atomic append: temp-file + rename. */
@@ -69,7 +71,8 @@ object Ledger {
     val dir = Paths.get(ledgerDir)
     if (!Files.isDirectory(dir)) return Seq.empty
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
@@ -77,5 +80,6 @@ object Ledger {
           n.get("violations").asLong(), n.get("bytes").asLong(),
           n.get("wall_ms").asLong(), n.get("finished_at").asText())
       }.toSeq.sortBy(_.partition)
+    finally stream.close()
   }
 }

@@ -79,7 +79,7 @@ object Output {
     val sb = new StringBuilder
     sb.append(s"invalid: $totalViolations violation(s)\n")
     units.groupBy(_.keyword).toSeq.sortBy(_._1).foreach { case (kw, us) =>
-      sb.append(s"- $kw (${us.size} shown)\n")
+      sb.append(s"- $kw (showing ${math.min(5, us.size)} of ${us.size} collected)\n")
       us.take(5).foreach { u =>
         sb.append(s"    at ${u.instancePath}: ${u.detail}\n")
       }

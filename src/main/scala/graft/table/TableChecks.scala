@@ -102,12 +102,19 @@ object TableChecks {
     val refArr = array(refProps.map(lit): _*)
     val hist = df.filter(c.isNotNull)
       .groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+    // empty buckets MUST contribute their (eps - q)·ln(eps/q) term — a bucket
+    // the reference expects but the data lacks is the classic drift signal —
+    // so join the observed histogram onto the full bucket spine
+    val spine = df.sparkSession.range(edges.size + 1)
+      .select(col("id").cast("int").as("b"))
     import org.apache.spark.sql.expressions.Window
-    val total = sum("n").over(Window.partitionBy())
-    hist
+    val full = spine.join(hist, Seq("b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val total = greatest(sum("n").over(Window.partitionBy()), lit(1L))
+    full
       .withColumn("p", greatest(col("n") / total, lit(eps)))
       .withColumn("q", greatest(element_at(refArr, col("b") + 1), lit(eps)))
-      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+      .agg(coalesce(sum((col("p") - col("q")) * log(col("p") / col("q"))), lit(0.0)).as("psi"))
   }
 
   /** Eager PSI (driver double) — test/report convenience over [[psiDf]]. */

@@ -24,8 +24,26 @@ class ExtensionSpec extends SparkTestBase {
       .select("valid").as[Boolean].collect().toSeq
     assert(valids == Seq(true, false, false))
     val kws = Validator.violations(df, suite, Seq("k"))
-      .select("keyword").as[String].collect().toSet
-    assert(kws.contains("columns/v/contentMediaType"))
+      .select("k", "keyword").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(kws(2) == Set("columns/v/contentMediaType"))
+    // decode failure reports ONCE (pipeline stops at the decode error,
+    // mirroring the reference's decode-then-parse)
+    assert(kws(3) == Set("columns/v/contentEncoding"))
+  }
+
+  test("PSI counts empty expected buckets as drift (spine join)") {
+    import graft.table.TableChecks
+    // data entirely in bucket 2; reference expects 40% in bucket 0
+    val df = Seq.fill(100)(50.0).toDF("v")
+    val psi = TableChecks.psi(df, "v", Seq(10.0, 30.0),
+      Seq(0.4, 0.3, 0.3))
+    // missing bucket 0 must contribute (eps-0.4)*ln(eps/0.4) ≈ +5.16
+    assert(psi > 5.0, s"psi=$psi should include empty-bucket terms")
+    // empty input: no NPE, psi reflects total absence
+    val empty = Seq.empty[Double].toDF("v")
+    val psiEmpty = TableChecks.psi(empty, "v", Seq(10.0), Seq(0.5, 0.5))
+    assert(!psiEmpty.isNaN)
   }
 
   test("YAML spec parses to the same suite as JSON (jv YAML loader analogue)") {

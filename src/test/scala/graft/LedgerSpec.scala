@@ -2,10 +2,12 @@ package graft
 
 import graft.audio.AudioGen
 import graft.ledger.{CheckpointedRun, Ledger}
+import graft.spec.Spec
 import org.apache.spark.sql.functions._
 
 /** Checkpoint/resume: resume(ledger) ≡ fresh run; ledger carries per-
-  * partition metrics; partition pruning reaches the scan.
+  * partition metrics; table-level constraints run globally (cross-partition
+  * duplicates found); partition pruning reaches the scan.
   */
 class LedgerSpec extends SparkTestBase {
   import spark.implicits._
@@ -13,9 +15,13 @@ class LedgerSpec extends SparkTestBase {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graftledger").toString
 
-  private val spec =
+  private val rowSpec = Spec.fromJson(
     """{"columns":{"sr_hz":{"minimum":8000,"maximum":48000},
-        "dur_ms":{"exclusiveMinimum":0}},"required":["transcript"]}"""
+        "dur_ms":{"exclusiveMinimum":0}},"required":["transcript"]}""")
+
+  private val fullSpec = Spec.fromJson(
+    """{"columns":{"sr_hz":{"minimum":8000,"maximum":48000}},
+        "table":{"unique":["clip_id"]}}""")
 
   private def writePartitioned(dir: String): Unit =
     AudioGen.clips(spark, 3000, seed = 42L)
@@ -24,7 +30,7 @@ class LedgerSpec extends SparkTestBase {
   test("fresh run processes every partition and records metrics") {
     val (data, ledger, out) = (tmp(), tmp(), tmp())
     writePartitioned(data)
-    val r = CheckpointedRun.run(spark, data, "codec", spec,
+    val r = CheckpointedRun.run(spark, data, "codec", rowSpec,
       Seq("clip_id"), ledger, out)
     assert(r.skipped.isEmpty && r.processed.nonEmpty)
     val entries = Ledger.read(ledger)
@@ -36,24 +42,27 @@ class LedgerSpec extends SparkTestBase {
   test("resume(ledger) ≡ fresh: interrupted run completes to identical output") {
     val (data, ledgerA, outA, ledgerB, outB) = (tmp(), tmp(), tmp(), tmp(), tmp())
     writePartitioned(data)
-    // fresh complete run
-    CheckpointedRun.run(spark, data, "codec", spec, Seq("clip_id"), ledgerA, outA)
-    // interrupted run: pre-ledger 3 partitions as if already done by a
-    // previous attempt (with their outputs), then resume
+    // arm A: one uninterrupted run
+    CheckpointedRun.run(spark, data, "codec", fullSpec, Seq("clip_id"), ledgerA, outA)
+    // arm B: full run, then simulate a crash that lost 3 partitions' ledger
+    // entries AND the table phase (outputs may or may not survive a crash —
+    // idempotent overwrite must handle both; delete one output too)
+    CheckpointedRun.run(spark, data, "codec", fullSpec, Seq("clip_id"), ledgerB, outB)
     val parts = CheckpointedRun.listPartitions(spark, data, "codec")
-    val first = parts.take(3)
-    first.foreach { p =>
-      val df = spark.read.parquet(data).filter(col("codec") === p)
-      val suite = graft.compile.SuiteCompiler.compile(
-        graft.spec.Spec.fromJson(spec), df.schema)
-      graft.exec.Engine.allViolations(df, suite, Seq("clip_id"))
-        .write.mode("overwrite").parquet(s"$outB/codec=$p")
-      Ledger.record(ledgerB, graft.ledger.LedgerEntry(p, 0, 0, 1, 0, "t"))
+    val lost = parts.take(2) :+ CheckpointedRun.TablePhase
+    lost.foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        ledgerB, java.net.URLEncoder.encode(p, "UTF-8") + ".json"))
     }
-    val resumed = CheckpointedRun.run(spark, data, "codec", spec,
+    // also nuke one lost partition's output entirely
+    val nuked = new java.io.File(s"$outB/codec=${lost.head}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(nuked)
+    val resumed = CheckpointedRun.run(spark, data, "codec", fullSpec,
       Seq("clip_id"), ledgerB, outB)
-    assert(resumed.skipped.toSet == first.toSet)
-    assert(resumed.processed.toSet == parts.toSet.diff(first.toSet))
+    assert(resumed.processed.toSet == lost.toSet)
     val a = CheckpointedRun.violations(spark, outA)
       .collect().map(_.toString).sorted
     val b = CheckpointedRun.violations(spark, outB)
@@ -61,12 +70,32 @@ class LedgerSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("table phase finds cross-partition duplicate keys (global semantics)") {
+    val (data, ledger, out) = (tmp(), tmp(), tmp())
+    writePartitioned(data)
+    // duplicated clip_ids from AudioGen land in per-id codecs → many straddle
+    // partition boundaries; a per-partition unique check would miss those
+    val r = CheckpointedRun.run(spark, data, "codec", fullSpec,
+      Seq("clip_id"), ledger, out)
+    assert(r.processed.contains(CheckpointedRun.TablePhase))
+    val tableVios = spark.read.parquet(s"$out/codec=${CheckpointedRun.TablePhase}")
+    val dupCount = tableVios.filter(col("keyword").startsWith("table/unique")).count()
+    // must equal the GLOBAL duplicate-key count
+    val expected = graft.table.TableChecks
+      .duplicateKeys(spark.read.parquet(data), Seq("clip_id")).count()
+    assert(dupCount == expected && dupCount > 0)
+    // ledger records the table phase; resume skips it
+    val again = CheckpointedRun.run(spark, data, "codec", fullSpec,
+      Seq("clip_id"), ledger, out)
+    assert(again.processed.isEmpty)
+    assert(again.skipped.contains(CheckpointedRun.TablePhase))
+  }
+
   test("per-partition read is partition-pruned (scan sees one directory)") {
     val data = tmp()
     writePartitioned(data)
     val df = spark.read.parquet(data).filter(col("codec") === "wav")
     val plan = df.queryExecution.executedPlan.toString
-    // PartitionFilters must carry the codec predicate
     assert(plan.contains("PartitionFilters") && plan.contains("codec"),
       s"partition filter missing:\n$plan")
   }
@@ -78,5 +107,16 @@ class LedgerSpec extends SparkTestBase {
     val e = Ledger.read(ledger)
     assert(e.size == 1 && e.head.rows == 11)
     assert(Ledger.completed(ledger) == Set("p=1/x"))
+  }
+
+  test("escaped partition values round-trip (dir name vs filter value)") {
+    val data = tmp()
+    Seq(("a b/c", 1), ("plain", 2)).toDF("part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(data)
+    val parts = CheckpointedRun.listPartitions(spark, data, "part")
+    assert(parts.contains("a b/c") && parts.contains("plain"))
+    // the unescaped value must actually match rows
+    val n = spark.read.parquet(data).filter(col("part") === "a b/c").count()
+    assert(n == 1)
   }
 }
