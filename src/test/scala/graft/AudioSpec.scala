@@ -74,6 +74,30 @@ class AudioSpec extends SparkTestBase {
     assert(report.stats.get.count() == 4)
   }
 
+  test("deep suite: adds exactly the decode violations on top of the shallow set") {
+    AudioGen.registerFormats()
+    import org.apache.spark.sql.functions.col
+    val shallow = Engine.run(clips, ClipSuite.specJson, Seq("clip_id"),
+      Map("ref_codecs" -> ClipSuite.refCodecs(spark))).violations
+    val deep = Engine.run(clips, ClipSuite.deepSpecJson, Seq("clip_id"),
+      Map("ref_codecs" -> ClipSuite.refCodecs(spark))).violations
+    val extra = deep.filter(col("keyword") === "columns/bytes/format")
+    val mangled = (0L until N).count(_ % 677 == 29)
+    assert(extra.count() == mangled)
+    assert(deep.count() == shallow.count() + mangled)
+  }
+
+  test("typed Dataset[Clip] round-trips through the engine") {
+    import spark.implicits._
+    val ds: org.apache.spark.sql.Dataset[AudioGen.Clip] =
+      clips.as[AudioGen.Clip]
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson(ClipSuite.specJson), ds.schema)
+    val invalid = graft.exec.Validator.flag(ds.toDF(), suite)
+      .filter(!org.apache.spark.sql.functions.col("valid")).count()
+    assert(invalid > 0) // seeded violations visible through the typed path
+  }
+
   test("audio decode oracle: PCM SNR >= 30dB except mangled rows; transcripts equal") {
     val withId = AudioGen.clips(spark, 1000, seed = 42L, keepId = true)
     val snr = AudioGen.snrVsExpected(42L)
