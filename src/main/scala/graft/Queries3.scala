@@ -85,9 +85,41 @@ object Queries3 {
               sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS valid
        FROM checks"""
 
+  // ---- dynamic (variant) JSON validation over events.props ----
+  def qValidateJsonDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson(
+        """{"columns":{"props":{"json":{
+             "type":"object","required":["k"],
+             "properties":{"k":{"type":"integer","minimum":10,"maximum":90}}}}}}"""),
+      df.schema)
+    graft.exec.Validator.violations(df, suite, Seq("event_id"))
+      .select(col("event_id"), col("keyword"), col("instance_path"))
+      .orderBy("event_id", "keyword")
+  }
+
+  val sqlValidateJsonDynamic: String =
+    """SELECT * FROM (
+         SELECT event_id,
+                'columns/props/json/properties/k/minimum' AS keyword,
+                'props!json/k' AS instance_path
+           FROM events
+          WHERE json_type(json(props), '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
+            AND NOT (CAST(json_extract(props, '$.k') AS DOUBLE) >= 10)
+         UNION ALL
+         SELECT event_id,
+                'columns/props/json/properties/k/maximum',
+                'props!json/k'
+           FROM events
+          WHERE json_type(json(props), '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
+            AND NOT (CAST(json_extract(props, '$.k') AS DOUBLE) <= 90)
+       ) ORDER BY event_id, keyword"""
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_drift_ks" -> ((qDriftKs _, sqlDriftKs)),
     "q_drift_psi" -> ((qDriftPsi _, sqlDriftPsi)),
-    "q_verdict" -> ((qVerdict _, sqlVerdict))
+    "q_verdict" -> ((qVerdict _, sqlVerdict)),
+    "q_validate_json_dynamic" -> ((qValidateJsonDynamic _, sqlValidateJsonDynamic))
   )
 }

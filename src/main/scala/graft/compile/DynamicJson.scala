@@ -1,0 +1,245 @@
+package graft.compile
+
+import graft.functions.Formats
+import graft.spec.{SchemaNode, Spec, SpecError}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** DYNAMIC JSON validation over Spark 4 VariantType — the faithful mapping
+  * of the reference's dynamically-typed instance model
+  * (/root/reference/schema.go:112-129): where [[RowCompiler]] dispatches on
+  * the STATIC Spark column type, this compiler emits runtime type dispatch
+  * per value via `schema_of_variant`, so union types
+  * (`"type": ["integer","string"]`), heterogeneous arrays, and
+  * schema-unknown payloads validate exactly like the reference.
+  *
+  * Notable fidelity points:
+  *  - JSON null is a first-class type here (VOID variant), distinct from an
+  *    absent key (SQL NULL) — matching the reference, unlike the relational
+  *    NULL=absent convention of the static compiler;
+  *  - `uniqueItems`/`const` deep equality uses `to_json(variant)`, which
+  *    canonicalizes object key order — the same trick as the reference's
+  *    canonical hash (/root/reference/util.go:363-402);
+  *  - `integer` is the zero-fraction predicate on numbers
+  *    (/root/reference/util.go:272-275).
+  *
+  * Everything is built from codegen'd variant expressions — no UDFs.
+  * Unsupported here (static-compiler or out-of-scope territory):
+  * min/maxProperties, patternProperties, propertyNames,
+  * additionalProperties, contentEncoding/MediaType/Schema.
+  */
+object DynamicJson {
+
+  /** Runtime JSON type name of a variant value:
+    * missing | null | object | array | string | boolean | number.
+    */
+  def jsonTypeOf(v: Column): Column = {
+    val sch = schema_of_variant(v)
+    when(v.isNull, lit("missing"))
+      .when(sch === "VOID", lit("null"))
+      .when(sch.startsWith("OBJECT"), lit("object"))
+      .when(sch.startsWith("ARRAY"), lit("array"))
+      .when(sch === "STRING", lit("string"))
+      .when(sch === "BOOLEAN", lit("boolean"))
+      .otherwise(lit("number"))
+  }
+
+  private def asNum(v: Column): Column = try_variant_get(v, "$", "double")
+  private def asDec(v: Column): Column = try_variant_get(v, "$", "decimal(38,12)")
+  private def asStr(v: Column): Column = try_variant_get(v, "$", "string")
+  private def asArr(v: Column): Column = try_variant_get(v, "$", "array<variant>")
+  private def asBool(v: Column): Column = try_variant_get(v, "$", "boolean")
+
+  /** Deep-equality key: canonical JSON text (sorted object keys). */
+  private def canon(v: Column): Column = to_json(v)
+
+  /** missing values are vacuous for every keyword (absent property —
+    * subschema not applied, validator.go semantics); a type-gated core
+    * passes vacuously for other types.
+    */
+  private def vac(v: Column, core: Column): Column =
+    when(v.isNull, lit(true)).otherwise(coalesce(core, lit(false)))
+
+  def predicate(spec: Spec, node: SchemaNode, v: Column,
+                stack: List[String] = Nil): Column =
+    compile(spec, node, v, "", stack)
+      .map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
+
+  def compile(spec: Spec, node: SchemaNode, v: Column,
+              instPath: String, stack: List[String] = Nil): Seq[Check] = {
+    val t = jsonTypeOf(v)
+    val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
+    def kw(parts: String*): String =
+      (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
+    val out = Vector.newBuilder[Check]
+    def add(kwPath: String, pred: Column, detail: Column): Unit =
+      out += Check(kwPath, instPath, pred, detail)
+
+    node.boolSchema match {
+      case Some(false) =>
+        add(kwBase, vac(v, lit(false)), lit("false schema: always fails"))
+        return out.result()
+      case Some(true) => return Vector.empty
+      case None       =>
+    }
+
+    node.ref.foreach { r =>
+      val target = spec.resolve(r, stack)
+      out ++= compile(spec, target, v, instPath, r.stripPrefix("#/$defs/") :: stack)
+    }
+
+    // type — runtime dispatch; integer = number with zero fraction
+    node.types.foreach { ts =>
+      val base = ts.map(name => t === lit(name))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val intOk =
+        if (ts.contains("integer") && !ts.contains("number"))
+          (t === "number") && (asNum(v) === floor(asNum(v)))
+        else lit(false)
+      add(kw("type"), vac(v, base || intOk),
+        concat(lit("type: got "), t, lit(s", want ${ts.mkString("|")}")))
+    }
+
+    // const / enum — deep equality over canonical JSON with numeric
+    // cross-type handling (2 == 2.0 compares as decimal)
+    def constEqDyn(jn: com.fasterxml.jackson.databind.JsonNode): Column =
+      if (jn.isNumber)
+        (t === "number") && (asDec(v) === lit(jn.decimalValue()).cast("decimal(38,12)"))
+      else if (jn.isTextual) (t === "string") && (asStr(v) === lit(jn.asText()))
+      else if (jn.isBoolean) (t === "boolean") && (asBool(v) === lit(jn.asBoolean()))
+      else if (jn.isNull) t === "null"
+      else canon(v) === lit(jn.toString) // arrays/objects: canonical JSON text
+
+    node.const.foreach { c =>
+      add(kw("const"), vac(v, constEqDyn(c)),
+        concat(lit("const: got "), canon(v), lit(s", want $c")))
+    }
+    node.enumVals.foreach { vals =>
+      add(kw("enum"), vac(v, vals.map(constEqDyn).reduce(_ || _)),
+        concat(lit("enum: got "), canon(v), lit(s", want one of ${vals.mkString(", ")}")))
+    }
+
+    // number keywords — gated on runtime number type (vacuous otherwise)
+    def numCheck(name: String, core: Column => Column, want: String): Unit =
+      add(kw(name), vac(v, (t =!= "number") || coalesce(core(asNum(v)), lit(false))),
+        concat(lit(s"$name: got "), asNum(v).cast(StringType), lit(s", want $want")))
+    node.minimum.foreach(b => numCheck("minimum", _ >= b.toDouble, s">= $b"))
+    node.maximum.foreach(b => numCheck("maximum", _ <= b.toDouble, s"<= $b"))
+    node.exclusiveMinimum.foreach(b => numCheck("exclusiveMinimum", _ > b.toDouble, s"> $b"))
+    node.exclusiveMaximum.foreach(b => numCheck("exclusiveMaximum", _ < b.toDouble, s"< $b"))
+    node.multipleOf.foreach { m =>
+      add(kw("multipleOf"),
+        vac(v, (t =!= "number") ||
+          coalesce(pmod(asDec(v), lit(m.bigDecimal).cast("decimal(38,12)")) ===
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"), lit(false))),
+        concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")))
+    }
+
+    // string keywords — gated on runtime string type
+    def strCheck(name: String, core: Column => Column, msg: String): Unit =
+      add(kw(name), vac(v, (t =!= "string") || coalesce(core(asStr(v)), lit(false))),
+        concat(lit(s"$name: "), canon(v), lit(s" $msg")))
+    node.minLength.foreach(n => strCheck("minLength", length(_) >= n, s"shorter than $n chars"))
+    node.maxLength.foreach(n => strCheck("maxLength", length(_) <= n, s"longer than $n chars"))
+    node.pattern.foreach(p => strCheck("pattern", _.rlike(p), s"does not match '$p'"))
+    node.format.foreach { f =>
+      val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
+      strCheck("format", fn, s"is not a valid $f")
+    }
+
+    // array keywords over array<variant>
+    val arr = asArr(v)
+    def arrCheck(name: String, core: Column, detail: Column): Unit =
+      add(kw(name), vac(v, (t =!= "array") || coalesce(core, lit(false))), detail)
+    node.minItems.foreach(n => arrCheck("minItems", size(arr) >= n,
+      concat(lit("minItems: got "), size(arr).cast(StringType), lit(s", want >= $n"))))
+    node.maxItems.foreach(n => arrCheck("maxItems", size(arr) <= n,
+      concat(lit("maxItems: got "), size(arr).cast(StringType), lit(s", want <= $n"))))
+    if (node.uniqueItems) {
+      // canonical-JSON dedup = deep equality incl. sorted object keys
+      val canonArr = transform(arr, e => canon(e))
+      arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
+        lit("uniqueItems: duplicate items found"))
+    }
+    node.items.foreach { is =>
+      val p = forall(arr, e => coalesce(predicate(spec, is, e, stack), lit(false)))
+      arrCheck("items", p, lit("items: element(s) do not match"))
+    }
+    node.contains.foreach { cs =>
+      val cnt = size(filter(arr, e => coalesce(predicate(spec, cs, e, stack), lit(false))))
+      val minC = node.minContains.getOrElse(1)
+      val core = node.maxContains match {
+        case Some(mx) => cnt >= minC && cnt <= mx
+        case None     => cnt >= minC
+      }
+      arrCheck("contains", core,
+        concat(lit("contains: "), cnt.cast(StringType), lit(s" matching, want >= $minC")))
+    }
+
+    // object keywords via variant path extraction
+    node.requiredProps.foreach { k =>
+      add(kw("required"),
+        vac(v, (t =!= "object") || try_variant_get(v, s"$$.$k", "variant").isNotNull),
+        lit(s"required: missing property '$k'"))
+    }
+    node.properties.foreach { case (k, ps) =>
+      val child = try_variant_get(v, s"$$.$k", "variant")
+      out ++= compile(spec, ps, child,
+        if (instPath.isEmpty) k else s"$instPath/$k", stack)
+    }
+    Seq(
+      node.minProperties.map(_ => "minProperties"),
+      node.maxProperties.map(_ => "maxProperties"),
+      node.propertyNames.map(_ => "propertyNames"),
+      node.additionalProperties.map(_ => "additionalProperties"),
+      if (node.patternProperties.nonEmpty) Some("patternProperties") else None,
+      node.contentSchema.map(_ => "contentSchema")
+    ).flatten.foreach { k =>
+      throw SpecError(kw(k), s"'$k' is not supported in dynamic (variant) mode")
+    }
+
+    // composition — same algebra, dynamic predicates
+    node.allOf.foreach(ch => out ++= compile(spec, ch, v, instPath, stack))
+    if (node.anyOf.nonEmpty) {
+      val ps = node.anyOf.map(ch => predicate(spec, ch, v, stack))
+      add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lit("anyOf: no subschema matched"))
+    }
+    if (node.oneOf.nonEmpty) {
+      val cnt = node.oneOf
+        .map(ch => when(coalesce(predicate(spec, ch, v, stack), lit(false)), 1).otherwise(0))
+        .reduce(_ + _)
+      add(kw("oneOf"), vac(v, cnt === 1),
+        concat(lit("oneOf: "), cnt.cast(StringType), lit(" matched, want exactly 1")))
+    }
+    node.not.foreach { ch =>
+      add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, stack), lit(false))),
+        lit("not: subschema matched"))
+    }
+    node.ifS.foreach { ifn =>
+      val ifPred = coalesce(predicate(spec, ifn, v, stack), lit(false))
+      node.thenS.foreach { tn =>
+        compile(spec, tn, v, instPath, stack).foreach(c => out += c.copy(pred = !ifPred || c.pred))
+      }
+      node.elseS.foreach { en =>
+        compile(spec, en, v, instPath, stack).foreach(c => out += c.copy(pred = ifPred || c.pred))
+      }
+    }
+
+    out.result()
+  }
+
+  /** Validate a STRING column holding arbitrary JSON against a schema node,
+    * dynamically. Returns the checks to feed [[graft.exec.Validator]]-style
+    * plans; malformed JSON fails a synthetic `!parse` check.
+    */
+  def checksForJsonColumn(spec: Spec, node: SchemaNode, jsonCol: Column,
+                          instPath: String): Seq[Check] = {
+    val v = try_parse_json(jsonCol)
+    val parseCheck = Check(
+      (node.path :+ "!parse").mkString("/"), instPath,
+      when(jsonCol.isNull, lit(true)).otherwise(v.isNotNull),
+      lit("!parse: value is not valid JSON"))
+    parseCheck +: compile(spec, node, v, instPath)
+  }
+}

@@ -306,6 +306,12 @@ object RowCompiler {
         val parsed = from_json(contentValue, st)
         out ++= compile(spec, cs, parsed, st, instPath + "!json", stack)
       }
+      // json: DYNAMIC validation over variant (runtime type dispatch — the
+      // reference's dynamically-typed instance model; see DynamicJson)
+      node.jsonSchema.foreach { js =>
+        out ++= DynamicJson.checksForJsonColumn(spec, js, contentValue,
+          instPath + "!json")
+      }
     }
 
     // array keywords (/root/reference/validator.go:324-430)

@@ -54,6 +54,9 @@ final case class SchemaNode(
     contentEncoding: Option[String] = None,
     contentMediaType: Option[String] = None,
     contentSchema: Option[SchemaNode] = None,
+    // dynamic (variant) validation of a JSON-bearing string column —
+    // runtime type dispatch, union types, heterogeneous arrays
+    jsonSchema: Option[SchemaNode] = None,
     // array keywords (/root/reference/schema.go:57-67)
     minItems: Option[Int] = None,
     maxItems: Option[Int] = None,
@@ -90,7 +93,7 @@ object SchemaNode {
     "type", "const", "enum", "format", "$ref",
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
     "minLength", "maxLength", "pattern",
-    "contentEncoding", "contentMediaType", "contentSchema",
+    "contentEncoding", "contentMediaType", "contentSchema", "json",
     "minItems", "maxItems", "uniqueItems", "items", "prefixItems",
     "contains", "minContains", "maxContains",
     "properties", "required", "minProperties", "maxProperties",
@@ -234,6 +237,7 @@ object SchemaNode {
       },
       contentMediaType = optStr("contentMediaType"),
       contentSchema = optSchema("contentSchema"),
+      jsonSchema = optSchema("json"),
       minItems = optInt("minItems"),
       maxItems = optInt("maxItems"),
       uniqueItems = opt("uniqueItems").exists(_.asBoolean(false)),
