@@ -113,7 +113,8 @@ object Explain {
     if (args.contains("--cacheprobe")) {
       val cached = df.cache()
       cached.count()
-      for (probe <- Seq("decode", "decode2", "regex", "groupby")) {
+      for (probe <- Seq("decode", "decode2", "regex", "groupby",
+          "uuid-regex", "uuid-expr")) {
         t0 = System.nanoTime()
         probe match {
           case "decode" | "decode2" =>
@@ -123,6 +124,12 @@ object Explain {
               "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"), 1L).otherwise(0L))).collect()
           case "groupby" =>
             cached.groupBy("clip_id").count().filter(col("count") > 1).count()
+          case "uuid-regex" =>
+            cached.select(sum(when(graft.functions.Formats.get("uuid").get(
+              col("clip_id")), 1L).otherwise(0L))).collect()
+          case "uuid-expr" =>
+            cached.select(sum(when(graft.functions.UuidFormatExpr(
+              col("clip_id")), 1L).otherwise(0L))).collect()
         }
         println(f"[explain] cacheprobe $probe: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
       }

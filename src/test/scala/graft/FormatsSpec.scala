@@ -141,6 +141,28 @@ class FormatsSpec extends SparkTestBase {
       .filter(!col("valid")).count() == 0)
   }
 
+  test("uuid-fast (codegen'd Expression) agrees with the regex uuid everywhere") {
+    graft.functions.UuidFormatExpr.register()
+    val samples = Seq(
+      "2eb8aa08-aa98-11ea-b4aa-73b441d16380",
+      "2EB8AA08-AA98-11EA-B4AA-73B441D16380",
+      "2eb8aa08-aa98-11ea-b4aa-73b441d1638",
+      "2eb8aa08aa9811eab4aa73b441d16380",
+      "2eb8aa08-aa98-11ea-b4aa-73b441d1638g",
+      "2eb8aa08_aa98_11ea_b4aa_73b441d16380",
+      "", "not-a-uuid", "-".padTo(36, 'a').mkString)
+    val df = samples.toDF("v")
+    val both = df.select(
+      graft.functions.Formats.get("uuid").get(col("v")).as("re"),
+      graft.functions.Formats.get("uuid-fast").get(col("v")).as("fast"))
+      .collect()
+    both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    // and it genuinely codegen-evaluates (no fallback node in the plan)
+    val plan = df.select(graft.functions.UuidFormatExpr(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
   test("custom format registration (compiler.go:75-79)") {
     Formats.register("even-length", v => length(v) % 2 === 0)
     val df = Seq("ab", "abc").toDF("v")
