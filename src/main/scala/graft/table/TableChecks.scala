@@ -209,10 +209,20 @@ object TableChecks {
     * [[stats]] plan and the observe-fused path in
     * [[graft.exec.Engine.runFused]].
     */
-  def statAggs(df: DataFrame, columns: Seq[String]): Seq[Column] = {
+  def statAggs(df: DataFrame, columns: Seq[String],
+               quantiles: String = "approx"): Seq[Column] = {
     val numericSet = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSet
+    def quartiles(c: String): Column = quantiles match {
+      case "tdigest" =>
+        // mergeable sketch arm (ledger-checkpointable, SURVEY §4.2)
+        graft.functions.TDigestAgg.tdigestQuantiles(
+          col(c).cast("double"), Seq(0.25, 0.5, 0.75))
+      case _ =>
+        percentile_approx(col(c).cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000))
+    }
     columns.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__count"),
@@ -221,10 +231,7 @@ object TableChecks {
         max(col(c)).cast("string").as(s"${c}__max"),
         approx_count_distinct(col(c)).as(s"${c}__distinct"),
         (if (numericSet.contains(c))
-          array_join(transform(
-            percentile_approx(col(c).cast("double"),
-              array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)),
-            q => q.cast("string")), ",")
+          array_join(transform(quartiles(c), q => q.cast("string")), ",")
         else lit("")).as(s"${c}__q"))
     }
   }

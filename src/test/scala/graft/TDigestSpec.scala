@@ -79,4 +79,18 @@ class TDigestSpec extends SparkTestBase {
     assert(math.abs(merged.quantile(0.5) - 500.0) < 20.0)
     assert(merged.total == uniform.size)
   }
+
+  test("stats path with tdigest quantile arm agrees with percentile_approx") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def quartiles(mode: String): Seq[Double] = {
+      val aggs = graft.table.TableChecks.statAggs(df, Seq("l_extendedprice"), mode)
+      df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        .getAs[String]("l_extendedprice__q").split(",").map(_.toDouble).toSeq
+    }
+    val approx = quartiles("approx")
+    val td = quartiles("tdigest")
+    approx.zip(td).foreach { case (a, b) =>
+      assert(math.abs(a - b) / math.max(a, 1.0) < 0.05, s"$a vs $b")
+    }
+  }
 }
