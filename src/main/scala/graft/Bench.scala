@@ -66,7 +66,10 @@ object Bench {
     */
   private def fullSuiteTimed(spark: SparkSession, dir: String,
                              deep: Boolean, reps: Int = 5): Double = {
-    val base = spark.read.parquet(dir)
+    val base0 = spark.read.parquet(dir)
+    // optional over-partitioning of the cached input (wave balancing knob)
+    val base = sys.env.get("SPARK_GRAFT_CACHE_PARTS")
+      .map(n => base0.repartition(n.toInt)).getOrElse(base0)
     val df = (if (deep) base else base.drop("bytes")).cache()
     df.count() // materialize cache
     val spec = if (deep) ClipSuite.deepSpecJson else ClipSuite.specJson

@@ -52,7 +52,7 @@ class ConformanceSpec extends SparkTestBase {
     }
 
   private val caseFiles = Seq("bounds.json", "strings.json",
-    "composition.json", "arrays_content.json")
+    "composition.json", "arrays_content.json", "dynamic.json")
 
   caseFiles.foreach { file =>
     val groups = resource(file)
