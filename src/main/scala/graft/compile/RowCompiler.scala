@@ -271,9 +271,10 @@ object RowCompiler {
         add(kw("maxLength"), vac(v, length(v) <= n),
           concat(lstr("maxLength: got "), length(v).cast(StringType), lstr(s" chars, want <= $n")))
       }
-      // rlike = regex *search*, matching /root/reference/validator.go:455-459
+      // regex *search* via the pluggable engine (default rlike), matching
+      // /root/reference/validator.go:455-459 + the UseRegexpEngine hook
       node.pattern.foreach { p =>
-        add(kw("pattern"), vac(v, v.rlike(p)),
+        add(kw("pattern"), vac(v, Formats.patternMatch(v, p)),
           concat(lstr("pattern: "), v.cast(StringType), lstr(s" does not match '$p'")))
       }
       // contentEncoding: decodability of the encoded payload

@@ -163,4 +163,19 @@ object Formats {
 
   def get(name: String): Option[Column => Column] = registry.get(name)
   def known: Set[String] = registry.keySet
+
+  /** Pluggable regex engine for the `pattern` keyword — the analogue of the
+    * reference's `UseRegexpEngine` hook (/root/reference/compiler.go:141-151).
+    * Default is Spark's `rlike` (Java regex, SEARCH semantics). Swap in e.g.
+    * an RE2-backed UDF for linear-time guarantees on adversarial patterns;
+    * the engine receives (value, pattern) and must return a boolean Column
+    * with search (not full-match) semantics.
+    */
+  @volatile private var patternEngine: (Column, String) => Column =
+    (v, p) => v.rlike(p)
+
+  def setPatternEngine(engine: (Column, String) => Column): Unit =
+    synchronized { patternEngine = engine }
+
+  def patternMatch(v: Column, pattern: String): Column = patternEngine(v, pattern)
 }

@@ -171,4 +171,21 @@ class FormatsSpec extends SparkTestBase {
     assert(graft.exec.Validator.flag(df, suite)
       .filter(!col("valid")).count() == 1)
   }
+
+  test("pluggable regex engine (UseRegexpEngine analogue)") {
+    // swap in a case-insensitive engine, observe behavior change, restore
+    Formats.setPatternEngine((v, p) => v.rlike("(?i)" + p))
+    try {
+      val df = Seq("HELLO").toDF("v")
+      val suite = graft.compile.SuiteCompiler.compile(
+        graft.spec.Spec.fromJson("""{"columns":{"v":{"pattern":"hello"}}}"""), df.schema)
+      assert(graft.exec.Validator.flag(df, suite)
+        .filter(!col("valid")).count() == 0)
+    } finally Formats.setPatternEngine((v, p) => v.rlike(p))
+    val df2 = Seq("HELLO").toDF("v")
+    val suite2 = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson("""{"columns":{"v":{"pattern":"hello"}}}"""), df2.schema)
+    assert(graft.exec.Validator.flag(df2, suite2)
+      .filter(!col("valid")).count() == 1)
+  }
 }
