@@ -69,7 +69,8 @@ object Bench {
     val base0 = spark.read.parquet(dir)
     // optional over-partitioning of the cached input (wave balancing knob)
     val base = sys.env.get("SPARK_GRAFT_CACHE_PARTS")
-      .map(n => base0.repartition(n.toInt)).getOrElse(base0)
+      .flatMap(_.trim.toIntOption).filter(_ > 0)
+      .map(base0.repartition(_)).getOrElse(base0)
     val df = (if (deep) base else base.drop("bytes")).cache()
     df.count() // materialize cache
     val spec = if (deep) ClipSuite.deepSpecJson else ClipSuite.specJson

@@ -105,11 +105,19 @@ object DynamicJson {
     // cross-type handling (2 == 2.0 compares as decimal)
     def constEqDyn(jn: com.fasterxml.jackson.databind.JsonNode): Column =
       if (jn.isNumber)
-        (t === "number") && (asDec(v) === lit(jn.decimalValue()).cast("decimal(38,12)"))
+        // decimal-exact compare, double fallback for magnitudes beyond
+        // decimal(38,12) (where the cast yields NULL)
+        (t === "number") && coalesce(
+          asDec(v) === lit(jn.decimalValue()).cast("decimal(38,12)"),
+          asNum(v) === lit(jn.decimalValue().doubleValue()))
       else if (jn.isTextual) (t === "string") && (asStr(v) === lit(jn.asText()))
       else if (jn.isBoolean) (t === "boolean") && (asBool(v) === lit(jn.asBoolean()))
       else if (jn.isNull) t === "null"
-      else canon(v) === lit(jn.toString) // arrays/objects: canonical JSON text
+      else
+        // arrays/objects: canonicalize BOTH sides through the same variant
+        // engine (sorted keys, minimal number rendering) — comparing against
+        // Jackson's raw text would never match
+        canon(v) === to_json(try_parse_json(lit(jn.toString)))
 
     node.const.foreach { c =>
       add(kw("const"), vac(v, constEqDyn(c)),
@@ -121,18 +129,28 @@ object DynamicJson {
     }
 
     // number keywords — gated on runtime number type (vacuous otherwise)
-    def numCheck(name: String, core: Column => Column, want: String): Unit =
-      add(kw(name), vac(v, (t =!= "number") || coalesce(core(asNum(v)), lit(false))),
+    // decimal-exact bound compare (integers past 2^53 stay exact), double
+    // fallback only when the decimal cast overflows to NULL
+    def boundCheck(name: String, b: BigDecimal,
+                   cmp: (Column, Column) => Column, want: String): Unit = {
+      val core = coalesce(
+        cmp(asDec(v), lit(b.bigDecimal).cast("decimal(38,12)")),
+        cmp(asNum(v), lit(b.toDouble)))
+      add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
         concat(lit(s"$name: got "), asNum(v).cast(StringType), lit(s", want $want")))
-    node.minimum.foreach(b => numCheck("minimum", _ >= b.toDouble, s">= $b"))
-    node.maximum.foreach(b => numCheck("maximum", _ <= b.toDouble, s"<= $b"))
-    node.exclusiveMinimum.foreach(b => numCheck("exclusiveMinimum", _ > b.toDouble, s"> $b"))
-    node.exclusiveMaximum.foreach(b => numCheck("exclusiveMaximum", _ < b.toDouble, s"< $b"))
+    }
+    node.minimum.foreach(b => boundCheck("minimum", b, _ >= _, s">= $b"))
+    node.maximum.foreach(b => boundCheck("maximum", b, _ <= _, s"<= $b"))
+    node.exclusiveMinimum.foreach(b => boundCheck("exclusiveMinimum", b, _ > _, s"> $b"))
+    node.exclusiveMaximum.foreach(b => boundCheck("exclusiveMaximum", b, _ < _, s"< $b"))
     node.multipleOf.foreach { m =>
       add(kw("multipleOf"),
-        vac(v, (t =!= "number") ||
-          coalesce(pmod(asDec(v), lit(m.bigDecimal).cast("decimal(38,12)")) ===
-            lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"), lit(false))),
+        vac(v, (t =!= "number") || coalesce(
+          pmod(asDec(v), lit(m.bigDecimal).cast("decimal(38,12)")) ===
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+          // decimal overflow (>26 integer digits): approximate double check
+          pmod(asNum(v), lit(m.toDouble)) === lit(0.0),
+          lit(false))),
         concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")))
     }
 
@@ -142,7 +160,7 @@ object DynamicJson {
         concat(lit(s"$name: "), canon(v), lit(s" $msg")))
     node.minLength.foreach(n => strCheck("minLength", length(_) >= n, s"shorter than $n chars"))
     node.maxLength.foreach(n => strCheck("maxLength", length(_) <= n, s"longer than $n chars"))
-    node.pattern.foreach(p => strCheck("pattern", _.rlike(p), s"does not match '$p'"))
+    node.pattern.foreach(p => strCheck("pattern", Formats.patternMatch(_, p), s"does not match '$p'"))
     node.format.foreach { f =>
       val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
       strCheck("format", fn, s"is not a valid $f")
@@ -178,13 +196,16 @@ object DynamicJson {
     }
 
     // object keywords via variant path extraction
+    // bracket-quoted paths: a key containing '.' must not navigate nested
+    // objects ($['a.b'], not $.a.b)
+    def propPath(k: String): String = "$['" + k.replace("'", "\\'") + "']"
     node.requiredProps.foreach { k =>
       add(kw("required"),
-        vac(v, (t =!= "object") || try_variant_get(v, s"$$.$k", "variant").isNotNull),
+        vac(v, (t =!= "object") || try_variant_get(v, propPath(k), "variant").isNotNull),
         lit(s"required: missing property '$k'"))
     }
     node.properties.foreach { case (k, ps) =>
-      val child = try_variant_get(v, s"$$.$k", "variant")
+      val child = try_variant_get(v, propPath(k), "variant")
       out ++= compile(spec, ps, child,
         if (instPath.isEmpty) k else s"$instPath/$k", stack)
     }
@@ -194,7 +215,12 @@ object DynamicJson {
       node.propertyNames.map(_ => "propertyNames"),
       node.additionalProperties.map(_ => "additionalProperties"),
       if (node.patternProperties.nonEmpty) Some("patternProperties") else None,
-      node.contentSchema.map(_ => "contentSchema")
+      if (node.prefixItems.nonEmpty) Some("prefixItems") else None,
+      if (node.dependentRequired.nonEmpty) Some("dependentRequired") else None,
+      node.contentEncoding.map(_ => "contentEncoding"),
+      node.contentMediaType.map(_ => "contentMediaType"),
+      node.contentSchema.map(_ => "contentSchema"),
+      node.jsonSchema.map(_ => "json")
     ).flatten.foreach { k =>
       throw SpecError(kw(k), s"'$k' is not supported in dynamic (variant) mode")
     }

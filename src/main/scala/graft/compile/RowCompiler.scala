@@ -314,6 +314,18 @@ object RowCompiler {
           instPath + "!json")
       }
     }
+    // 'json' on a native VariantType column: dispatch straight to the
+    // dynamic compiler (no parse step needed)
+    if (dt == VariantType) {
+      node.jsonSchema.foreach { js =>
+        out ++= DynamicJson.compile(spec, js, v, instPath + "!json", stack)
+      }
+    } else if (dt != StringType) {
+      node.jsonSchema.foreach { _ =>
+        throw SpecError(kw("json"),
+          s"'json' applies to string or variant columns, got ${dt.simpleString}")
+      }
+    }
 
     // array keywords (/root/reference/validator.go:324-430)
     dt match {

@@ -3,6 +3,7 @@ package graft
 import graft.compile.SuiteCompiler
 import graft.exec.Validator
 import graft.spec.{Spec, SpecError}
+import org.apache.spark.sql.functions.col
 
 /** Dynamic (variant) JSON validation — the reference's dynamically-typed
   * instance model with runtime type dispatch: union types, heterogeneous
@@ -95,6 +96,79 @@ class DynamicJsonSpec extends SparkTestBase {
     val objConst = """{"columns":{"j":{"json":{"enum":[{"a":1},5]}}}}"""
     assert(validsOf(objConst, Seq("""{"a":1}""", "5", """{"a":2}"""))
       == Seq(true, true, false))
+  }
+
+  test("property names containing dots/quotes address the right key (bracket paths)") {
+    val spec =
+      """{"columns":{"j":{"json":{"type":"object","required":["a.b"],
+           "properties":{"a.b":{"minimum":5}}}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"a.b": 7}""",          // flat dotted key present + ok
+      """{"a.b": 1}""",          // present but below minimum
+      """{"a": {"b": 7}}"""      // NESTED a.b must NOT satisfy required "a.b"
+    )) == Seq(true, false, false))
+  }
+
+  test("composite const/enum canonicalize both sides (key order, 2.0 vs 2)") {
+    val spec = """{"columns":{"j":{"json":{"const":{"b":2,"a":1}}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"b":2,"a":1}""", """{"a":1,"b":2}""", """{"a":1,"b":3}"""
+    )) == Seq(true, true, false))
+    val numArr = """{"columns":{"j":{"json":{"const":[2.0]}}}}"""
+    assert(validsOf(numArr, Seq("[2]", "[2.0]", "[2.5]"))
+      == Seq(true, true, false))
+  }
+
+  test("bounds stay exact past 2^53 (decimal compare, double fallback)") {
+    val spec = """{"columns":{"j":{"json":{"minimum":9007199254740993}}}}"""
+    assert(validsOf(spec, Seq("9007199254740992", "9007199254740993", "9007199254740994"))
+      == Seq(false, true, true))
+    // decimal-overflow magnitudes don't false-positive multipleOf
+    val mOf = """{"columns":{"j":{"json":{"multipleOf":1}}}}"""
+    assert(validsOf(mOf, Seq("1e30", "5")) == Seq(true, true))
+  }
+
+  test("dynamic pattern goes through the pluggable regex engine") {
+    graft.functions.Formats.setPatternEngine((v, p) => v.rlike("(?i)" + p))
+    try {
+      val spec = """{"columns":{"j":{"json":{"pattern":"hello"}}}}"""
+      assert(validsOf(spec, Seq("\"HELLO\"")) == Seq(true))
+    } finally graft.functions.Formats.setPatternEngine((v, p) => v.rlike(p))
+  }
+
+  test("every unimplemented dynamic keyword throws (no silent drops)") {
+    val df = Seq((1, "{}")).toDF("k", "j")
+    Seq("prefixItems" -> """{"prefixItems":[{"type":"string"}]}""",
+        "dependentRequired" -> """{"dependentRequired":{"a":["b"]}}""",
+        "contentMediaType" -> """{"contentMediaType":"application/json"}""",
+        "patternProperties" -> """{"patternProperties":{"^x":{}}}""").foreach {
+      case (name, frag) =>
+        val e = intercept[SpecError] {
+          SuiteCompiler.compile(Spec.fromJson(
+            s"""{"columns":{"j":{"json":$frag}}}"""), df.schema)
+        }
+        assert(e.getMessage.contains("not supported in dynamic"), s"$name: ${e.getMessage}")
+    }
+  }
+
+  test("json keyword on a non-string, non-variant column is a typed error") {
+    val df = Seq((1, 5)).toDF("k", "j")
+    val e = intercept[SpecError] {
+      SuiteCompiler.compile(Spec.fromJson(
+        """{"columns":{"j":{"json":{"type":"number"}}}}"""), df.schema)
+    }
+    assert(e.getMessage.contains("applies to string or variant"))
+  }
+
+  test("json keyword on a native VariantType column dispatches directly") {
+    val df = Seq((1, "5"), (2, "\"x\""), (3, "50"))
+      .toDF("k", "raw")
+      .select(col("k"), org.apache.spark.sql.functions.parse_json(col("raw")).as("j"))
+    val suite = SuiteCompiler.compile(Spec.fromJson(
+      """{"columns":{"j":{"json":{"type":"number","maximum":10}}}}"""), df.schema)
+    val valids = Validator.annotate(df, suite).orderBy("k").select("valid")
+      .as[Boolean].collect().toSeq
+    assert(valids == Seq(true, false, false))
   }
 
   test("unsupported dynamic keywords fail at compile with typed errors") {
