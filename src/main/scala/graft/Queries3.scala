@@ -99,21 +99,40 @@ object Queries3 {
       .orderBy("event_id", "keyword")
   }
 
+  // semantically complete mirror: !parse, root type, required, k type, and
+  // k bounds — the latter three emit zero rows on this corpus (every props
+  // is an object with an integral k) but keep the oracle equivalent if the
+  // corpus ever changes
   val sqlValidateJsonDynamic: String =
-    """SELECT * FROM (
-         SELECT event_id,
-                'columns/props/json/properties/k/minimum' AS keyword,
-                'props!json/k' AS instance_path
-           FROM events
-          WHERE json_type(json(props), '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
-            AND NOT (CAST(json_extract(props, '$.k') AS DOUBLE) >= 10)
+    """WITH typed AS (
+         SELECT event_id, props,
+                CASE WHEN props IS NULL THEN 'missing'
+                     WHEN json_valid(props) THEN json_type(json(props))
+                     ELSE 'invalid' END AS jt,
+                CASE WHEN json_valid(props) THEN json_type(json(props), '$.k') END AS kt,
+                CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS DOUBLE) END AS kv
+         FROM events)
+       SELECT * FROM (
+         SELECT event_id, 'columns/props/json/!parse' AS keyword,
+                'props!json' AS instance_path
+           FROM typed WHERE jt = 'invalid'
          UNION ALL
-         SELECT event_id,
-                'columns/props/json/properties/k/maximum',
-                'props!json/k'
-           FROM events
-          WHERE json_type(json(props), '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
-            AND NOT (CAST(json_extract(props, '$.k') AS DOUBLE) <= 90)
+         SELECT event_id, 'columns/props/json/type', 'props!json'
+           FROM typed WHERE jt NOT IN ('missing', 'invalid', 'OBJECT')
+         UNION ALL
+         SELECT event_id, 'columns/props/json/required', 'props!json'
+           FROM typed WHERE jt = 'OBJECT' AND kt IS NULL
+         UNION ALL
+         SELECT event_id, 'columns/props/json/properties/k/type', 'props!json/k'
+           FROM typed WHERE jt = 'OBJECT' AND kt IS NOT NULL
+            AND NOT (kt IN ('BIGINT','UBIGINT')
+                     OR (kt = 'DOUBLE' AND kv = floor(kv)))
+         UNION ALL
+         SELECT event_id, 'columns/props/json/properties/k/minimum', 'props!json/k'
+           FROM typed WHERE kt IN ('BIGINT','UBIGINT','DOUBLE') AND NOT (kv >= 10)
+         UNION ALL
+         SELECT event_id, 'columns/props/json/properties/k/maximum', 'props!json/k'
+           FROM typed WHERE kt IN ('BIGINT','UBIGINT','DOUBLE') AND NOT (kv <= 90)
        ) ORDER BY event_id, keyword"""
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
