@@ -189,16 +189,31 @@ object Queries {
              "properties":{"k":{"type":"integer","minimum":10,"maximum":90}}}}}}""",
       Seq("event_id"))
 
+  // Semantically complete mirror of the Spark plan: the contentMediaType
+  // branch fires on unparseable JSON, and the k bounds fire ONLY when
+  // from_json would yield a non-null long — i.e. root is an object and k is
+  // an integral JSON number in int64 range (Spark's PERMISSIVE from_json
+  // nulls the row for non-object roots, fractional/string/overflow k).
   val sqlValidateJson: String =
-    """SELECT * FROM (
-         SELECT event_id, 'columns/props/contentSchema/properties/k/minimum' AS keyword,
-                'props!json/k' AS instance_path
-           FROM events WHERE CAST(json_extract(props,'$.k') AS BIGINT) IS NOT NULL
-             AND NOT (CAST(json_extract(props,'$.k') AS BIGINT) >= 10)
+    """WITH typed AS (
+         SELECT event_id, props,
+                CASE WHEN props IS NULL THEN 'missing'
+                     WHEN json_valid(props) THEN json_type(json(props))
+                     ELSE 'invalid' END AS jt,
+                CASE WHEN json_valid(props) AND json_type(json(props)) = 'OBJECT'
+                      AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS kv
+         FROM events)
+       SELECT * FROM (
+         SELECT event_id, 'columns/props/contentMediaType' AS keyword,
+                'props' AS instance_path
+           FROM typed WHERE jt = 'invalid'
+         UNION ALL
+         SELECT event_id, 'columns/props/contentSchema/properties/k/minimum', 'props!json/k'
+           FROM typed WHERE kv IS NOT NULL AND NOT (kv >= 10)
          UNION ALL
          SELECT event_id, 'columns/props/contentSchema/properties/k/maximum', 'props!json/k'
-           FROM events WHERE CAST(json_extract(props,'$.k') AS BIGINT) IS NOT NULL
-             AND NOT (CAST(json_extract(props,'$.k') AS BIGINT) <= 90)
+           FROM typed WHERE kv IS NOT NULL AND NOT (kv <= 90)
        ) ORDER BY event_id, keyword"""
 
   // ---- §2.9 uniqueness (hash agg w/ map-side partials) ----
@@ -251,17 +266,17 @@ object Queries {
   val sqlStatsExact: String =
     """SELECT
          count(l_quantity) AS l_quantity_count,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity_nulls,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
          CAST(min(l_quantity) AS VARCHAR) AS l_quantity_min,
          CAST(max(l_quantity) AS VARCHAR) AS l_quantity_max,
          count(DISTINCT l_quantity) AS l_quantity_distinct,
          count(l_extendedprice) AS l_extendedprice_count,
-         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS l_extendedprice_nulls,
+         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
          CAST(min(l_extendedprice) AS VARCHAR) AS l_extendedprice_min,
          CAST(max(l_extendedprice) AS VARCHAR) AS l_extendedprice_max,
          count(DISTINCT l_extendedprice) AS l_extendedprice_distinct,
          count(l_partkey) AS l_partkey_count,
-         sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS l_partkey_nulls,
+         CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey_nulls,
          CAST(min(l_partkey) AS VARCHAR) AS l_partkey_min,
          CAST(max(l_partkey) AS VARCHAR) AS l_partkey_max,
          count(DISTINCT l_partkey) AS l_partkey_distinct
@@ -273,23 +288,26 @@ object Queries {
     val dq = col("l_quantity").cast("decimal(18,2)")
     val dp = col("l_extendedprice").cast("decimal(18,2)")
     val dd = col("l_discount").cast("decimal(18,2)")
+    // sum() results are cast to one explicit common type on BOTH the Spark
+    // and DuckDB sides: DuckDB widens sum(DECIMAL(18,2)) to DECIMAL(38,2)
+    // while Spark yields DECIMAL(28,2) — the driver's hash sees the types.
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dq).as("sum_qty"),
-        sum(dp).as("sum_base_price"),
+        sum(dq).cast("decimal(38,2)").as("sum_qty"),
+        sum(dp).cast("decimal(38,2)").as("sum_base_price"),
         sum((dp * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - dd))
-          .cast("decimal(28,4)")).as("sum_disc_price"),
+          .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val sqlAggPricing: String =
     """SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-              sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                  AS DECIMAL(28,4))) AS sum_disc_price,
+                  AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sum_disc_price,
               count(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
@@ -321,14 +339,14 @@ object Queries {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
 
   val sqlJoinBrandRevenue: String =
     """SELECT p_brand,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
               count(*) AS n_items
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY p_brand ORDER BY p_brand"""
@@ -351,14 +369,15 @@ object Queries {
     t(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"))
       .select(col("w.start").cast("string").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
   val sqlEventsHourly: String =
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
-              count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
 
   /** Batch-1 registry (validation + table + relational operators). */

@@ -85,6 +85,35 @@ object Queries2 {
         SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id"""
   }
 
+  // ---- 64-bit SimHash near-dup (banded Hamming join — the scale path) ----
+  def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup64(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("a", "b")
+
+  // oracle: all-pairs Hamming ≤ 3 over the same md5-digit 64-bit code —
+  // equivalent to the banded join by the pigeonhole guarantee (4 bands,
+  // ≤3 differing bits leave ≥1 band untouched); all-pairs is fine at
+  // oracle scale
+  val sqlDedupSimhash64: String = {
+    val sums = (0 until 64).map { b =>
+      val i = b / 4 + 1
+      val m = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t),$i,1)) - 1) & $m) <> 0 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(", ")
+    val bits = (0 until 64).map(b =>
+      s"CASE WHEN s_$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+        codes AS (SELECT doc_id, $bits AS simhash FROM sums)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM codes x JOIN codes y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        ORDER BY a, b"""
+  }
+
   // ---- embedding fold helpers for oracle SQL ----
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
@@ -164,6 +193,7 @@ object Queries2 {
     "q_dedup_jaccard" -> ((qDedupJaccard _, sqlDedupJaccard)),
     "q_dedup_minhash" -> ((qDedupMinhash _, sqlDedupMinhash)),
     "q_dedup_simhash" -> ((qDedupSimhash _, sqlDedupSimhash)),
+    "q_dedup_simhash64" -> ((qDedupSimhash64 _, sqlDedupSimhash64)),
     "q_embed_neardup_lsh" -> ((qEmbedNearDupLsh _, sqlEmbedNearDupLsh)),
     "q_ann_topk" -> ((qAnnTopK _, sqlAnnTopK)),
     "q_text_battery" -> ((qTextBattery _, sqlTextBattery))

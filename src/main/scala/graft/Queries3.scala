@@ -80,8 +80,8 @@ object Queries3 {
         + CASE WHEN l_discount IS NOT NULL AND NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS nv
        FROM lineitem)
        SELECT count(*) AS rows,
-              sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS invalid_rows,
-              sum(nv) AS violations,
+              CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+              CAST(sum(nv) AS BIGINT) AS violations,
               sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS valid
        FROM checks"""
 

@@ -67,7 +67,8 @@ object DynamicJson {
       .map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
 
   def compile(spec: Spec, node: SchemaNode, v: Column,
-              instPath: String, stack: List[String] = Nil): Seq[Check] = {
+              instPath: String, stack: List[String] = Nil,
+              binder: Option[Binder] = None): Seq[Check] = {
     val t = jsonTypeOf(v)
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
     def kw(parts: String*): String =
@@ -86,7 +87,8 @@ object DynamicJson {
 
     node.ref.foreach { r =>
       val target = spec.resolve(r, stack)
-      out ++= compile(spec, target, v, instPath, r.stripPrefix("#/$defs/") :: stack)
+      out ++= compile(spec, target, v, instPath,
+        r.stripPrefix("#/$defs/") :: stack, binder)
     }
 
     // type — runtime dispatch; integer = number with zero fraction
@@ -205,9 +207,11 @@ object DynamicJson {
         lit(s"required: missing property '$k'"))
     }
     node.properties.foreach { case (k, ps) =>
-      val child = try_variant_get(v, propPath(k), "variant")
+      val child0 = try_variant_get(v, propPath(k), "variant")
+      // a property value feeds every check of its subschema — extract once
+      val child = binder.map(_.bind(child0)).getOrElse(child0)
       out ++= compile(spec, ps, child,
-        if (instPath.isEmpty) k else s"$instPath/$k", stack)
+        if (instPath.isEmpty) k else s"$instPath/$k", stack, binder)
     }
     Seq(
       node.minProperties.map(_ => "minProperties"),
@@ -226,7 +230,7 @@ object DynamicJson {
     }
 
     // composition — same algebra, dynamic predicates
-    node.allOf.foreach(ch => out ++= compile(spec, ch, v, instPath, stack))
+    node.allOf.foreach(ch => out ++= compile(spec, ch, v, instPath, stack, binder))
     if (node.anyOf.nonEmpty) {
       val ps = node.anyOf.map(ch => predicate(spec, ch, v, stack))
       add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lit("anyOf: no subschema matched"))
@@ -245,10 +249,12 @@ object DynamicJson {
     node.ifS.foreach { ifn =>
       val ifPred = coalesce(predicate(spec, ifn, v, stack), lit(false))
       node.thenS.foreach { tn =>
-        compile(spec, tn, v, instPath, stack).foreach(c => out += c.copy(pred = !ifPred || c.pred))
+        compile(spec, tn, v, instPath, stack, binder)
+          .foreach(c => out += c.copy(pred = !ifPred || c.pred))
       }
       node.elseS.foreach { en =>
-        compile(spec, en, v, instPath, stack).foreach(c => out += c.copy(pred = ifPred || c.pred))
+        compile(spec, en, v, instPath, stack, binder)
+          .foreach(c => out += c.copy(pred = ifPred || c.pred))
       }
     }
 
@@ -260,12 +266,15 @@ object DynamicJson {
     * plans; malformed JSON fails a synthetic `!parse` check.
     */
   def checksForJsonColumn(spec: Spec, node: SchemaNode, jsonCol: Column,
-                          instPath: String): Seq[Check] = {
-    val v = try_parse_json(jsonCol)
+                          instPath: String,
+                          binder: Option[Binder] = None): Seq[Check] = {
+    val parsed = try_parse_json(jsonCol)
+    // the parse feeds EVERY check below — bind it so it runs once per row
+    val v = binder.map(_.bind(parsed)).getOrElse(parsed)
     val parseCheck = Check(
       (node.path :+ "!parse").mkString("/"), instPath,
       when(jsonCol.isNull, lit(true)).otherwise(v.isNotNull),
       lit("!parse: value is not valid JSON"))
-    parseCheck +: compile(spec, node, v, instPath)
+    parseCheck +: compile(spec, node, v, instPath, Nil, binder)
   }
 }

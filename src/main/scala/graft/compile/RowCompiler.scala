@@ -29,6 +29,32 @@ final case class Check(
     detail: Column
 )
 
+/** Collects expensive subexpressions (JSON parses) that many checks share,
+  * so the executor computes them ONCE per row instead of once per check.
+  *
+  * Catalyst's codegen-level subexpression elimination does not reach inside
+  * conditional branches / higher-order-function lambdas, so without this a
+  * 6-check dynamic-JSON suite parses the same string 6× per row (measured
+  * 5.4× wall-time blowup at sf0.1). The binder turns each parse into a named
+  * projection that [[graft.exec.Validator]] materializes in a child Project
+  * before the check pass and drops afterwards; CollapseProject will not
+  * re-inline it because the alias is non-cheap and multiply-referenced.
+  *
+  * Bindings may reference earlier bindings (applied in insertion order).
+  * NEVER call [[bind]] from inside a lambda (forall/filter/transform) — the
+  * bound column cannot see lambda variables; lambda-scoped probes go through
+  * `predicate`, which never binds.
+  */
+final class Binder {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+  def bind(c: Column): Column = {
+    val name = s"__graft_bind_${buf.size}"
+    buf += name -> c
+    col(name)
+  }
+  def bindings: Seq[(String, Column)] = buf.toSeq
+}
+
 /** Compiles a [[SchemaNode]] applied to a typed column into [[Check]]s.
   *
   * This is the engine's analogue of the reference's validator dispatch
@@ -158,7 +184,8 @@ object RowCompiler {
     * evaluation order (/root/reference/validator.go:70-196).
     */
   def compile(spec: Spec, node: SchemaNode, v: Column, dt: DataType,
-              instPath: String, stack: List[String] = Nil): Seq[Check] = {
+              instPath: String, stack: List[String] = Nil,
+              binder: Option[Binder] = None): Seq[Check] = {
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
@@ -181,7 +208,7 @@ object RowCompiler {
     node.ref.foreach { r =>
       val target = spec.resolve(r, stack)
       out ++= compile(spec, target, v, dt, instPath,
-        r.stripPrefix("#/$defs/") :: stack)
+        r.stripPrefix("#/$defs/") :: stack, binder)
     }
 
     // type (/root/reference/validator.go:98-103)
@@ -304,14 +331,16 @@ object RowCompiler {
       // (/root/reference/validator.go:497-510)
       node.contentSchema.foreach { cs =>
         val st = sparkTypeOf(cs, kw("contentSchema"))
-        val parsed = from_json(contentValue, st)
-        out ++= compile(spec, cs, parsed, st, instPath + "!json", stack)
+        val parsed0 = from_json(contentValue, st)
+        // parse once per row, not once per emitted check
+        val parsed = binder.map(_.bind(parsed0)).getOrElse(parsed0)
+        out ++= compile(spec, cs, parsed, st, instPath + "!json", stack, binder)
       }
       // json: DYNAMIC validation over variant (runtime type dispatch — the
       // reference's dynamically-typed instance model; see DynamicJson)
       node.jsonSchema.foreach { js =>
         out ++= DynamicJson.checksForJsonColumn(spec, js, contentValue,
-          instPath + "!json")
+          instPath + "!json", binder)
       }
     }
     // 'json' on a native VariantType column: dispatch straight to the
@@ -385,7 +414,7 @@ object RowCompiler {
           if (fields.contains(k)) {
             val ft = st(k).dataType
             out ++= compile(spec, ps, v.getField(k), ft,
-              if (instPath.isEmpty) k else s"$instPath/$k", stack)
+              if (instPath.isEmpty) k else s"$instPath/$k", stack, binder)
           } // absent field: subschema vacuous
         }
         node.dependentRequired.foreach { case (k, reqs) =>
@@ -414,7 +443,7 @@ object RowCompiler {
             val known = node.properties.map(_._1).toSet
             st.fields.filterNot(f => known.contains(f.name)).foreach { f =>
               out ++= compile(spec, as, v.getField(f.name), f.dataType,
-                if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack)
+                if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder)
             }
         }
       case MapType(StringType, vt, _) =>
@@ -470,7 +499,7 @@ object RowCompiler {
     }
 
     // composition (/root/reference/validator.go:552-631)
-    node.allOf.foreach { ch => out ++= compile(spec, ch, v, dt, instPath, stack) }
+    node.allOf.foreach { ch => out ++= compile(spec, ch, v, dt, instPath, stack, binder) }
     if (node.anyOf.nonEmpty) {
       val ps = node.anyOf.map(ch => predicate(spec, ch, v, dt, stack))
       add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lstr("anyOf: no subschema matched"))
@@ -493,12 +522,12 @@ object RowCompiler {
     node.ifS.foreach { ifn =>
       val ifPred = coalesce(predicate(spec, ifn, v, dt, stack), lit(false))
       node.thenS.foreach { tn =>
-        compile(spec, tn, v, dt, instPath, stack).foreach { c =>
+        compile(spec, tn, v, dt, instPath, stack, binder).foreach { c =>
           out += c.copy(pred = !ifPred || c.pred)
         }
       }
       node.elseS.foreach { en =>
-        compile(spec, en, v, dt, instPath, stack).foreach { c =>
+        compile(spec, en, v, dt, instPath, stack, binder).foreach { c =>
           out += c.copy(pred = ifPred || c.pred)
         }
       }

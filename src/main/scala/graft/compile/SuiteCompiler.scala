@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.StructType
 final case class CompiledSuite(
     spec: Spec,
     rowChecks: Seq[Check],
-    tableConstraints: Seq[TableConstraint]
+    tableConstraints: Seq[TableConstraint],
+    // shared expensive subexpressions (JSON parses), materialized once per
+    // row by Validator before the check pass — see [[Binder]]
+    bindings: Seq[(String, org.apache.spark.sql.Column)] = Nil
 )
 
 object SuiteCompiler {
@@ -24,6 +27,7 @@ object SuiteCompiler {
     */
   def compile(spec: Spec, schema: StructType): CompiledSuite = {
     val fieldSet = schema.fieldNames.toSet
+    val binder = new Binder
 
     // column-level `required` — the only check that rejects NULL
     val reqChecks = spec.required.map { c =>
@@ -34,13 +38,15 @@ object SuiteCompiler {
     val colChecks = spec.columns.flatMap { case (name, node) =>
       if (!fieldSet.contains(name))
         throw SpecError(s"#/columns/$name", s"unknown column '$name'")
-      RowCompiler.compile(spec, node, col(name), schema(name).dataType, name)
+      RowCompiler.compile(spec, node, col(name), schema(name).dataType, name,
+        Nil, Some(binder))
     }
 
     // cross-column row rules: the whole row as one object instance
     val rowChecks = if (spec.rowRules.isEmpty) Seq.empty else {
       val rowValue = struct(schema.fieldNames.map(col).toSeq: _*)
-      spec.rowRules.flatMap(r => RowCompiler.compile(spec, r, rowValue, schema, ""))
+      spec.rowRules.flatMap(r =>
+        RowCompiler.compile(spec, r, rowValue, schema, "", Nil, Some(binder)))
     }
 
     // validate table constraints' column references at compile time
@@ -59,6 +65,7 @@ object SuiteCompiler {
       case _ => // custom families validate inside their own compile hook
     }
 
-    CompiledSuite(spec, reqChecks ++ colChecks ++ rowChecks, spec.table)
+    CompiledSuite(spec, reqChecks ++ colChecks ++ rowChecks, spec.table,
+      binder.bindings)
   }
 }

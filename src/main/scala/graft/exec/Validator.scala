@@ -30,6 +30,16 @@ object Validator {
         lit(c.instancePath).as("instance_path"),
         c.detail.as("detail")))
 
+  /** Materialize the suite's shared subexpressions (JSON parses) as named
+    * columns in a child Project, so each is computed once per row no matter
+    * how many checks reference it (see [[graft.compile.Binder]]).
+    */
+  private def withBindings(df: DataFrame, suite: CompiledSuite): DataFrame =
+    suite.bindings.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  private def dropBindings(df: DataFrame, suite: CompiledSuite): DataFrame =
+    if (suite.bindings.isEmpty) df else df.drop(suite.bindings.map(_._1): _*)
+
   /** Adds `violations: array<struct<keyword,instance_path,detail>>` and
     * `valid: boolean` to every row.
     */
@@ -41,14 +51,17 @@ object Validator {
     val arr = filter(
       array(suite.rowChecks.map(violationStruct): _*),
       x => x.isNotNull)
-    df.withColumn("violations", arr)
-      .withColumn("valid", size(col("violations")) === 0)
+    dropBindings(
+      withBindings(df, suite)
+        .withColumn("violations", arr)
+        .withColumn("valid", size(col("violations")) === 0),
+      suite)
   }
 
   /** Flag mode: adds only `valid: boolean` (no violation structs built). */
   def flag(df: DataFrame, suite: CompiledSuite): DataFrame = {
     val pred = suite.rowChecks.map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
-    df.withColumn("valid", pred)
+    dropBindings(withBindings(df, suite).withColumn("valid", pred), suite)
   }
 
   /** Basic output: one flat row per violation, keyed by `keyCols` —

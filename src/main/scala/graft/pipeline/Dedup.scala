@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
@@ -64,13 +65,21 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: documents sharing ≥1 MinHash band bucket.
-    * `maxBucket` drops degenerate mega-buckets (logged upstream) so the
-    * bucket self-join stays bounded at scale.
+    * `maxBucket` drops degenerate mega-buckets so the bucket self-join stays
+    * bounded at scale. Dropping reduces recall on skewed corpora — it is NOT
+    * silent: call [[minhashMegaBuckets]] with the same arguments to get the
+    * dropped buckets (band, h, n) as a first-class frame.
+    *
+    * The signature frame (shingling + numBands md5 folds — the dominant
+    * cost) feeds the bucket-size agg AND both sides of the self-join; it is
+    * persisted so the scan pass runs once, not ~4×. The frame is
+    * O(docs × bands) small rows — MEMORY_AND_DISK spills harmlessly at scale.
     */
   def minhashCandidates(df: DataFrame, keyCol: String, textCol: String,
                         numBands: Int = 8, shingleN: Int = 3,
                         maxBucket: Long = 1000L): DataFrame = {
     val bands = minhashBands(df, keyCol, textCol, numBands, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // drop empty/mega buckets BEFORE pairing (skew valve), then generate
     // pairs with a bucket-equality self-join — parallelizes across buckets
     // instead of materializing n² arrays per bucket
@@ -85,6 +94,17 @@ object Dedup {
       .distinct()
   }
 
+  /** The mega-buckets [[minhashCandidates]] drops under the same parameters:
+    * (band, h, n) with n > maxBucket. Count/inspect these to quantify the
+    * recall cost of the skew valve (no-silent-caps companion).
+    */
+  def minhashMegaBuckets(df: DataFrame, keyCol: String, textCol: String,
+                         numBands: Int = 8, shingleN: Int = 3,
+                         maxBucket: Long = 1000L): DataFrame =
+    minhashBands(df, keyCol, textCol, numBands, shingleN)
+      .groupBy("band", "h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+
   /** Exact n-gram Jaccard over candidate pairs found by shingle co-occurrence.
     * `maxDf` removes stop-shingles (appearing in more than maxDf docs) before
     * the self-join — the skew valve at scale.
@@ -94,13 +114,15 @@ object Dedup {
                    maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = df.select(col(keyCol).as("k"),
       explode(shingles(col(textCol), shingleN)).as("s"))
-    val filtered =
+    // the exploded shingle frame feeds the per-doc sizes AND both sides of
+    // the self-join — persist so shingling runs once, not 3×
+    val filtered = (
       if (maxDf == Long.MaxValue) sh
       else {
         val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("s")
         sh.join(broadcast(hot), Seq("s"), "left_anti")
-      }
+      }).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("k").agg(count(lit(1)).as("n"))
     val inter = filtered.as("x").join(filtered.as("y"),
         col("x.s") === col("y.s") && col("x.k") < col("y.k"))
@@ -136,10 +158,11 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. At 16 bits and
-    * large corpora this self-joins on the full code first (distance 0 =
-    * bucket join), then widens via the bit-flip neighborhood — here the
-    * simple bounded variant: join on identical code.
+  /** Near-dup pairs by identical 16-bit SimHash code. NOT a scale operator:
+    * 16 bits = 65,536 buckets, so at 10^12 rows every bucket is a mega-bucket
+    * and the self-join goes quadratic. Kept as the cheap small-corpus arm;
+    * the scale path is [[simhash64]] + [[simhashNearDup64]] (banded Hamming
+    * join over 2^64 codes).
     */
   def simhashDupes(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
     val sh = simhash16(df, keyCol, textCol)
@@ -147,4 +170,90 @@ object Dedup {
         col("x.simhash") === col("y.simhash") && col("x.k") < col("y.k"))
       .select(col("x.k").as("a"), col("y.k").as("b"), col("x.simhash"))
   }
+
+  /** 64-bit SimHash: bit b (0-based) is the sign of the token-weighted sum
+    * of bit (b%4) of hex digit (b/4 + 1) of md5(token) — i.e. the md5 hash
+    * is consumed 4 bits per hex digit, giving a full 64-bit fingerprint that
+    * is exactly reproducible in any engine with md5 (the DuckDB oracle
+    * mirrors it digit-for-digit). One explode + one partial-aggregated
+    * groupBy, same shuffle shape as [[simhash16]].
+    *
+    * Output: (k, simhash, band0..band3) where bandK packs sign bits
+    * 16K..16K+15 as a non-negative int — computed from the sign sums, not by
+    * shifting the packed code, so no engine-specific negative-shift
+    * semantics are involved.
+    */
+  def simhash64(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(keyCol).as("k"),
+      explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+    // per-token hex digit values d1..d16 (0..15), 4 simhash bits each
+    val withDigits = (1 to 16).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"d_$i", conv(substring(col("h"), i, 1), 16, 10).cast("int"))
+    }
+    val sums = (0 until 64).map { b =>
+      val digit = col(s"d_${b / 4 + 1}")
+      val bit = digit.bitwiseAND(lit(1 << (b % 4)))
+      sum(when(bit =!= 0, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = withDigits.groupBy("k").agg(sums.head, sums.tail: _*)
+    val code = (0 until 64).map { b =>
+      // 1L << 63 wraps to Long.MinValue — intentional: bit 63 is the sign
+      // bit of the packed two's-complement code
+      when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bands = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(col(s"s_${16 * k + j}") >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"band$k")
+    }
+    agg.select(col("k") +: code.as("simhash") +: bands: _*)
+  }
+
+  /** Near-dup pairs at Hamming distance ≤ maxHamming over 64-bit SimHash,
+    * via a banded bucket join: the code splits into 4×16-bit bands, and by
+    * pigeonhole any pair within distance 3 agrees on ≥1 band — so a
+    * band-equality equi-join finds all such pairs without an all-pairs scan.
+    * (maxHamming ≤ 3 is exact; 4..7 is a recall-losing heuristic, rejected
+    * here to keep the operator honest.)
+    *
+    * Scale: the signature frame is O(docs) rows of ~40 bytes (persisted —
+    * tokenize+md5 runs once); the join moves (key, code) pairs through
+    * 4×2^16 well-spread buckets; `maxBucket` is the skew valve for
+    * degenerate corpora (e.g. millions of empty docs sharing one code) —
+    * dropped buckets are exposed by [[simhash64MegaBuckets]], never silent.
+    */
+  def simhashNearDup64(df: DataFrame, keyCol: String, textCol: String,
+                       maxHamming: Int = 3,
+                       maxBucket: Long = 100000L): DataFrame = {
+    require(maxHamming <= 3, "4 bands guarantee recall only up to distance 3")
+    val sig = simhash64(df, keyCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = sig.select(col("k"), col("simhash"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band", "bv")))
+    val okBuckets = exploded.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select("band", "bv")
+    val inB = exploded.join(okBuckets, Seq("band", "bv"))
+    inB.as("x").join(inB.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.k") < col("y.k"))
+      .select(col("x.k").as("a"), col("y.k").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Dropped mega-buckets of [[simhashNearDup64]] under the same parameters
+    * (band, bv, n) with n > maxBucket — the no-silent-caps companion.
+    */
+  def simhash64MegaBuckets(df: DataFrame, keyCol: String, textCol: String,
+                           maxBucket: Long = 100000L): DataFrame =
+    simhash64(df, keyCol, textCol)
+      .select(col("k"),
+        posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+          .as(Seq("band", "bv")))
+      .groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
 }

@@ -82,6 +82,28 @@ class PipelineSpec extends SparkTestBase {
     assert(jac.subsetOf(cand), s"missing: ${jac.diff(cand).take(3)}")
   }
 
+  test("simhash64 banded join = exact all-pairs Hamming<=3 (recall + precision)") {
+    val sig = Dedup.simhash64(docs, "doc_id", "text")
+    // band packing is consistent with the packed code (shift+mask — ANSI
+    // overflow-safe even for the sign bit in band3)
+    val repack = sig.filter((0 until 4).map { k =>
+      shiftright($"simhash", 16 * k).bitwiseAND(lit(0xFFFFL)) =!=
+        col(s"band$k").cast("long")
+    }.reduce(_ || _))
+    assert(repack.count() == 0)
+    // brute-force ground truth on the driver (500 docs)
+    val codes = sig.select("k", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ca) <- codes; (b, cb) <- codes if a < b
+      if java.lang.Long.bitCount(ca ^ cb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ca ^ cb))).toSet
+    val banded = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded-only: ${banded.diff(brute).take(3)}; missed: ${brute.diff(banded).take(3)}")
+  }
+
   test("simhash: identical docs share codes; codes in 16-bit range") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
     assert(sh.filter($"simhash" < 0 || $"simhash" > 0xFFFFL).count() == 0)
