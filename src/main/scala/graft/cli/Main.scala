@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Usage:
   *   graft.cli.Main --spec <file|'clip-suite'> --table <parquet dir|'synth:N'>
-  *     [--key col1,col2] [--output flag|basic|summary|detailed|simple] [--violations-out dir]
+  *     [--key col1,col2] [--output flag|basic|summary|detailed|simple|alt] [--violations-out dir]
   *     [--ref name=parquetDir]... [--master local[N]]
   */
 object Main {
@@ -84,7 +84,7 @@ object Main {
             .filter(!org.apache.spark.sql.functions.col("valid")).count()
           println(s"""{"valid":${n == 0}}""")
           n
-        case "basic" | "summary" | "detailed" | "simple" =>
+        case "basic" | "summary" | "detailed" | "simple" | "alt" =>
           val vios = Engine.allViolations(df, suite, keyCols, refs)
           val persisted = opt("violations-out") match {
             case Some(out) =>
@@ -104,6 +104,9 @@ object Main {
                 graft.output.Output.collect(persisted, limit)))
             case "simple" =>
               print(graft.output.Output.simpleText(
+                graft.output.Output.collect(persisted, limit), n))
+            case "alt" =>
+              print(graft.output.Output.altText(
                 graft.output.Output.collect(persisted, limit), n))
             case _ =>
               println(s"""{"valid":${n == 0},"violations":$n}""")
@@ -136,7 +139,7 @@ object Main {
     System.err.println(s"error: $msg")
     System.err.println(
       "usage: graft.cli.Main --spec <file|clip-suite> --table <parquet|synth:N> " +
-        "[--key cols] [--output flag|basic|summary|detailed|simple] [--violations-out dir] [--ref name=dir]")
+        "[--key cols] [--output flag|basic|summary|detailed|simple|alt] [--violations-out dir] [--ref name=dir]")
     sys.exit(2)
   }
 }

@@ -97,7 +97,9 @@ object DynamicJson {
         .reduceOption(_ || _).getOrElse(lit(false))
       val intOk =
         if (ts.contains("integer") && !ts.contains("number"))
-          (t === "number") && (asNum(v) === floor(asNum(v)))
+          // pmod-1, not floor: floor(double) returns LONG and overflows
+          // past 2^63, so 1e30 would wrongly fail the zero-fraction rule
+          (t === "number") && (pmod(asNum(v), lit(1.0)) === lit(0.0))
         else lit(false)
       add(kw("type"), vac(v, base || intOk),
         concat(lit("type: got "), t, lit(s", want ${ts.mkString("|")}")))
@@ -213,11 +215,20 @@ object DynamicJson {
       out ++= compile(spec, ps, child,
         if (instPath.isEmpty) k else s"$instPath/$k", stack, binder)
     }
+    node.dependentSchemas.foreach { case (k, ds) =>
+      val present = (t === "object") &&
+        try_variant_get(v, propPath(k), "variant").isNotNull
+      compile(spec, ds, v, instPath, stack, binder).foreach { c =>
+        out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
+      }
+    }
     Seq(
       node.minProperties.map(_ => "minProperties"),
       node.maxProperties.map(_ => "maxProperties"),
       node.propertyNames.map(_ => "propertyNames"),
       node.additionalProperties.map(_ => "additionalProperties"),
+      node.unevaluatedProperties.map(_ => "unevaluatedProperties"),
+      node.unevaluatedItems.map(_ => "unevaluatedItems"),
       if (node.patternProperties.nonEmpty) Some("patternProperties") else None,
       if (node.prefixItems.nonEmpty) Some("prefixItems") else None,
       if (node.dependentRequired.nonEmpty) Some("dependentRequired") else None,

@@ -103,7 +103,11 @@ object RowCompiler {
     if (node.isNull) return v.isNull
     dt match {
       case _ if node.isNumber && isNumeric(dt) =>
-        v.cast(Dec) === lit(node.decimalValue()).cast(Dec)
+        // try_cast: ANSI mode would otherwise THROW past Decimal(38,12);
+        // double fallback keeps cross-type equality working out of range
+        coalesce(
+          v.try_cast(Dec) === lit(node.decimalValue()).try_cast(Dec),
+          v.cast(DoubleType) === lit(node.decimalValue().doubleValue()))
       case StringType if node.isTextual  => v === lit(node.asText())
       case BooleanType if node.isBoolean => v === lit(node.asBoolean())
       case at2: ArrayType if node.isArray =>
@@ -111,6 +115,26 @@ object RowCompiler {
         v === array(elems: _*).cast(at2)
       case DateType | TimestampType | TimestampNTZType if node.isTextual =>
         v.cast(StringType) === lit(node.asText())
+      case st: StructType if node.isObject =>
+        // object const over a struct: structural deep equality with numeric
+        // cross-type fidelity (/root/reference/util.go:286-329) — every
+        // const key must be a (statically present) field with an equal
+        // value, and every other field must be absent (NULL)
+        val constKeys = node.fieldNames().asScala.toVector
+        if (!constKeys.forall(st.fieldNames.contains)) lit(false)
+        else {
+          val eqs = constKeys.map(k =>
+            constEq(v.getField(k), st(k).dataType, node.get(k), at))
+          val absent = st.fields.filterNot(f => constKeys.contains(f.name))
+            .map(f => v.getField(f.name).isNull).toSeq
+          (eqs ++ absent).reduceOption(_ && _).getOrElse(lit(true))
+        }
+      case MapType(StringType, vt, _) if node.isObject =>
+        val constKeys = node.fieldNames().asScala.toVector
+        val eqs = constKeys.map(k =>
+          array_contains(map_keys(v), k) &&
+            constEq(element_at(v, k), vt, node.get(k), at))
+        (Seq(size(map_keys(v)) === constKeys.size) ++ eqs).reduce(_ && _)
       case _ => lit(false) // type can never match the constant
     }
   }
@@ -133,7 +157,13 @@ object RowCompiler {
     case FloatType | DoubleType if bd.isExactDouble =>
       native(v, lit(bd.toDouble))
     case d: DecimalType => native(v, lit(bd.bigDecimal).cast(d))
-    case _ => native(v.cast(Dec), lit(bd.bigDecimal).cast(Dec))
+    case _ =>
+      // decimal-exact compare; double fallback when value or bound overflows
+      // Decimal(38,12) — try_cast yields NULL there (a plain cast would
+      // THROW under ANSI), so 1e30 on a double column still bound-checks
+      coalesce(
+        native(v.try_cast(Dec), lit(bd.bigDecimal).try_cast(Dec)),
+        native(v.cast(DoubleType), lit(bd.toDouble)))
   }
 
   /** Spark type inferred from a schema node's `type` keyword — used to give
@@ -167,6 +197,73 @@ object RowCompiler {
         })
       case _ => throw SpecError(at, s"cannot map type set $t to a Spark type")
     }
+  }
+
+  /** Statically-known evaluated property set for `unevaluatedProperties`
+    * lowering: (evaluated keys, evaluated key patterns, allEvaluated) merged
+    * over this node and its ALWAYS-applied in-place applicators (allOf,
+    * `$ref`) — the reference's allPropsEvaluated precompute
+    * (/root/reference/compiler.go:247-259). `not` never contributes (its
+    * subschema must FAIL for the instance to be valid, so its annotations
+    * are always dropped). Runtime-dependent applicators (anyOf/oneOf/
+    * if-then-else/dependentSchemas) that evaluate properties make the set
+    * dynamic → typed compile rejection, the documented residual limit.
+    */
+  private def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String,
+      stack: List[String]): (Set[String], Vector[String], Boolean) = {
+    def evaluatesProps(n: SchemaNode, st: List[String]): Boolean =
+      n.properties.nonEmpty || n.patternProperties.nonEmpty ||
+        n.additionalProperties.nonEmpty || n.unevaluatedProperties.nonEmpty ||
+        (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
+          n.dependentSchemas.map(_._2)).exists(evaluatesProps(_, st)) ||
+        n.ref.exists(r => evaluatesProps(spec.resolve(r, st),
+          r.stripPrefix("#/$defs/") :: st))
+    def walk(n: SchemaNode, st: List[String]): (Set[String], Vector[String], Boolean) = {
+      (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
+        n.dependentSchemas.map(_._2)).find(evaluatesProps(_, st)).foreach { d =>
+        throw SpecError(at,
+          "unevaluatedProperties needs a statically-known evaluated set, but " +
+            s"the runtime-dependent applicator at '${d.path.mkString("/")}' evaluates properties")
+      }
+      val parts = n.ref.map(r => walk(spec.resolve(r, st),
+        r.stripPrefix("#/$defs/") :: st)).toVector ++ n.allOf.map(walk(_, st))
+      (n.properties.map(_._1).toSet ++ parts.flatMap(_._1),
+        n.patternProperties.map(_._1) ++ parts.flatMap(_._2),
+        n.additionalProperties.nonEmpty || parts.exists(_._3))
+    }
+    walk(node, stack)
+  }
+
+  /** Statically-known evaluated item prefix for `unevaluatedItems`:
+    * (max prefixItems length, allEvaluated). `contains` marks matched items
+    * evaluated at runtime → rejected, like runtime-dependent applicators.
+    */
+  private def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String,
+      stack: List[String]): (Int, Boolean) = {
+    def evaluatesItems(n: SchemaNode, st: List[String]): Boolean =
+      n.items.nonEmpty || n.prefixItems.nonEmpty || n.contains.nonEmpty ||
+        n.unevaluatedItems.nonEmpty ||
+        (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
+          n.dependentSchemas.map(_._2)).exists(evaluatesItems(_, st)) ||
+        n.ref.exists(r => evaluatesItems(spec.resolve(r, st),
+          r.stripPrefix("#/$defs/") :: st))
+    def walk(n: SchemaNode, st: List[String]): (Int, Boolean) = {
+      (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
+        n.dependentSchemas.map(_._2)).find(evaluatesItems(_, st)).foreach { d =>
+        throw SpecError(at,
+          "unevaluatedItems needs a statically-known evaluated set, but " +
+            s"the runtime-dependent applicator at '${d.path.mkString("/")}' evaluates items")
+      }
+      if (n.contains.nonEmpty)
+        throw SpecError(at,
+          "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
+            "count as evaluated) — out of the static-lowering scope")
+      val parts = n.ref.map(r => walk(spec.resolve(r, st),
+        r.stripPrefix("#/$defs/") :: st)).toVector ++ n.allOf.map(walk(_, st))
+      ((n.prefixItems.size +: parts.map(_._1)).max,
+        n.items.nonEmpty || parts.exists(_._2))
+    }
+    walk(node, stack)
   }
 
   /** boolResult mode (/root/reference/validator.go:66): the conjunction of a
@@ -218,7 +315,14 @@ object RowCompiler {
         if (ts.contains(s)) None
         else if (ts.contains("number") && s == "integer") None
         else if (ts.contains("integer") && s == "number")
-          Some(v.cast(Dec) === floor(v.cast(Dec)).cast(Dec)) // zero-fraction rule, util.go:272-275
+          // zero-fraction rule, util.go:272-275 — double fallback for
+          // magnitudes beyond Decimal(38,12) (where the cast yields NULL),
+          // matching the dynamic compiler
+          // double arm uses pmod-1 (not floor, whose LONG result overflows
+          // past 2^63)
+          Some(coalesce(
+            v.try_cast(Dec) === floor(v.try_cast(Dec)).cast(Dec),
+            pmod(v.cast(DoubleType), lit(1.0)) === lit(0.0)))
         else Some(lit(false))
       ok.foreach { core =>
         add(kw("type"), vac(v, core),
@@ -279,7 +383,12 @@ object RowCompiler {
           case ByteType | ShortType | IntegerType | LongType if m.isValidLong =>
             pmod(v, lit(m.toLong)) === lit(0L)
           case _ =>
-            pmod(v.cast(Dec), lit(m.bigDecimal).cast(Dec)) === lit(java.math.BigDecimal.ZERO).cast(Dec)
+            // decimal-exact; approximate double fallback past Decimal(38,12)
+            // range, matching the dynamic compiler
+            coalesce(
+              pmod(v.try_cast(Dec), lit(m.bigDecimal).try_cast(Dec)) ===
+                lit(java.math.BigDecimal.ZERO).cast(Dec),
+              pmod(v.cast(DoubleType), lit(m.toDouble)) === lit(0.0))
         }
         add(kw("multipleOf"), vac(v, core),
           concat(lstr("multipleOf: got "), v.cast(StringType), lstr(s", want multiple of $m")))
@@ -399,6 +508,26 @@ object RowCompiler {
               lstr(s" matching element(s), want >= $minC" +
                 node.maxContains.map(m => s" and <= $m").getOrElse(""))))
         }
+        // unevaluatedItems — static lowering: with a statically-known
+        // evaluated prefix this is exactly items-after-prefix semantics
+        // (/root/reference/validator.go:633-641)
+        node.unevaluatedItems.foreach { ui =>
+          val (maxPrefix, allEval) =
+            staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack)
+          if (!allEval) ui match {
+            case Left(true) =>
+            case Left(false) =>
+              add(kw("unevaluatedItems"), vac(v, size(v) <= maxPrefix),
+                concat(lstr("unevaluatedItems: got "), size(v).cast(StringType),
+                  lstr(s" item(s), want <= $maxPrefix evaluated")))
+            case Right(us) =>
+              val rest = if (maxPrefix == 0) v
+                else slice(v, lit(maxPrefix + 1), greatest(size(v) - maxPrefix, lit(0)))
+              val p = forall(rest, x => coalesce(predicate(spec, us, x, et, stack), lit(false)))
+              add(kw("unevaluatedItems"), vac(v, p),
+                lstr("unevaluatedItems: element(s) do not match"))
+          }
+        }
       case _ =>
     }
 
@@ -425,6 +554,31 @@ object RowCompiler {
               lstr(s"dependentRequired: '$k' present but ${reqs.mkString(",")} missing"))
           }
         }
+        // propertyNames over a STRUCT: keys are static, so each field name
+        // is checked against the subschema as a literal (Catalyst constant-
+        // folds it); the check fires only when the field is present
+        // (/root/reference/validator.go:286-301)
+        node.propertyNames.foreach { ps =>
+          st.fields.foreach { f =>
+            val nameOk = coalesce(
+              predicate(spec, ps, lit(f.name), StringType, stack), lit(false))
+            add(kw("propertyNames"),
+              vac(v, !v.getField(f.name).isNotNull || nameOk),
+              lstr(s"propertyNames: property name '${f.name}' does not match"))
+          }
+        }
+        // dependentSchemas (/root/reference/validator.go:307-312): if key k
+        // is present, the whole object must match the paired schema — the
+        // SURVEY §2.4 `when(key.isNotNull, subPred)` gating; a statically
+        // absent key can never trigger
+        node.dependentSchemas.foreach { case (k, ds) =>
+          if (fields.contains(k)) {
+            val present = v.getField(k).isNotNull
+            compile(spec, ds, v, st, instPath, stack, binder).foreach { c =>
+              out += c.copy(pred = !present || c.pred)
+            }
+          }
+        }
         val nProps = st.fields.map(f => v.getField(f.name).isNotNull.cast(IntegerType))
           .reduceOption(_ + _).getOrElse(lit(0))
         node.minProperties.foreach { n =>
@@ -446,6 +600,31 @@ object RowCompiler {
                 if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder)
             }
         }
+        // unevaluatedProperties — static lowering over the struct's known
+        // field set: a statically-unevaluated field must be absent (NULL)
+        // under `false`, or match the subschema otherwise
+        node.unevaluatedProperties.foreach { up =>
+          val (evalKeys, evalPats, allEval) =
+            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
+          if (!allEval) {
+            val pats = evalPats.map(java.util.regex.Pattern.compile)
+            val uneval = st.fields.filterNot(f =>
+              evalKeys.contains(f.name) || pats.exists(_.matcher(f.name).find()))
+            up match {
+              case Left(true) =>
+              case Left(false) =>
+                uneval.foreach { f =>
+                  add(kw("unevaluatedProperties"), vac(v, v.getField(f.name).isNull),
+                    lstr(s"unevaluatedProperties: unexpected property '${f.name}'"))
+                }
+              case Right(us) =>
+                uneval.foreach { f =>
+                  out ++= compile(spec, us, v.getField(f.name), f.dataType,
+                    if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder)
+                }
+            }
+          }
+        }
       case MapType(StringType, vt, _) =>
         val keys = map_keys(v)
         node.requiredProps.foreach { k =>
@@ -458,7 +637,10 @@ object RowCompiler {
             lstr(s"properties/$k: value does not match"))
         }
         node.patternProperties.foreach { case (re, ps) =>
-          val sub = map_filter(v, (k, _) => k.rlike(re))
+          // key matching goes through the pluggable regex engine, like
+          // `pattern` (the reference's UseRegexpEngine governs both,
+          // /root/reference/compiler.go:141-151)
+          val sub = map_filter(v, (k, _) => Formats.patternMatch(k, re))
           val p = forall(map_values(sub), x => coalesce(predicate(spec, ps, x, vt, stack), lit(false)))
           add(kw("patternProperties", re), vac(v, p),
             lstr(s"patternProperties: value(s) for keys matching '$re' do not match"))
@@ -467,12 +649,45 @@ object RowCompiler {
           val p = forall(keys, k => coalesce(predicate(spec, ps, k, StringType, stack), lit(false)))
           add(kw("propertyNames"), vac(v, p), lstr("propertyNames: key does not match"))
         }
+        node.dependentSchemas.foreach { case (k, ds) =>
+          val present = array_contains(keys, k)
+          compile(spec, ds, v, dt, instPath, stack, binder).foreach { c =>
+            out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
+          }
+        }
+        // unevaluatedProperties over map columns: residual key algebra
+        // against the statically-merged evaluated set (keys ∪ patterns from
+        // this node + allOf/$ref closure)
+        node.unevaluatedProperties.foreach { up =>
+          val (evalKeys, evalPats, allEval) =
+            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
+          if (!allEval) {
+            def isEval(k: Column): Column = {
+              val inProps = evalKeys.toSeq.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
+              val inPats = evalPats.map(Formats.patternMatch(k, _))
+                .reduceOption(_ || _).getOrElse(lit(false))
+              inProps || inPats
+            }
+            up match {
+              case Left(true) =>
+              case Left(false) =>
+                add(kw("unevaluatedProperties"), vac(v, forall(keys, isEval)),
+                  lstr("unevaluatedProperties: unexpected key(s)"))
+              case Right(us) =>
+                val rem = map_filter(v, (k, _) => !isEval(k))
+                val p = forall(map_values(rem),
+                  x => coalesce(predicate(spec, us, x, vt, stack), lit(false)))
+                add(kw("unevaluatedProperties"), vac(v, p),
+                  lstr("unevaluatedProperties: unevaluated value(s) do not match"))
+            }
+          }
+        }
         node.additionalProperties.foreach { ap =>
           val known = node.properties.map(_._1)
           val pats = node.patternProperties.map(_._1)
           def isKnown(k: Column): Column = {
             val inProps = known.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
-            val inPats = pats.map(k.rlike(_)).reduceOption(_ || _).getOrElse(lit(false))
+            val inPats = pats.map(Formats.patternMatch(k, _)).reduceOption(_ || _).getOrElse(lit(false))
             inProps || inPats
           }
           ap match {

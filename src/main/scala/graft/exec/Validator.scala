@@ -69,13 +69,14 @@ object Validator {
     * (/root/reference/output.go:126-152).
     */
   def violations(df: DataFrame, suite: CompiledSuite, keyCols: Seq[String]): DataFrame = {
+    // reserved alias — a data column named "v" must not collide
     annotate(df, suite)
       .filter(!col("valid"))
-      .select(keyCols.map(col) :+ explode(col("violations")).as("v"): _*)
+      .select(keyCols.map(col) :+ explode(col("violations")).as("__graft_vio"): _*)
       .select(keyCols.map(col) ++ Seq(
-        col("v.keyword").as("keyword"),
-        col("v.instance_path").as("instance_path"),
-        col("v.detail").as("detail")): _*)
+        col("__graft_vio.keyword").as("keyword"),
+        col("__graft_vio.instance_path").as("instance_path"),
+        col("__graft_vio.detail").as("detail")): _*)
   }
 
   /** Table-level verdict + counts in ONE aggregation over the annotated

@@ -120,6 +120,23 @@ object Formats {
   private val uriTemplateRe =
     "^(?:[^\\x00-\\x20\"'%<>\\\\^`{|}]|%[0-9A-Fa-f]{2}|\\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(?::[1-9][0-9]{0,3}|\\*)?(?:,[A-Za-z0-9_%.]+(?::[1-9][0-9]{0,3}|\\*)?)*\\})*$"
 
+  /** period — ISO 8601 interval `<start>/<end>` split at the FIRST slash
+    * (/root/reference/format.go:599-632): start is a duration (P-prefixed)
+    * or date-time; a duration start requires a date-time end; a date-time
+    * start allows a duration or date-time end. Composes the date-time and
+    * duration predicates above.
+    */
+  private def periodOk(v: Column): Column = {
+    val slash = instr(v, "/")
+    val start = v.substr(lit(1), slash - 1)
+    val end = v.substr(slash + 1, length(v))
+    val dur = (c: Column) => c.rlike(durationRe)
+    (slash > 0) &&
+      when(start.startsWith("P"), dur(start) && dateTimeOk(end))
+        .otherwise(dateTimeOk(start) &&
+          when(end.startsWith("P"), dur(end)).otherwise(dateTimeOk(end)))
+  }
+
   /** The registry: name → predicate builder. Custom formats register through
     * [[register]], mirroring RegisterFormat (/root/reference/compiler.go:75-79).
     */
@@ -131,6 +148,7 @@ object Formats {
     "time" -> timeOk,
     "date-time" -> dateTimeOk,
     "duration" -> (v => v.rlike(durationRe)),
+    "period" -> periodOk,
     "hostname" -> hostnameOk,
     "email" -> emailOk,
     "json-pointer" -> (v => v.rlike(jsonPointerRe)),
@@ -178,4 +196,22 @@ object Formats {
     synchronized { patternEngine = engine }
 
   def patternMatch(v: Column, pattern: String): Column = patternEngine(v, pattern)
+
+  /** Spec-time regex validation for `pattern`/`patternProperties` — returns
+    * Some(description) when the pattern is invalid under the ACTIVE engine.
+    * Plug alongside [[setPatternEngine]] (the reference's UseRegexpEngine
+    * governs compile-time pattern validation AND matching consistently,
+    * /root/reference/compiler.go:141-151); default is java.util.regex.
+    */
+  @volatile private var specRegexCheck: String => Option[String] = { p =>
+    try { java.util.regex.Pattern.compile(p); None }
+    catch {
+      case e: java.util.regex.PatternSyntaxException => Some(e.getDescription)
+    }
+  }
+
+  def setSpecRegexCheck(check: String => Option[String]): Unit =
+    synchronized { specRegexCheck = check }
+
+  def checkSpecRegex(pattern: String): Option[String] = specRegexCheck(pattern)
 }

@@ -28,6 +28,21 @@ object CheckpointedRun {
 
   final case class RunResult(processed: Seq[String], skipped: Seq[String])
 
+  /** Hive-style %XX escape for building partition dir names — the same
+    * character set Spark/Hive escape on write ('/', '=', '%', ':' etc.), so
+    * a value like "a/b" maps to ONE directory (`p=a%2Fb`) instead of
+    * corrupting the layout with nested dirs, and Spark's partition discovery
+    * round-trips it back to the original value on read.
+    */
+  private val charsToEscape: Set[Char] =
+    ((0x00 to 0x1f).map(_.toChar) ++
+      Seq('"', '#', '%', '\'', '*', '/', ':', '=', '?', '\\', '\u007F',
+        '{', '[', ']', '^')).toSet
+
+  private[ledger] def escapePathName(s: String): String =
+    s.flatMap(c =>
+      if (charsToEscape.contains(c)) f"%%${c.toInt}%02X" else c.toString)
+
   /** Hive-style %XX unescape (Spark escapes special chars in partition dir
     * names; the filter value must be the UNESCAPED string).
     */
@@ -76,15 +91,20 @@ object CheckpointedRun {
         .filter(col(partCol) === part) // partition-pruned scan
       val suite = SuiteCompiler.compile(spec, df.schema)
       val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
-      val rowVios = Validator.violations(df, suite, keyCols)
+      // the scanned-row count rides the violations pass via observe — ONE
+      // scan per partition, not two
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_rows_${escapePathName(part)}_${System.nanoTime()}")
+      val rowVios = Validator.violations(
+          df.observe(obs, count(lit(1)).as("rows")), suite, keyCols)
         .select(col("keyword"),
           concat(key, lit("/"), col("instance_path")).as("instance_path"),
           col("detail"))
       // violations written BEFORE the ledger entry; overwrite = idempotent
-      val outDir = s"$violationsOut/$partCol=$part"
+      val outDir = s"$violationsOut/$partCol=${escapePathName(part)}"
       rowVios.write.mode("overwrite").parquet(outDir)
       val vioCount = spark.read.parquet(outDir).count() // footer-metadata count
-      val rows = df.count()
+      val rows = obs.get("rows").asInstanceOf[Long]
       Ledger.record(ledgerDir, LedgerEntry(
         partition = part,
         rows = rows,
@@ -122,7 +142,7 @@ object CheckpointedRun {
     def size(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
-    size(new java.io.File(s"$tableDir/$partCol=$part"))
+    size(new java.io.File(s"$tableDir/$partCol=${escapePathName(part)}"))
   }
 
   /** All violations accumulated so far (fresh or resumed runs read the same). */

@@ -74,6 +74,22 @@ object Output {
     else render("", root)
   }
 
+  /** Verbose human text (the `alt` CLI format) — the reference's `%#v`
+    * GoString display (/root/reference/output.go:46-101, verbose=true):
+    * every line carries the `#`-relative keyword location in brackets,
+    * `at <instance> [#/<keyword>]: <detail>`. The spec is a single document
+    * here, so the location is always document-relative (the reference
+    * shortens same-document locations to `S#<fragment>` the same way).
+    */
+  def altText(units: Seq[Unit], totalViolations: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"invalid: $totalViolations violation(s)\n")
+    units.foreach { u =>
+      sb.append(s"- at ${u.instancePath} [#/${u.keyword}]: ${u.detail}\n")
+    }
+    sb.result()
+  }
+
   /** Indented human text (the `simple` CLI format). */
   def simpleText(units: Seq[Unit], totalViolations: Long): String = {
     val sb = new StringBuilder

@@ -75,6 +75,15 @@ final case class SchemaNode(
     additionalProperties: Option[Either[Boolean, SchemaNode]] = None,
     patternProperties: Vector[(String, SchemaNode)] = Vector.empty,
     dependentRequired: Vector[(String, Vector[String])] = Vector.empty,
+    // dependentSchemas (/root/reference/validator.go:307-312): if the key is
+    // present, the WHOLE object must match the paired schema
+    dependentSchemas: Vector[(String, SchemaNode)] = Vector.empty,
+    // unevaluated* (/root/reference/validator.go:633-653) — supported via the
+    // STATIC evaluated-set lowering (the allPropsEvaluated precompute,
+    // /root/reference/compiler.go:247-259); specs whose evaluated set depends
+    // on runtime branches are rejected at compile with a typed SpecError
+    unevaluatedProperties: Option[Either[Boolean, SchemaNode]] = None,
+    unevaluatedItems: Option[Either[Boolean, SchemaNode]] = None,
     // composition (/root/reference/validator.go:552-631)
     allOf: Vector[SchemaNode] = Vector.empty,
     anyOf: Vector[SchemaNode] = Vector.empty,
@@ -98,7 +107,8 @@ object SchemaNode {
     "contains", "minContains", "maxContains",
     "properties", "required", "minProperties", "maxProperties",
     "propertyNames", "additionalProperties", "patternProperties",
-    "dependentRequired",
+    "dependentRequired", "dependentSchemas",
+    "unevaluatedProperties", "unevaluatedItems",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     // annotations — accepted and ignored (reference: schema.go:87-94)
     "title", "description", "$comment", "default", "examples", "deprecated"
@@ -164,12 +174,11 @@ object SchemaNode {
 
     val pat = optStr("pattern")
     pat.foreach { p =>
-      // compile once at spec time, mirroring regex precompilation at
-      // /root/reference/objcompiler.go:117-126
-      try java.util.regex.Pattern.compile(p)
-      catch {
-        case e: java.util.regex.PatternSyntaxException =>
-          throw SpecError(s"$at/pattern", s"invalid regex: ${e.getDescription}")
+      // compile once at spec time VIA THE ACTIVE ENGINE, mirroring regex
+      // precompilation at /root/reference/objcompiler.go:117-126 (the
+      // UseRegexpEngine hook governs validation and matching consistently)
+      graft.functions.Formats.checkSpecRegex(p).foreach { msg =>
+        throw SpecError(s"$at/pattern", s"invalid regex: $msg")
       }
     }
 
@@ -183,10 +192,8 @@ object SchemaNode {
     val patProps = opt("patternProperties").map { p =>
       if (!p.isObject) throw SpecError(s"$at/patternProperties", "expected object")
       p.fieldNames().asScala.toVector.map { k =>
-        try java.util.regex.Pattern.compile(k)
-        catch {
-          case e: java.util.regex.PatternSyntaxException =>
-            throw SpecError(s"$at/patternProperties", s"invalid regex '$k': ${e.getDescription}")
+        graft.functions.Formats.checkSpecRegex(k).foreach { msg =>
+          throw SpecError(s"$at/patternProperties", s"invalid regex '$k': $msg")
         }
         k -> parse(p.get(k), path :+ "patternProperties" :+ k)
       }
@@ -209,10 +216,22 @@ object SchemaNode {
       }
     }.getOrElse(Vector.empty)
 
+    val depSchemas = opt("dependentSchemas").map { d =>
+      if (!d.isObject) throw SpecError(s"$at/dependentSchemas", "expected object")
+      d.fieldNames().asScala.toVector.map { k =>
+        k -> parse(d.get(k), path :+ "dependentSchemas" :+ k)
+      }
+    }.getOrElse(Vector.empty)
+
     val addProps = opt("additionalProperties").map { a =>
       if (a.isBoolean) Left(a.asBoolean())
       else Right(parse(a, path :+ "additionalProperties"))
     }
+
+    def optBoolOrSchema(k: String): Option[Either[Boolean, SchemaNode]] =
+      opt(k).map { a =>
+        if (a.isBoolean) Left(a.asBoolean()) else Right(parse(a, path :+ k))
+      }
 
     SchemaNode(
       path = path,
@@ -254,6 +273,9 @@ object SchemaNode {
       additionalProperties = addProps,
       patternProperties = patProps,
       dependentRequired = depReq,
+      dependentSchemas = depSchemas,
+      unevaluatedProperties = optBoolOrSchema("unevaluatedProperties"),
+      unevaluatedItems = optBoolOrSchema("unevaluatedItems"),
       allOf = schemaArray("allOf"),
       anyOf = schemaArray("anyOf"),
       oneOf = schemaArray("oneOf"),

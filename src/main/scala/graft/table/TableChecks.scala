@@ -107,12 +107,13 @@ object TableChecks {
     // so join the observed histogram onto the full bucket spine
     val spine = df.sparkSession.range(edges.size + 1)
       .select(col("id").cast("int").as("b"))
-    import org.apache.spark.sql.expressions.Window
     val full = spine.join(hist, Seq("b"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    val total = greatest(sum("n").over(Window.partitionBy()), lit(1L))
-    full
-      .withColumn("p", greatest(col("n") / total, lit(eps)))
+    // grand total as a broadcast 1-row frame (not a partition-less window,
+    // which would log a single-partition warning and serialize the stage)
+    val total = full.agg(greatest(sum("n"), lit(1L)).as("__total"))
+    full.crossJoin(broadcast(total))
+      .withColumn("p", greatest(col("n") / col("__total"), lit(eps)))
       .withColumn("q", greatest(element_at(refArr, col("b") + 1), lit(eps)))
       .agg(coalesce(sum((col("p") - col("q")) * log(col("p") / col("q"))), lit(0.0)).as("psi"))
   }
@@ -161,25 +162,49 @@ object TableChecks {
   def ksAgainstQuantiles(df: DataFrame, column: String, refQuantiles: Seq[Double]): Double =
     ksDf(df, column, refQuantiles).collect()(0).getDouble(0)
 
-  /** Exact two-sample KS between two columns (small/medium data; the oracle
-    * arm). Distributed-friendly: ECDFs computed per distinct value via
-    * aggregation, sup over the merged distinct-value set.
+  /** Exact two-sample KS between two columns. Fully distributed: ECDFs are
+    * computed per distinct value, then the cumulative counts use the classic
+    * distributed prefix-sum — RANGE-partition the distinct values (so value
+    * order aligns with partition order), run the sorted running sum PER
+    * PARTITION in parallel, and add broadcast per-partition prefix offsets.
+    * No partition-less window anywhere: with l_extendedprice-like near-unique
+    * columns the old global `Window.orderBy(v)` moved every distinct value to
+    * ONE task — at 100× scale, one executor sorting 10^8+ rows.
     */
   def ksTwoSampleDf(a: DataFrame, aCol: String, b: DataFrame, bCol: String): DataFrame = {
     val av = a.select(col(aCol).cast("double").as("v")).filter(col("v").isNotNull)
     val bv = b.select(col(bCol).cast("double").as("v")).filter(col("v").isNotNull)
     val union = av.withColumn("src", lit("a")).union(bv.withColumn("src", lit("b")))
-    // per distinct value (usually ≪ row count) — the only sorted window runs
-    // over distinct values, not rows
+    // per distinct value (usually ≪ row count)
     val perValue = union.groupBy("v").agg(
       sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
       sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"))
+    // pid is monotone in v after the range exchange (AQE may merge ADJACENT
+    // partitions, which preserves monotonicity); both consumers below share
+    // the same exchange via ReuseExchange
+    val ranged = perValue.repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+    // per-partition totals (O(#partitions) rows) → prefix offsets + grand
+    // totals, all tiny and broadcast — the driver never collects anything
+    val partials = ranged.groupBy("pid")
+      .agg(sum("ca").as("pa"), sum("cb").as("pb"))
+    val totals = partials.agg(
+      sum("pa").cast("double").as("ta"), sum("pb").cast("double").as("tb"))
+    val offsets = partials.as("x")
+      .join(partials.as("y"), col("y.pid") < col("x.pid"), "left")
+      .groupBy(col("x.pid").as("pid"))
+      .agg(coalesce(sum(col("y.pa")), lit(0L)).as("offa"),
+        coalesce(sum(col("y.pb")), lit(0L)).as("offb"))
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    perValue
-      .withColumn("fa", sum("ca").over(w) / sum("ca").over(wAll))
-      .withColumn("fb", sum("cb").over(w) / sum("cb").over(wAll))
+    val w = Window.partitionBy("pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("fa", (col("cuma") + col("offa")) / col("ta"))
+      .withColumn("fb", (col("cumb") + col("offb")) / col("tb"))
       .agg(max(abs(col("fa") - col("fb"))).as("ks"))
   }
 

@@ -49,6 +49,19 @@ class DynamicJsonSpec extends SparkTestBase {
       == Seq(true, false, true, true))
   }
 
+  test("dependentSchemas: runtime key-presence gates the whole-object schema") {
+    val spec =
+      """{"columns":{"j":{"json":{"dependentSchemas":{"bar":{
+           "properties":{"foo":{"maximum":10}},"required":["foo"]}}}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"foo": 5, "bar": "b"}""",  // gated schema passes
+      """{"foo": 50, "bar": "b"}""", // foo > 10
+      """{"foo": 50}""",             // bar absent → not applied
+      """{"bar": "b"}""",            // required foo missing
+      """"not an object""""         // non-object → vacuous
+    )) == Seq(true, false, true, false, true))
+  }
+
   test("heterogeneous arrays: items + uniqueItems with canonical deep equality") {
     val spec = """{"columns":{"j":{"json":{"items":{"type":["integer","string"]}}}}}"""
     assert(validsOf(spec, Seq(

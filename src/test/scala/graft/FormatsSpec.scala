@@ -21,6 +21,18 @@ class FormatsSpec extends SparkTestBase {
     }
   }
 
+  test("period: <start>/<end> of date-time|duration (format.go:599-632)") {
+    check("period", Seq(
+      "2024-01-01T00:00:00Z/2024-02-01T00:00:00Z" -> true,
+      "P1Y2M/2024-02-01T00:00:00Z" -> true,  // duration start needs date-time end
+      "2024-01-01T00:00:00Z/P1M" -> true,    // date-time start allows duration end
+      "P1Y/P1M" -> false,                    // duration/duration invalid
+      "2024-01-01T00:00:00Z" -> false,       // missing slash
+      "/2024-02-01T00:00:00Z" -> false,      // empty start
+      "2024-13-01T00:00:00Z/P1M" -> false,   // invalid start date
+      "2024-01-01T00:00:00Z/P" -> false))    // empty duration
+  }
+
   test("uuid (format.go:114-140)") {
     check("uuid", Seq(
       "2eb8aa08-aa98-11ea-b4aa-73b441d16380" -> true,

@@ -119,4 +119,24 @@ class LedgerSpec extends SparkTestBase {
     val n = spark.read.parquet(data).filter(col("part") === "a b/c").count()
     assert(n == 1)
   }
+
+  test("full run over a '/'-containing partition value: escaped output layout, correct metrics") {
+    val (data, ledger, out) = (tmp(), tmp(), tmp())
+    Seq(("a b/c", 1), ("x=y", 5), ("plain", 100000)).toDF("part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(data)
+    val spec = Spec.fromJson("""{"columns":{"v":{"maximum":10}}}""")
+    val r = CheckpointedRun.run(spark, data, "part", spec, Seq("v"), ledger, out)
+    assert(r.processed.toSet == Set("a b/c", "x=y", "plain"))
+    // the violations output must be ONE escaped dir per partition (no nested
+    // dirs from the raw '/'), readable back as a partitioned table
+    assert(new java.io.File(s"$out/part=a%20b%2Fc").isDirectory ||
+      new java.io.File(s"$out/part=a b%2Fc").isDirectory)
+    assert(!new java.io.File(s"$out/part=a b").exists())
+    val vios = CheckpointedRun.violations(spark, out)
+    assert(vios.count() == 1) // only v=100000 violates
+    // per-partition metrics resolved the escaped dirs (bytes > 0, rows exact)
+    val entries = Ledger.read(ledger)
+    assert(entries.filter(_.partition != CheckpointedRun.TablePhase)
+      .forall(e => e.bytes > 0 && e.rows == 1))
+  }
 }

@@ -93,6 +93,170 @@ class ObjectArraySpec extends SparkTestBase {
     assert(validsOf(contains, df) == Seq(false, true, true, false))
   }
 
+  test("dependentSchemas: key present gates the whole-object schema (draft2020-12 suite shape)") {
+    // mirrors JSON-Schema-Test-Suite draft2020-12/dependentSchemas.json:
+    // {"dependentSchemas":{"bar":{"properties":{"foo":{...}},"required":[...]}}}
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("o", StructType(Seq(
+        StructField("foo", IntegerType), StructField("bar", StringType))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, Row(5, "b")),      // bar present, foo <= 10 → valid
+        Row(2, Row(50, "b")),     // bar present, foo > 10 → invalid
+        Row(3, Row(50, null)),    // bar absent → schema not applied → valid
+        Row(4, Row(null, "b")),   // bar present, foo absent → required fails
+        Row(5, null)),            // whole object absent → vacuous
+      schema)
+    val spec =
+      """{"columns":{"o":{"dependentSchemas":{"bar":{
+           "properties":{"foo":{"maximum":10}},"required":["foo"]}}}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, true, false, true))
+    // keyword path points into dependentSchemas
+    val suite = SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
+    val vios = Validator.violations(df, suite, Seq("k"))
+      .select("keyword").as[String].collect().toSet
+    assert(vios.contains("columns/o/dependentSchemas/bar/properties/foo/maximum"))
+    assert(vios.contains("columns/o/dependentSchemas/bar/required"))
+  }
+
+  test("dependentSchemas over map columns") {
+    val df = Seq(
+      (1, Map("credit_card" -> "1234", "billing_address" -> "street")),
+      (2, Map("credit_card" -> "1234")),
+      (3, Map("name" -> "x"))).toDF("k", "m")
+    val spec =
+      """{"columns":{"m":{"dependentSchemas":{
+           "credit_card":{"required":["billing_address"]}}}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, true))
+  }
+
+  test("unevaluatedProperties=false: struct + map, merged with allOf/$ref evaluations") {
+    // struct: field not mentioned by properties (incl. via allOf) must be absent
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("o", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType),
+        StructField("c", StringType))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, Row(1, "x", null)),
+        Row(2, Row(1, "x", "boo")),
+        Row(3, Row(1, null, null))),
+      schema)
+    val spec =
+      """{"columns":{"o":{
+           "properties":{"a":{}},
+           "allOf":[{"properties":{"b":{}}}],
+           "unevaluatedProperties":false}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, true))
+    // map: residual keys against the merged evaluated set (incl. patterns)
+    val dfm = Seq(
+      (1, Map("a" -> "1", "x_b" -> "2")),
+      (2, Map("a" -> "1", "zzz" -> "2"))).toDF("k", "m")
+    val specm =
+      """{"columns":{"m":{
+           "properties":{"a":{}},
+           "allOf":[{"patternProperties":{"^x_":{}}}],
+           "unevaluatedProperties":false}}}"""
+    assert(validsOf(specm, dfm) == Seq(true, false))
+    // schema form: unevaluated values must match the subschema
+    val specs =
+      """{"columns":{"m":{"properties":{"a":{}},
+           "unevaluatedProperties":{"maxLength":1}}}}"""
+    assert(validsOf(specs, dfm) == Seq(true, true))
+    // additionalProperties present → everything evaluated → vacuous
+    val specAll =
+      """{"columns":{"m":{"properties":{"a":{}},
+           "additionalProperties":{"minLength":0},
+           "unevaluatedProperties":false}}}"""
+    assert(validsOf(specAll, dfm) == Seq(true, true))
+  }
+
+  test("unevaluatedItems: static prefix lowering; dynamic evaluated sets rejected") {
+    val df = Seq(
+      (1, Seq(10)),
+      (2, Seq(10, 99)),
+      (3, Seq.empty[Int])).toDF("k", "a")
+    val closed =
+      """{"columns":{"a":{"prefixItems":[{"minimum":10}],"unevaluatedItems":false}}}"""
+    assert(validsOf(closed, df) == Seq(true, false, true))
+    val schemaForm =
+      """{"columns":{"a":{"prefixItems":[{"minimum":10}],
+           "unevaluatedItems":{"maximum":50}}}}"""
+    assert(validsOf(schemaForm, df) == Seq(true, false, true))
+    // `items` present → all items evaluated → vacuous
+    val allEval =
+      """{"columns":{"a":{"items":{"maximum":1000},"unevaluatedItems":false}}}"""
+    assert(validsOf(allEval, df) == Seq(true, true, true))
+    // runtime-dependent evaluated sets are typed compile-time rejections
+    import graft.spec.SpecError
+    val e1 = intercept[SpecError] {
+      SuiteCompiler.compile(Spec.fromJson(
+        """{"columns":{"a":{"contains":{"minimum":1},"unevaluatedItems":false}}}"""),
+        df.schema)
+    }
+    assert(e1.getMessage.contains("contains"))
+    val dfm = Seq((1, Map("a" -> "1"))).toDF("k", "m")
+    val e2 = intercept[SpecError] {
+      SuiteCompiler.compile(Spec.fromJson(
+        """{"columns":{"m":{"oneOf":[{"properties":{"a":{}}},{"properties":{"b":{}}}],
+            "unevaluatedProperties":false}}}"""),
+        dfm.schema)
+    }
+    assert(e2.getMessage.contains("statically-known"))
+  }
+
+  test("object const over struct + map: structural deep equality incl. numeric cross-type") {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("o", StructType(Seq(
+        StructField("a", DoubleType), StructField("b", StringType))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, Row(2.0, "x")),   // 2.0 == const 2 (cross-type), b matches
+        Row(2, Row(2.5, "x")),   // a differs
+        Row(3, Row(2.0, null)),  // b absent but const requires it
+        Row(4, null)),           // whole object absent → vacuous
+      schema)
+    val spec = """{"columns":{"o":{"const":{"a":2,"b":"x"}}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, false, true))
+    // extra non-null field breaks equality
+    val spec2 = """{"columns":{"o":{"const":{"a":2}}}}"""
+    assert(validsOf(spec2, df) == Seq(false, false, true, true))
+    // map column
+    val dfm = Seq(
+      (1, Map("a" -> "1", "b" -> "2")),
+      (2, Map("a" -> "1")),
+      (3, Map("a" -> "1", "b" -> "2", "c" -> "3"))).toDF("k", "m")
+    val specm = """{"columns":{"m":{"const":{"a":"1","b":"2"}}}}"""
+    assert(validsOf(specm, dfm) == Seq(true, false, false))
+  }
+
+  test("propertyNames over struct: static field names checked when present") {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("o", StructType(Seq(
+        StructField("good", IntegerType), StructField("BAD", IntegerType))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, Row(1, null)),  // only lowercase-named field present → valid
+        Row(2, Row(1, 2)),     // 'BAD' present → name fails pattern
+        Row(3, null)),
+      schema)
+    val spec = """{"columns":{"o":{"propertyNames":{"pattern":"^[a-z]+$"}}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, true))
+  }
+
+  test("static numeric checks fall back to double past Decimal(38,12) range") {
+    val df = Seq((1, 1.0e30), (2, 2.5), (3, 5.0)).toDF("k", "v")
+    // 1e30 IS an integer-valued double — must not fail closed on decimal overflow
+    val ty = """{"columns":{"v":{"type":"integer"}}}"""
+    assert(validsOf(ty, df) == Seq(true, false, true))
+    val bound = """{"columns":{"v":{"minimum":3}}}"""
+    assert(validsOf(bound, df) == Seq(true, false, true))
+  }
+
   test("numeric fidelity: const/enum cross-type equality on decimals (Extra-Test-Suite const.json)") {
     val df = Seq((1, BigDecimal("2.0")), (2, BigDecimal("2.5")), (3, BigDecimal("2.00")))
       .toDF("k", "v")

@@ -53,6 +53,12 @@ class OutputSpec extends SparkTestBase {
     assert(txt.contains("    at abc/sr_hz: maximum: got 96000"))
   }
 
+  test("alt text: verbose lines carry the #-relative keyword location") {
+    val txt = Output.altText(units, totalViolations = 42)
+    assert(txt.startsWith("invalid: 42 violation(s)"))
+    assert(txt.contains("- at abc/sr_hz [#/columns/sr_hz/maximum]: maximum: got 96000"))
+  }
+
   test("escaping: quotes, backslashes, control chars survive JSON rendering") {
     val nasty = Seq(Unit("""a"b\c""", "p\nq", "d\te"))
     val json = Output.basicJson(nasty)
