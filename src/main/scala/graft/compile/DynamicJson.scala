@@ -34,8 +34,13 @@ object DynamicJson {
   /** Runtime JSON type name of a variant value:
     * missing | null | object | array | string | boolean | number.
     */
-  def jsonTypeOf(v: Column): Column = {
-    val sch = schema_of_variant(v)
+  def jsonTypeOf(v: Column): Column = jsonTypeFrom(v, schema_of_variant(v))
+
+  /** Same, over a pre-computed (ideally bound) schema_of_variant column —
+    * the CASE chain tests `sch` up to 5 times, so binding it first avoids
+    * 5 full variant traversals per row.
+    */
+  private def jsonTypeFrom(v: Column, sch: Column): Column =
     when(v.isNull, lit("missing"))
       .when(sch === "VOID", lit("null"))
       .when(sch.startsWith("OBJECT"), lit("object"))
@@ -43,7 +48,6 @@ object DynamicJson {
       .when(sch === "STRING", lit("string"))
       .when(sch === "BOOLEAN", lit("boolean"))
       .otherwise(lit("number"))
-  }
 
   private def asNum(v: Column): Column = try_variant_get(v, "$", "double")
   private def asDec(v: Column): Column = try_variant_get(v, "$", "decimal(38,12)")
@@ -69,7 +73,14 @@ object DynamicJson {
   def compile(spec: Spec, node: SchemaNode, v: Column,
               instPath: String, stack: List[String] = Nil,
               binder: Option[Binder] = None): Seq[Check] = {
-    val t = jsonTypeOf(v)
+    // bind-once views: every keyword of this node re-reads the runtime type
+    // and the typed extraction, so without binding a 3-keyword node walks
+    // the variant 6+ times per row (schema_of_variant is a full traversal)
+    def b(c: Column): Column = binder.map(_.bind(c)).getOrElse(c)
+    val t = b(jsonTypeFrom(v, b(schema_of_variant(v))))
+    lazy val vNum = b(asNum(v))
+    lazy val vDec = b(asDec(v))
+    lazy val vStr = b(asStr(v))
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
@@ -99,7 +110,7 @@ object DynamicJson {
         if (ts.contains("integer") && !ts.contains("number"))
           // pmod-1, not floor: floor(double) returns LONG and overflows
           // past 2^63, so 1e30 would wrongly fail the zero-fraction rule
-          (t === "number") && (pmod(asNum(v), lit(1.0)) === lit(0.0))
+          (t === "number") && (pmod(vNum, lit(1.0)) === lit(0.0))
         else lit(false)
       add(kw("type"), vac(v, base || intOk),
         concat(lit("type: got "), t, lit(s", want ${ts.mkString("|")}")))
@@ -112,9 +123,9 @@ object DynamicJson {
         // decimal-exact compare, double fallback for magnitudes beyond
         // decimal(38,12) (where the cast yields NULL)
         (t === "number") && coalesce(
-          asDec(v) === lit(jn.decimalValue()).cast("decimal(38,12)"),
-          asNum(v) === lit(jn.decimalValue().doubleValue()))
-      else if (jn.isTextual) (t === "string") && (asStr(v) === lit(jn.asText()))
+          vDec === lit(jn.decimalValue()).cast("decimal(38,12)"),
+          vNum === lit(jn.decimalValue().doubleValue()))
+      else if (jn.isTextual) (t === "string") && (vStr === lit(jn.asText()))
       else if (jn.isBoolean) (t === "boolean") && (asBool(v) === lit(jn.asBoolean()))
       else if (jn.isNull) t === "null"
       else
@@ -135,13 +146,13 @@ object DynamicJson {
     // number keywords — gated on runtime number type (vacuous otherwise)
     // decimal-exact bound compare (integers past 2^53 stay exact), double
     // fallback only when the decimal cast overflows to NULL
-    def boundCheck(name: String, b: BigDecimal,
+    def boundCheck(name: String, bd: BigDecimal,
                    cmp: (Column, Column) => Column, want: String): Unit = {
       val core = coalesce(
-        cmp(asDec(v), lit(b.bigDecimal).cast("decimal(38,12)")),
-        cmp(asNum(v), lit(b.toDouble)))
+        cmp(vDec, lit(bd.bigDecimal).cast("decimal(38,12)")),
+        cmp(vNum, lit(bd.toDouble)))
       add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
-        concat(lit(s"$name: got "), asNum(v).cast(StringType), lit(s", want $want")))
+        concat(lit(s"$name: got "), vNum.cast(StringType), lit(s", want $want")))
     }
     node.minimum.foreach(b => boundCheck("minimum", b, _ >= _, s">= $b"))
     node.maximum.foreach(b => boundCheck("maximum", b, _ <= _, s"<= $b"))
@@ -150,17 +161,17 @@ object DynamicJson {
     node.multipleOf.foreach { m =>
       add(kw("multipleOf"),
         vac(v, (t =!= "number") || coalesce(
-          pmod(asDec(v), lit(m.bigDecimal).cast("decimal(38,12)")) ===
+          pmod(vDec, lit(m.bigDecimal).cast("decimal(38,12)")) ===
             lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
           // decimal overflow (>26 integer digits): approximate double check
-          pmod(asNum(v), lit(m.toDouble)) === lit(0.0),
+          pmod(vNum, lit(m.toDouble)) === lit(0.0),
           lit(false))),
         concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")))
     }
 
     // string keywords — gated on runtime string type
     def strCheck(name: String, core: Column => Column, msg: String): Unit =
-      add(kw(name), vac(v, (t =!= "string") || coalesce(core(asStr(v)), lit(false))),
+      add(kw(name), vac(v, (t =!= "string") || coalesce(core(vStr), lit(false))),
         concat(lit(s"$name: "), canon(v), lit(s" $msg")))
     node.minLength.foreach(n => strCheck("minLength", length(_) >= n, s"shorter than $n chars"))
     node.maxLength.foreach(n => strCheck("maxLength", length(_) <= n, s"longer than $n chars"))
@@ -170,8 +181,9 @@ object DynamicJson {
       strCheck("format", fn, s"is not a valid $f")
     }
 
-    // array keywords over array<variant>
-    val arr = asArr(v)
+    // array keywords over array<variant> — bound once when any array
+    // keyword is present
+    lazy val arr = b(asArr(v))
     def arrCheck(name: String, core: Column, detail: Column): Unit =
       add(kw(name), vac(v, (t =!= "array") || coalesce(core, lit(false))), detail)
     node.minItems.foreach(n => arrCheck("minItems", size(arr) >= n,

@@ -413,28 +413,35 @@ object RowCompiler {
         add(kw("pattern"), vac(v, Formats.patternMatch(v, p)),
           concat(lstr("pattern: "), v.cast(StringType), lstr(s" does not match '$p'")))
       }
-      // contentEncoding: decodability of the encoded payload
-      // (/root/reference/validator.go:468-475, content.go:17-24); downstream
-      // media-type/schema checks run over the DECODED value, mirroring the
-      // reference's decode-then-parse pipeline
+      // contentEncoding: decodability of the encoded payload via the
+      // pluggable decoder registry (/root/reference/validator.go:468-475,
+      // content.go:17-24, RegisterContentEncoding compiler.go:85-90);
+      // downstream media-type/schema checks run over the DECODED value,
+      // mirroring the reference's decode-then-parse pipeline
       val contentValue = node.contentEncoding match {
-        case Some(_) => try_to_binary(v, lit("base64")).cast(StringType)
-        case None    => v
+        case Some(enc) =>
+          val decode = graft.functions.Content.encoding(enc).getOrElse(
+            throw SpecError(kw("contentEncoding"),
+              s"unknown encoding '$enc' (registered: ${graft.functions.Content.knownEncodings.mkString(", ")})"))
+          decode(v)
+        case None => v
       }
-      node.contentEncoding.foreach { _ =>
+      node.contentEncoding.foreach { enc =>
         add(kw("contentEncoding"), vac(v, contentValue.isNotNull),
-          lstr("contentEncoding: value is not valid base64"))
+          lstr(s"contentEncoding: value is not valid $enc"))
       }
+      // contentMediaType via the pluggable media-type registry
+      // (RegisterContentMediaType, /root/reference/compiler.go:91-95); a
+      // decode failure is already reported by contentEncoding, downstream
+      // checks are vacuous on the null decoded value
       node.contentMediaType.foreach { mt =>
-        if (mt != "application/json")
-          throw SpecError(kw("contentMediaType"), s"unsupported media type '$mt'")
-        // a base64-decode failure is already reported by contentEncoding;
-        // downstream checks are vacuous on the null decoded value (the
-        // reference's decode-then-parse pipeline stops at the decode error)
+        val parseOk = graft.functions.Content.mediaType(mt).getOrElse(
+          throw SpecError(kw("contentMediaType"),
+            s"unknown media type '$mt' (registered: ${graft.functions.Content.knownMediaTypes.mkString(", ")})"))
         add(kw("contentMediaType"),
           vac(v, when(contentValue.isNull, lit(true))
-            .otherwise(try_parse_json(contentValue).isNotNull)),
-          lstr("contentMediaType: value is not valid application/json"))
+            .otherwise(coalesce(parseOk(contentValue), lit(false)))),
+          lstr(s"contentMediaType: value is not valid $mt"))
       }
       // contentSchema: recursive compile over from_json
       // (/root/reference/validator.go:497-510)

@@ -122,9 +122,13 @@ object Engine {
     val observed = annotated.observe(obs, allAggs.head, allAggs.tail: _*)
 
     val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    // explode_outer + isNotNull on the generator output: a pre-explode
+    // filter (explicit or inferred by InferFiltersFromGenerate) would be
+    // pushed below the Project and re-inline the whole check expression —
+    // see Validator.violations
     val rowVios = observed
-      .filter(!col("valid"))
-      .select(explode(col("violations")).as("v"), key.as("k"))
+      .select(explode_outer(col("violations")).as("v"), key.as("k"))
+      .filter(col("v").isNotNull)
       .select(col("v.keyword").as("keyword"),
         concat(col("k"), lit("/"), col("v.instance_path")).as("instance_path"),
         col("v.detail").as("detail"))

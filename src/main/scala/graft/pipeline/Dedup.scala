@@ -48,19 +48,32 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
-  /** One MinHash band value: the lexicographic min over shingles of
-    * md5(band ++ ":" ++ shingle). Deterministic, engine-agnostic (the DuckDB
-    * oracle reproduces it exactly), and a faithful min-wise permutation
-    * sketch per band.
+  /** One MinHash band value: the min over shingles of hash(band, shingle).
+    *
+    * Hash engines:
+    *  - "md5" (default): lexicographic min of the hex digest — deterministic
+    *    and engine-agnostic (the DuckDB oracle reproduces it exactly);
+    *  - "xxhash64": numeric min of the 64-bit hash — several× cheaper per
+    *    shingle (non-crypto), the knob to flip at 100 TB where the oracle
+    *    isn't in the loop. Same min-wise-permutation semantics, so all
+    *    banding guarantees carry over (property-tested in PipelineSpec).
     */
-  def bandHash(sh: Column, band: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$band:"), s))))
+  def bandHash(sh: Column, band: Int, hashEngine: String = "md5"): Column =
+    hashEngine match {
+      case "md5" =>
+        array_min(transform(sh, s => md5(concat(lit(s"$band:"), s)))).cast("string")
+      case "xxhash64" =>
+        array_min(transform(sh, s => xxhash64(lit(band), s))).cast("string")
+      case other => throw new IllegalArgumentException(
+        s"unknown minhash hash engine '$other' (md5 | xxhash64)")
+    }
 
   /** (key, band, h) — one row per document per band; the LSH index. */
   def minhashBands(df: DataFrame, keyCol: String, textCol: String,
-                   numBands: Int, shingleN: Int = 3): DataFrame = {
+                   numBands: Int, shingleN: Int = 3,
+                   hashEngine: String = "md5"): DataFrame = {
     val sh = shingles(col(textCol), shingleN)
-    val bandsArr = array((0 until numBands).map(b => bandHash(sh, b)): _*)
+    val bandsArr = array((0 until numBands).map(b => bandHash(sh, b, hashEngine)): _*)
     df.select(col(keyCol), posexplode(bandsArr).as(Seq("band", "h")))
   }
 
@@ -77,8 +90,9 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, keyCol: String, textCol: String,
                         numBands: Int = 8, shingleN: Int = 3,
-                        maxBucket: Long = 1000L): DataFrame = {
-    val bands = minhashBands(df, keyCol, textCol, numBands, shingleN)
+                        maxBucket: Long = 1000L,
+                        hashEngine: String = "md5"): DataFrame = {
+    val bands = minhashBands(df, keyCol, textCol, numBands, shingleN, hashEngine)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // drop empty/mega buckets BEFORE pairing (skew valve), then generate
     // pairs with a bucket-equality self-join — parallelizes across buckets

@@ -250,10 +250,9 @@ object SchemaNode {
       minLength = optInt("minLength"),
       maxLength = optInt("maxLength"),
       pattern = pat,
-      contentEncoding = optStr("contentEncoding").map { e =>
-        if (e != "base64") throw SpecError(s"$at/contentEncoding", s"unsupported encoding '$e'")
-        e
-      },
+      // encoding/media-type names resolve against the Content registry at
+      // COMPILE time (a custom decoder may be registered after parse)
+      contentEncoding = optStr("contentEncoding"),
       contentMediaType = optStr("contentMediaType"),
       contentSchema = optSchema("contentSchema"),
       jsonSchema = optSchema("json"),

@@ -32,6 +32,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(kws(3) == Set("columns/v/contentEncoding"))
   }
 
+  test("Content registry: custom decoder + media type compose with the pipeline") {
+    import graft.functions.Content
+    // hex decoder (try semantics: NULL on undecodable), csv-ish media type
+    Content.registerEncoding("hex16",
+      v => try_to_binary(v, lit("hex")).cast("string"))
+    Content.registerMediaType("text/csv-2col",
+      v => size(split(v, ",")) === 2)
+    def hex(s: String): String = s.getBytes.map("%02x".format(_)).mkString
+    val df = Seq(
+      (1, hex("a,b")),   // decodes, 2 columns → valid
+      (2, hex("a,b,c")), // decodes, 3 columns → media type fails
+      (3, "zz-not-hex")  // decode fails → contentEncoding only
+    ).toDF("k", "v")
+    val spec =
+      """{"columns":{"v":{"contentEncoding":"hex16",
+           "contentMediaType":"text/csv-2col"}}}"""
+    val suite = SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
+    val kws = Validator.violations(df, suite, Seq("k"))
+      .select("k", "keyword").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(!kws.contains(1))
+    assert(kws(2) == Set("columns/v/contentMediaType"))
+    assert(kws(3) == Set("columns/v/contentEncoding"))
+  }
+
   test("PSI counts empty expected buckets as drift (spine join)") {
     import graft.table.TableChecks
     // data entirely in bucket 2; reference expects 40% in bucket 0

@@ -80,6 +80,10 @@ class PipelineSpec extends SparkTestBase {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", numBands = 8)
       .collect().map(_.toString).toSet
     assert(jac.subsetOf(cand), s"missing: ${jac.diff(cand).take(3)}")
+    // the cheap-hash engine (xxhash64, the 100 TB knob) keeps the guarantee
+    val candFast = Dedup.minhashCandidates(docs, "doc_id", "text",
+      numBands = 8, hashEngine = "xxhash64").collect().map(_.toString).toSet
+    assert(jac.subsetOf(candFast), s"missing: ${jac.diff(candFast).take(3)}")
   }
 
   test("simhash64 banded join = exact all-pairs Hamming<=3 (recall + precision)") {
