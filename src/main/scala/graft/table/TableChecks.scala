@@ -175,10 +175,13 @@ object TableChecks {
     val av = a.select(col(aCol).cast("double").as("v")).filter(col("v").isNotNull)
     val bv = b.select(col(bCol).cast("double").as("v")).filter(col("v").isNotNull)
     val union = av.withColumn("src", lit("a")).union(bv.withColumn("src", lit("b")))
-    // per distinct value (usually ≪ row count)
+    // per distinct value (usually ≪ row count); persisted because the range
+    // exchange below SAMPLES its input to pick boundaries — without the
+    // persist that sampling pass would re-run the full scan+aggregation
     val perValue = union.groupBy("v").agg(
-      sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
-      sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"))
+        sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pid is monotone in v after the range exchange (AQE may merge ADJACENT
     // partitions, which preserves monotonicity); both consumers below share
     // the same exchange via ReuseExchange
