@@ -68,13 +68,20 @@ object Dedup {
         s"unknown minhash hash engine '$other' (md5 | xxhash64)")
     }
 
-  /** (key, band, h) — one row per document per band; the LSH index. */
+  /** (key, band, h) — one row per document per band; the LSH index.
+    * Shingling is materialized in its own Project and referenced numBands
+    * times from the band array — multi-referenced non-cheap aliases are not
+    * re-inlined by CollapseProject, so tokenize+shingle runs once per doc,
+    * not once per band.
+    */
   def minhashBands(df: DataFrame, keyCol: String, textCol: String,
                    numBands: Int, shingleN: Int = 3,
                    hashEngine: String = "md5"): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    val bandsArr = array((0 until numBands).map(b => bandHash(sh, b, hashEngine)): _*)
-    df.select(col(keyCol), posexplode(bandsArr).as(Seq("band", "h")))
+    val shingled = df.select(col(keyCol),
+      shingles(col(textCol), shingleN).as("__graft_sh"))
+    val bandsArr = array((0 until numBands)
+      .map(b => bandHash(col("__graft_sh"), b, hashEngine)): _*)
+    shingled.select(col(keyCol), posexplode(bandsArr).as(Seq("band", "h")))
   }
 
   /** Candidate near-dup pairs: documents sharing ≥1 MinHash band bucket.
@@ -201,10 +208,12 @@ object Dedup {
     val tok = df.select(col(keyCol).as("k"),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t")))
-    // per-token hex digit values d1..d16 (0..15), 4 simhash bits each
-    val withDigits = (1 to 16).foldLeft(tok) { (d, i) =>
-      d.withColumn(s"d_$i", conv(substring(col("h"), i, 1), 16, 10).cast("int"))
-    }
+    // per-token hex digit values d1..d16 (0..15), 4 simhash bits each —
+    // ONE select referencing h 16 times (a withColumn chain would collapse
+    // pairwise and re-inline md5 into every digit)
+    val withDigits = tok.select(
+      col("k") +: (1 to 16).map(i =>
+        conv(substring(col("h"), i, 1), 16, 10).cast("int").as(s"d_$i")): _*)
     val sums = (0 until 64).map { b =>
       val digit = col(s"d_${b / 4 + 1}")
       val bit = digit.bitwiseAND(lit(1 << (b % 4)))

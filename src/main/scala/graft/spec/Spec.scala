@@ -131,6 +131,40 @@ object Spec {
       parse(yamlMapper.readTree(new java.io.File(path)))
     else parse(mapper.readTree(new java.io.File(path)))
 
+  /** Scheme → loader registry — the reference's SchemeURLLoader
+    * (/root/reference/loader.go:62-100): each loader receives the full URL
+    * and returns the parsed document. Built-ins: `file` (json/yaml by
+    * extension, like FileLoader loader.go:25-58) and `inline+json` /
+    * `inline+yaml` (document embedded in the URL itself). Register e.g. an
+    * object-store or config-service loader at startup via [[registerLoader]].
+    */
+  @volatile private var loaders: Map[String, String => JsonNode] = Map(
+    "file" -> { url =>
+      val path = url.stripPrefix("file://").stripPrefix("file:")
+      if (path.endsWith(".yaml") || path.endsWith(".yml"))
+        yamlMapper.readTree(new java.io.File(path))
+      else mapper.readTree(new java.io.File(path))
+    },
+    "inline+json" -> (s => mapper.readTree(s.stripPrefix("inline+json:"))),
+    "inline+yaml" -> (s => yamlMapper.readTree(s.stripPrefix("inline+yaml:")))
+  )
+
+  def registerLoader(scheme: String, load: String => JsonNode): Unit =
+    synchronized { loaders = loaders + (scheme -> load) }
+
+  def knownSchemes: Set[String] = loaders.keySet
+
+  /** Load a spec from a scheme URL via the loader registry. */
+  def fromUrl(url: String): Spec = {
+    val i = url.indexOf(':')
+    if (i <= 0) throw SpecError(url, "spec URL needs a scheme (e.g. file://...)")
+    val scheme = url.substring(0, i)
+    val loader = loaders.getOrElse(scheme,
+      throw SpecError(url,
+        s"no loader registered for scheme '$scheme' (registered: ${loaders.keySet.mkString(", ")})"))
+    parse(loader(url))
+  }
+
   private val topKeywords =
     Set("$defs", "columns", "required", "row", "table", "title", "description", "$comment")
 

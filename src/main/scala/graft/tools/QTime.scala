@@ -32,6 +32,7 @@ object QTime {
       println("QPLAN-END")
     }
     val times = (1 to reps).map { i =>
+      if (sys.env.contains("QTIME_CLEARCACHE")) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val t = (System.nanoTime() - t0) / 1e9

@@ -36,6 +36,7 @@ class ConformanceSpec extends SparkTestBase {
     case "array_long" => ArrayType(LongType)
     case "array_double" => ArrayType(DoubleType)
     case "array_string" => ArrayType(StringType)
+    case "map_string" => MapType(StringType, StringType)
     case other => fail(s"unknown conformance type '$other'")
   }
 
@@ -48,11 +49,14 @@ class ConformanceSpec extends SparkTestBase {
       case StringType => n.asText()
       case BooleanType => n.asBoolean()
       case ArrayType(et, _) => n.asScala.map(valueOf(_, et)).toSeq
+      case MapType(StringType, vt, _) =>
+        n.fieldNames().asScala.map(k => k -> valueOf(n.get(k), vt)).toMap
       case _ => fail(s"unsupported $dt")
     }
 
   private val caseFiles = Seq("bounds.json", "strings.json",
-    "composition.json", "arrays_content.json", "dynamic.json")
+    "composition.json", "arrays_content.json", "dynamic.json",
+    "dependent_unevaluated.json")
 
   caseFiles.foreach { file =>
     val groups = resource(file)

@@ -32,6 +32,26 @@ class ExtensionSpec extends SparkTestBase {
     assert(kws(3) == Set("columns/v/contentEncoding"))
   }
 
+  test("scheme-URL loader registry: builtins + custom scheme + typed unknown-scheme error") {
+    // inline+json builtin
+    val s1 = Spec.fromUrl("""inline+json:{"columns":{"x":{"minimum":1}}}""")
+    assert(s1.columns.map(_._1) == Vector("x"))
+    // file:// builtin routes yaml by extension
+    val f = java.nio.file.Files.createTempFile("graftspec", ".yaml")
+    java.nio.file.Files.writeString(f, "columns:\n  y:\n    maximum: 5\n")
+    val s2 = Spec.fromUrl(s"file://$f")
+    assert(s2.columns.map(_._1) == Vector("y"))
+    // custom scheme (the reference's SchemeURLLoader registration surface)
+    val store = Map("specs/a" -> """{"columns":{"z":{"const":"ok"}}}""")
+    Spec.registerLoader("mem", url =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(store(url.stripPrefix("mem://"))))
+    assert(Spec.fromUrl("mem://specs/a").columns.map(_._1) == Vector("z"))
+    // unknown scheme → typed SpecError listing registered schemes
+    val e = intercept[SpecError](Spec.fromUrl("s3://bucket/spec.json"))
+    assert(e.getMessage.contains("no loader registered"))
+  }
+
   test("Content registry: custom decoder + media type compose with the pipeline") {
     import graft.functions.Content
     // hex decoder (try semantics: NULL on undecodable), csv-ish media type
