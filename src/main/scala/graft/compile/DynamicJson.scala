@@ -85,12 +85,14 @@ object DynamicJson {
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
     val out = Vector.newBuilder[Check]
-    def add(kwPath: String, pred: Column, detail: Column): Unit =
-      out += Check(kwPath, instPath, pred, detail)
+    def add(kwPath: String, pred: Column, detail: Column,
+            kind: ErrorKind): Unit =
+      out += Check(kwPath, instPath, pred, detail, kind)
 
     node.boolSchema match {
       case Some(false) =>
-        add(kwBase, vac(v, lit(false)), lit("false schema: always fails"))
+        add(kwBase, vac(v, lit(false)), lit("false schema: always fails"),
+          ErrorKind.FalseSchema)
         return out.result()
       case Some(true) => return Vector.empty
       case None       =>
@@ -113,7 +115,8 @@ object DynamicJson {
           (t === "number") && (pmod(vNum, lit(1.0)) === lit(0.0))
         else lit(false)
       add(kw("type"), vac(v, base || intOk),
-        concat(lit("type: got "), t, lit(s", want ${ts.mkString("|")}")))
+        concat(lit("type: got "), t, lit(s", want ${ts.mkString("|")}")),
+        ErrorKind.TypeMismatch(ts))
     }
 
     // const / enum — deep equality over canonical JSON with numeric
@@ -136,28 +139,36 @@ object DynamicJson {
 
     node.const.foreach { c =>
       add(kw("const"), vac(v, constEqDyn(c)),
-        concat(lit("const: got "), canon(v), lit(s", want $c")))
+        concat(lit("const: got "), canon(v), lit(s", want $c")),
+        ErrorKind.ConstK(c.toString))
     }
     node.enumVals.foreach { vals =>
       add(kw("enum"), vac(v, vals.map(constEqDyn).reduce(_ || _)),
-        concat(lit("enum: got "), canon(v), lit(s", want one of ${vals.mkString(", ")}")))
+        concat(lit("enum: got "), canon(v), lit(s", want one of ${vals.mkString(", ")}")),
+        ErrorKind.EnumK(vals.map(_.toString)))
     }
 
     // number keywords — gated on runtime number type (vacuous otherwise)
     // decimal-exact bound compare (integers past 2^53 stay exact), double
     // fallback only when the decimal cast overflows to NULL
     def boundCheck(name: String, bd: BigDecimal,
-                   cmp: (Column, Column) => Column, want: String): Unit = {
+                   cmp: (Column, Column) => Column, want: String,
+                   kind: ErrorKind): Unit = {
       val core = coalesce(
         cmp(vDec, lit(bd.bigDecimal).cast("decimal(38,12)")),
         cmp(vNum, lit(bd.toDouble)))
       add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
-        concat(lit(s"$name: got "), vNum.cast(StringType), lit(s", want $want")))
+        concat(lit(s"$name: got "), vNum.cast(StringType), lit(s", want $want")),
+        kind)
     }
-    node.minimum.foreach(b => boundCheck("minimum", b, _ >= _, s">= $b"))
-    node.maximum.foreach(b => boundCheck("maximum", b, _ <= _, s"<= $b"))
-    node.exclusiveMinimum.foreach(b => boundCheck("exclusiveMinimum", b, _ > _, s"> $b"))
-    node.exclusiveMaximum.foreach(b => boundCheck("exclusiveMaximum", b, _ < _, s"< $b"))
+    node.minimum.foreach(bd =>
+      boundCheck("minimum", bd, _ >= _, s">= $bd", ErrorKind.Minimum(bd)))
+    node.maximum.foreach(bd =>
+      boundCheck("maximum", bd, _ <= _, s"<= $bd", ErrorKind.Maximum(bd)))
+    node.exclusiveMinimum.foreach(bd =>
+      boundCheck("exclusiveMinimum", bd, _ > _, s"> $bd", ErrorKind.ExclusiveMinimum(bd)))
+    node.exclusiveMaximum.foreach(bd =>
+      boundCheck("exclusiveMaximum", bd, _ < _, s"< $bd", ErrorKind.ExclusiveMaximum(bd)))
     node.multipleOf.foreach { m =>
       add(kw("multipleOf"),
         vac(v, (t =!= "number") || coalesce(
@@ -166,39 +177,51 @@ object DynamicJson {
           // decimal overflow (>26 integer digits): approximate double check
           pmod(vNum, lit(m.toDouble)) === lit(0.0),
           lit(false))),
-        concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")))
+        concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")),
+        ErrorKind.MultipleOf(m))
     }
 
     // string keywords — gated on runtime string type
-    def strCheck(name: String, core: Column => Column, msg: String): Unit =
+    def strCheck(name: String, core: Column => Column, msg: String,
+                 kind: ErrorKind): Unit =
       add(kw(name), vac(v, (t =!= "string") || coalesce(core(vStr), lit(false))),
-        concat(lit(s"$name: "), canon(v), lit(s" $msg")))
-    node.minLength.foreach(n => strCheck("minLength", length(_) >= n, s"shorter than $n chars"))
-    node.maxLength.foreach(n => strCheck("maxLength", length(_) <= n, s"longer than $n chars"))
-    node.pattern.foreach(p => strCheck("pattern", Formats.patternMatch(_, p), s"does not match '$p'"))
+        concat(lit(s"$name: "), canon(v), lit(s" $msg")),
+        kind)
+    node.minLength.foreach(n => strCheck("minLength", length(_) >= n,
+      s"shorter than $n chars", ErrorKind.MinLength(n)))
+    node.maxLength.foreach(n => strCheck("maxLength", length(_) <= n,
+      s"longer than $n chars", ErrorKind.MaxLength(n)))
+    node.pattern.foreach(p => strCheck("pattern", Formats.patternMatch(_, p),
+      s"does not match '$p'", ErrorKind.PatternK(p)))
     node.format.foreach { f =>
       val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
-      strCheck("format", fn, s"is not a valid $f")
+      strCheck("format", fn, s"is not a valid $f", ErrorKind.FormatK(f))
     }
 
     // array keywords over array<variant> — bound once when any array
     // keyword is present
     lazy val arr = b(asArr(v))
-    def arrCheck(name: String, core: Column, detail: Column): Unit =
-      add(kw(name), vac(v, (t =!= "array") || coalesce(core, lit(false))), detail)
+    def arrCheck(name: String, core: Column, detail: Column,
+                 kind: ErrorKind): Unit =
+      add(kw(name), vac(v, (t =!= "array") || coalesce(core, lit(false))),
+        detail, kind)
     node.minItems.foreach(n => arrCheck("minItems", size(arr) >= n,
-      concat(lit("minItems: got "), size(arr).cast(StringType), lit(s", want >= $n"))))
+      concat(lit("minItems: got "), size(arr).cast(StringType), lit(s", want >= $n")),
+      ErrorKind.MinItems(n)))
     node.maxItems.foreach(n => arrCheck("maxItems", size(arr) <= n,
-      concat(lit("maxItems: got "), size(arr).cast(StringType), lit(s", want <= $n"))))
+      concat(lit("maxItems: got "), size(arr).cast(StringType), lit(s", want <= $n")),
+      ErrorKind.MaxItems(n)))
     if (node.uniqueItems) {
       // canonical-JSON dedup = deep equality incl. sorted object keys
       val canonArr = transform(arr, e => canon(e))
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
-        lit("uniqueItems: duplicate items found"))
+        lit("uniqueItems: duplicate items found"),
+        ErrorKind.UniqueItemsK)
     }
     node.items.foreach { is =>
       val p = forall(arr, e => coalesce(predicate(spec, is, e, stack), lit(false)))
-      arrCheck("items", p, lit("items: element(s) do not match"))
+      arrCheck("items", p, lit("items: element(s) do not match"),
+        ErrorKind.ItemsK)
     }
     node.contains.foreach { cs =>
       val cnt = size(filter(arr, e => coalesce(predicate(spec, cs, e, stack), lit(false))))
@@ -208,7 +231,8 @@ object DynamicJson {
         case None     => cnt >= minC
       }
       arrCheck("contains", core,
-        concat(lit("contains: "), cnt.cast(StringType), lit(s" matching, want >= $minC")))
+        concat(lit("contains: "), cnt.cast(StringType), lit(s" matching, want >= $minC")),
+        ErrorKind.ContainsK(minC, node.maxContains))
     }
 
     // object keywords via variant path extraction
@@ -218,7 +242,8 @@ object DynamicJson {
     node.requiredProps.foreach { k =>
       add(kw("required"),
         vac(v, (t =!= "object") || try_variant_get(v, propPath(k), "variant").isNotNull),
-        lit(s"required: missing property '$k'"))
+        lit(s"required: missing property '$k'"),
+        ErrorKind.RequiredK(k))
     }
     node.properties.foreach { case (k, ps) =>
       val child0 = try_variant_get(v, propPath(k), "variant")
@@ -256,18 +281,21 @@ object DynamicJson {
     node.allOf.foreach(ch => out ++= compile(spec, ch, v, instPath, stack, binder))
     if (node.anyOf.nonEmpty) {
       val ps = node.anyOf.map(ch => predicate(spec, ch, v, stack))
-      add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lit("anyOf: no subschema matched"))
+      add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lit("anyOf: no subschema matched"),
+        ErrorKind.AnyOfK)
     }
     if (node.oneOf.nonEmpty) {
       val cnt = node.oneOf
         .map(ch => when(coalesce(predicate(spec, ch, v, stack), lit(false)), 1).otherwise(0))
         .reduce(_ + _)
       add(kw("oneOf"), vac(v, cnt === 1),
-        concat(lit("oneOf: "), cnt.cast(StringType), lit(" matched, want exactly 1")))
+        concat(lit("oneOf: "), cnt.cast(StringType), lit(" matched, want exactly 1")),
+        ErrorKind.OneOfK(node.oneOf.size))
     }
     node.not.foreach { ch =>
       add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, stack), lit(false))),
-        lit("not: subschema matched"))
+        lit("not: subschema matched"),
+        ErrorKind.NotK)
     }
     node.ifS.foreach { ifn =>
       val ifPred = coalesce(predicate(spec, ifn, v, stack), lit(false))
@@ -297,7 +325,8 @@ object DynamicJson {
     val parseCheck = Check(
       (node.path :+ "!parse").mkString("/"), instPath,
       when(jsonCol.isNull, lit(true)).otherwise(v.isNotNull),
-      lit("!parse: value is not valid JSON"))
+      lit("!parse: value is not valid JSON"),
+      ErrorKind.ParseError)
     parseCheck +: compile(spec, node, v, instPath, Nil, binder)
   }
 }

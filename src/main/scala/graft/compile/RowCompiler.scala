@@ -26,7 +26,10 @@ final case class Check(
     keywordPath: String,
     instancePath: String,
     pred: Column,
-    detail: Column
+    detail: Column,
+    // typed, statically-known keyword parameters — the reference's
+    // ErrorKind (/root/reference/kind/kind.go); see [[ErrorKind]]
+    kind: ErrorKind
 )
 
 /** Collects expensive subexpressions (JSON parses) that many checks share,
@@ -287,14 +290,16 @@ object RowCompiler {
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
     val out = Vector.newBuilder[Check]
-    def add(kwPath: String, pred: Column, detail: Column): Unit =
-      out += Check(kwPath, instPath, pred, detail)
+    def add(kwPath: String, pred: Column, detail: Column,
+            kind: ErrorKind): Unit =
+      out += Check(kwPath, instPath, pred, detail, kind)
     def lstr(s: String): Column = lit(s)
 
     // boolean schema (/root/reference/validator.go:75-81)
     node.boolSchema match {
       case Some(false) =>
-        add(kwBase, vac(v, lit(false)), lstr("false schema: always fails"))
+        add(kwBase, vac(v, lit(false)), lstr("false schema: always fails"),
+          ErrorKind.FalseSchema)
         return out.result()
       case Some(true) => return Vector.empty
       case None       =>
@@ -327,14 +332,16 @@ object RowCompiler {
       ok.foreach { core =>
         add(kw("type"), vac(v, core),
           concat(lstr(s"type: got $s value "), v.cast(StringType),
-            lstr(s", want ${ts.mkString("|")}")))
+            lstr(s", want ${ts.mkString("|")}")),
+          ErrorKind.TypeMismatch(ts))
       }
     }
 
     // const (/root/reference/validator.go:106-113)
     node.const.foreach { c =>
       add(kw("const"), vac(v, constEq(v, dt, c, kw("const"))),
-        concat(lstr("const: got "), v.cast(StringType), lstr(s", want $c")))
+        concat(lstr("const: got "), v.cast(StringType), lstr(s", want $c")),
+        ErrorKind.ConstK(c.toString))
     }
 
     // enum — type-compatible values only (prefilter analogue of
@@ -344,7 +351,8 @@ object RowCompiler {
       val core = eqs.reduceOption(_ || _).getOrElse(lit(false))
       add(kw("enum"), vac(v, core),
         concat(lstr("enum: got "), v.cast(StringType),
-          lstr(s", want one of ${vals.mkString(", ")}")))
+          lstr(s", want one of ${vals.mkString(", ")}")),
+        ErrorKind.EnumK(vals.map(_.toString)))
     }
 
     // format (/root/reference/validator.go:136-146) — strings only, vacuous
@@ -353,7 +361,8 @@ object RowCompiler {
       if (dt == StringType || dt == BinaryType) {
         val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
         add(kw("format"), vac(v, fn(v)),
-          concat(lstr(s"format: "), v.cast(StringType), lstr(s" is not a valid $f")))
+          concat(lstr(s"format: "), v.cast(StringType), lstr(s" is not a valid $f")),
+          ErrorKind.FormatK(f))
       }
     }
 
@@ -361,19 +370,23 @@ object RowCompiler {
     if (isNumeric(dt)) {
       node.minimum.foreach { b =>
         add(kw("minimum"), vac(v, boundCmp(v, dt, b)(_ >= _)),
-          concat(lstr("minimum: got "), v.cast(StringType), lstr(s", want >= $b")))
+          concat(lstr("minimum: got "), v.cast(StringType), lstr(s", want >= $b")),
+          ErrorKind.Minimum(b))
       }
       node.maximum.foreach { b =>
         add(kw("maximum"), vac(v, boundCmp(v, dt, b)(_ <= _)),
-          concat(lstr("maximum: got "), v.cast(StringType), lstr(s", want <= $b")))
+          concat(lstr("maximum: got "), v.cast(StringType), lstr(s", want <= $b")),
+          ErrorKind.Maximum(b))
       }
       node.exclusiveMinimum.foreach { b =>
         add(kw("exclusiveMinimum"), vac(v, boundCmp(v, dt, b)(_ > _)),
-          concat(lstr("exclusiveMinimum: got "), v.cast(StringType), lstr(s", want > $b")))
+          concat(lstr("exclusiveMinimum: got "), v.cast(StringType), lstr(s", want > $b")),
+          ErrorKind.ExclusiveMinimum(b))
       }
       node.exclusiveMaximum.foreach { b =>
         add(kw("exclusiveMaximum"), vac(v, boundCmp(v, dt, b)(_ < _)),
-          concat(lstr("exclusiveMaximum: got "), v.cast(StringType), lstr(s", want < $b")))
+          concat(lstr("exclusiveMaximum: got "), v.cast(StringType), lstr(s", want < $b")),
+          ErrorKind.ExclusiveMaximum(b))
       }
       // exact rational divisibility via DecimalType
       // (/root/reference/validator.go:545-549 uses big.Rat; Decimal(38,12) is
@@ -391,7 +404,8 @@ object RowCompiler {
               pmod(v.cast(DoubleType), lit(m.toDouble)) === lit(0.0))
         }
         add(kw("multipleOf"), vac(v, core),
-          concat(lstr("multipleOf: got "), v.cast(StringType), lstr(s", want multiple of $m")))
+          concat(lstr("multipleOf: got "), v.cast(StringType), lstr(s", want multiple of $m")),
+          ErrorKind.MultipleOf(m))
       }
     }
 
@@ -401,17 +415,20 @@ object RowCompiler {
       // /root/reference/validator.go:435-445
       node.minLength.foreach { n =>
         add(kw("minLength"), vac(v, length(v) >= n),
-          concat(lstr("minLength: got "), length(v).cast(StringType), lstr(s" chars, want >= $n")))
+          concat(lstr("minLength: got "), length(v).cast(StringType), lstr(s" chars, want >= $n")),
+          ErrorKind.MinLength(n))
       }
       node.maxLength.foreach { n =>
         add(kw("maxLength"), vac(v, length(v) <= n),
-          concat(lstr("maxLength: got "), length(v).cast(StringType), lstr(s" chars, want <= $n")))
+          concat(lstr("maxLength: got "), length(v).cast(StringType), lstr(s" chars, want <= $n")),
+          ErrorKind.MaxLength(n))
       }
       // regex *search* via the pluggable engine (default rlike), matching
       // /root/reference/validator.go:455-459 + the UseRegexpEngine hook
       node.pattern.foreach { p =>
         add(kw("pattern"), vac(v, Formats.patternMatch(v, p)),
-          concat(lstr("pattern: "), v.cast(StringType), lstr(s" does not match '$p'")))
+          concat(lstr("pattern: "), v.cast(StringType), lstr(s" does not match '$p'")),
+          ErrorKind.PatternK(p))
       }
       // contentEncoding: decodability of the encoded payload via the
       // pluggable decoder registry (/root/reference/validator.go:468-475,
@@ -428,7 +445,8 @@ object RowCompiler {
       }
       node.contentEncoding.foreach { enc =>
         add(kw("contentEncoding"), vac(v, contentValue.isNotNull),
-          lstr(s"contentEncoding: value is not valid $enc"))
+          lstr(s"contentEncoding: value is not valid $enc"),
+          ErrorKind.ContentEncodingK(enc))
       }
       // contentMediaType via the pluggable media-type registry
       // (RegisterContentMediaType, /root/reference/compiler.go:91-95); a
@@ -441,7 +459,8 @@ object RowCompiler {
         add(kw("contentMediaType"),
           vac(v, when(contentValue.isNull, lit(true))
             .otherwise(coalesce(parseOk(contentValue), lit(false)))),
-          lstr(s"contentMediaType: value is not valid $mt"))
+          lstr(s"contentMediaType: value is not valid $mt"),
+          ErrorKind.ContentMediaTypeK(mt))
       }
       // contentSchema: recursive compile over from_json
       // (/root/reference/validator.go:497-510)
@@ -477,31 +496,36 @@ object RowCompiler {
       case ArrayType(et, _) =>
         node.minItems.foreach { n =>
           add(kw("minItems"), vac(v, size(v) >= n),
-            concat(lstr("minItems: got "), size(v).cast(StringType), lstr(s", want >= $n")))
+            concat(lstr("minItems: got "), size(v).cast(StringType), lstr(s", want >= $n")),
+            ErrorKind.MinItems(n))
         }
         node.maxItems.foreach { n =>
           add(kw("maxItems"), vac(v, size(v) <= n),
-            concat(lstr("maxItems: got "), size(v).cast(StringType), lstr(s", want <= $n")))
+            concat(lstr("maxItems: got "), size(v).cast(StringType), lstr(s", want <= $n")),
+            ErrorKind.MaxItems(n))
         }
         if (node.uniqueItems) {
           // hash-based dedup — the scalable arm of
           // /root/reference/util.go:331-361
           add(kw("uniqueItems"), vac(v, size(array_distinct(v)) === size(v)),
-            lstr("uniqueItems: duplicate items found"))
+            lstr("uniqueItems: duplicate items found"),
+            ErrorKind.UniqueItemsK)
         }
         val prefixN = node.prefixItems.size
         node.prefixItems.zipWithIndex.foreach { case (ps, i) =>
           val elem = element_at(v, i + 1)
           val p = predicate(spec, ps, elem, et, stack)
           add(kw("prefixItems", i.toString), vac(v, size(v) <= i || coalesce(p, lit(false))),
-            lstr(s"prefixItems/$i: element does not match"))
+            lstr(s"prefixItems/$i: element does not match"),
+            ErrorKind.PrefixItemsK(i))
         }
         node.items.foreach { is =>
           val rest = if (prefixN == 0) v else slice(v, lit(prefixN + 1), greatest(size(v) - prefixN, lit(0)))
           val p = forall(rest, x => coalesce(predicate(spec, is, x, et, stack), lit(false)))
           val failed = size(filter(rest, x => !coalesce(predicate(spec, is, x, et, stack), lit(false))))
           add(kw("items"), vac(v, p),
-            concat(lstr("items: "), failed.cast(StringType), lstr(" element(s) do not match")))
+            concat(lstr("items: "), failed.cast(StringType), lstr(" element(s) do not match")),
+            ErrorKind.ItemsK)
         }
         node.contains.foreach { cs =>
           val cnt = size(filter(v, x => coalesce(predicate(spec, cs, x, et, stack), lit(false))))
@@ -513,7 +537,8 @@ object RowCompiler {
           add(kw("contains"), vac(v, core),
             concat(lstr("contains: "), cnt.cast(StringType),
               lstr(s" matching element(s), want >= $minC" +
-                node.maxContains.map(m => s" and <= $m").getOrElse(""))))
+                node.maxContains.map(m => s" and <= $m").getOrElse(""))),
+            ErrorKind.ContainsK(minC, node.maxContains))
         }
         // unevaluatedItems — static lowering: with a statically-known
         // evaluated prefix this is exactly items-after-prefix semantics
@@ -526,13 +551,15 @@ object RowCompiler {
             case Left(false) =>
               add(kw("unevaluatedItems"), vac(v, size(v) <= maxPrefix),
                 concat(lstr("unevaluatedItems: got "), size(v).cast(StringType),
-                  lstr(s" item(s), want <= $maxPrefix evaluated")))
+                  lstr(s" item(s), want <= $maxPrefix evaluated")),
+                ErrorKind.UnevaluatedItemsK)
             case Right(us) =>
               val rest = if (maxPrefix == 0) v
                 else slice(v, lit(maxPrefix + 1), greatest(size(v) - maxPrefix, lit(0)))
               val p = forall(rest, x => coalesce(predicate(spec, us, x, et, stack), lit(false)))
               add(kw("unevaluatedItems"), vac(v, p),
-                lstr("unevaluatedItems: element(s) do not match"))
+                lstr("unevaluatedItems: element(s) do not match"),
+                ErrorKind.UnevaluatedItemsK)
           }
         }
       case _ =>
@@ -544,7 +571,8 @@ object RowCompiler {
         val fields = st.fieldNames.toSet
         node.requiredProps.foreach { k =>
           val core = if (fields.contains(k)) v.getField(k).isNotNull else lit(false)
-          add(kw("required"), vac(v, core), lstr(s"required: missing property '$k'"))
+          add(kw("required"), vac(v, core), lstr(s"required: missing property '$k'"),
+            ErrorKind.RequiredK(k))
         }
         node.properties.foreach { case (k, ps) =>
           if (fields.contains(k)) {
@@ -558,7 +586,8 @@ object RowCompiler {
             val core = reqs.map(r => if (fields.contains(r)) v.getField(r).isNotNull else lit(false))
               .reduceOption(_ && _).getOrElse(lit(true))
             add(kw("dependentRequired", k), vac(v, !v.getField(k).isNotNull || core),
-              lstr(s"dependentRequired: '$k' present but ${reqs.mkString(",")} missing"))
+              lstr(s"dependentRequired: '$k' present but ${reqs.mkString(",")} missing"),
+              ErrorKind.DependentRequiredK(k, reqs))
           }
         }
         // propertyNames over a STRUCT: keys are static, so each field name
@@ -571,7 +600,8 @@ object RowCompiler {
               predicate(spec, ps, lit(f.name), StringType, stack), lit(false))
             add(kw("propertyNames"),
               vac(v, !v.getField(f.name).isNotNull || nameOk),
-              lstr(s"propertyNames: property name '${f.name}' does not match"))
+              lstr(s"propertyNames: property name '${f.name}' does not match"),
+              ErrorKind.PropertyNamesK(f.name))
           }
         }
         // dependentSchemas (/root/reference/validator.go:307-312): if key k
@@ -590,11 +620,13 @@ object RowCompiler {
           .reduceOption(_ + _).getOrElse(lit(0))
         node.minProperties.foreach { n =>
           add(kw("minProperties"), vac(v, nProps >= n),
-            concat(lstr("minProperties: got "), nProps.cast(StringType), lstr(s", want >= $n")))
+            concat(lstr("minProperties: got "), nProps.cast(StringType), lstr(s", want >= $n")),
+            ErrorKind.MinProperties(n))
         }
         node.maxProperties.foreach { n =>
           add(kw("maxProperties"), vac(v, nProps <= n),
-            concat(lstr("maxProperties: got "), nProps.cast(StringType), lstr(s", want <= $n")))
+            concat(lstr("maxProperties: got "), nProps.cast(StringType), lstr(s", want <= $n")),
+            ErrorKind.MaxProperties(n))
         }
         // additionalProperties=false over a closed struct is statically true;
         // a subschema form applies to fields not named in `properties`
@@ -622,7 +654,8 @@ object RowCompiler {
               case Left(false) =>
                 uneval.foreach { f =>
                   add(kw("unevaluatedProperties"), vac(v, v.getField(f.name).isNull),
-                    lstr(s"unevaluatedProperties: unexpected property '${f.name}'"))
+                    lstr(s"unevaluatedProperties: unexpected property '${f.name}'"),
+                    ErrorKind.UnevaluatedPropertiesK)
                 }
               case Right(us) =>
                 uneval.foreach { f =>
@@ -636,12 +669,14 @@ object RowCompiler {
         val keys = map_keys(v)
         node.requiredProps.foreach { k =>
           add(kw("required"), vac(v, array_contains(keys, k)),
-            lstr(s"required: missing property '$k'"))
+            lstr(s"required: missing property '$k'"),
+            ErrorKind.RequiredK(k))
         }
         node.properties.foreach { case (k, ps) =>
           val p = predicate(spec, ps, element_at(v, k), vt, stack)
           add(kw("properties", k), vac(v, !array_contains(keys, k) || coalesce(p, lit(false))),
-            lstr(s"properties/$k: value does not match"))
+            lstr(s"properties/$k: value does not match"),
+            ErrorKind.PropertiesK(k))
         }
         node.patternProperties.foreach { case (re, ps) =>
           // key matching goes through the pluggable regex engine, like
@@ -650,11 +685,13 @@ object RowCompiler {
           val sub = map_filter(v, (k, _) => Formats.patternMatch(k, re))
           val p = forall(map_values(sub), x => coalesce(predicate(spec, ps, x, vt, stack), lit(false)))
           add(kw("patternProperties", re), vac(v, p),
-            lstr(s"patternProperties: value(s) for keys matching '$re' do not match"))
+            lstr(s"patternProperties: value(s) for keys matching '$re' do not match"),
+            ErrorKind.PatternPropertiesK(re))
         }
         node.propertyNames.foreach { ps =>
           val p = forall(keys, k => coalesce(predicate(spec, ps, k, StringType, stack), lit(false)))
-          add(kw("propertyNames"), vac(v, p), lstr("propertyNames: key does not match"))
+          add(kw("propertyNames"), vac(v, p), lstr("propertyNames: key does not match"),
+            ErrorKind.PropertyNamesK("*"))
         }
         node.dependentSchemas.foreach { case (k, ds) =>
           val present = array_contains(keys, k)
@@ -679,13 +716,15 @@ object RowCompiler {
               case Left(true) =>
               case Left(false) =>
                 add(kw("unevaluatedProperties"), vac(v, forall(keys, isEval)),
-                  lstr("unevaluatedProperties: unexpected key(s)"))
+                  lstr("unevaluatedProperties: unexpected key(s)"),
+                  ErrorKind.UnevaluatedPropertiesK)
               case Right(us) =>
                 val rem = map_filter(v, (k, _) => !isEval(k))
                 val p = forall(map_values(rem),
                   x => coalesce(predicate(spec, us, x, vt, stack), lit(false)))
                 add(kw("unevaluatedProperties"), vac(v, p),
-                  lstr("unevaluatedProperties: unevaluated value(s) do not match"))
+                  lstr("unevaluatedProperties: unevaluated value(s) do not match"),
+                  ErrorKind.UnevaluatedPropertiesK)
             }
           }
         }
@@ -700,22 +739,26 @@ object RowCompiler {
           ap match {
             case Left(false) =>
               add(kw("additionalProperties"), vac(v, forall(keys, isKnown)),
-                lstr("additionalProperties: unexpected key(s)"))
+                lstr("additionalProperties: unexpected key(s)"),
+                ErrorKind.AdditionalPropertiesK)
             case Left(true) =>
             case Right(as) =>
               val rem = map_filter(v, (k, _) => !isKnown(k))
               val p = forall(map_values(rem), x => coalesce(predicate(spec, as, x, vt, stack), lit(false)))
               add(kw("additionalProperties"), vac(v, p),
-                lstr("additionalProperties: value(s) do not match"))
+                lstr("additionalProperties: value(s) do not match"),
+                ErrorKind.AdditionalPropertiesK)
           }
         }
         node.minProperties.foreach { n =>
           add(kw("minProperties"), vac(v, size(keys) >= n),
-            concat(lstr("minProperties: got "), size(keys).cast(StringType), lstr(s", want >= $n")))
+            concat(lstr("minProperties: got "), size(keys).cast(StringType), lstr(s", want >= $n")),
+            ErrorKind.MinProperties(n))
         }
         node.maxProperties.foreach { n =>
           add(kw("maxProperties"), vac(v, size(keys) <= n),
-            concat(lstr("maxProperties: got "), size(keys).cast(StringType), lstr(s", want <= $n")))
+            concat(lstr("maxProperties: got "), size(keys).cast(StringType), lstr(s", want <= $n")),
+            ErrorKind.MaxProperties(n))
         }
       case _ =>
     }
@@ -724,18 +767,21 @@ object RowCompiler {
     node.allOf.foreach { ch => out ++= compile(spec, ch, v, dt, instPath, stack, binder) }
     if (node.anyOf.nonEmpty) {
       val ps = node.anyOf.map(ch => predicate(spec, ch, v, dt, stack))
-      add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lstr("anyOf: no subschema matched"))
+      add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lstr("anyOf: no subschema matched"),
+        ErrorKind.AnyOfK)
     }
     if (node.oneOf.nonEmpty) {
       val cnt = node.oneOf
         .map(ch => when(coalesce(predicate(spec, ch, v, dt, stack), lit(false)), 1).otherwise(0))
         .reduce(_ + _)
       add(kw("oneOf"), vac(v, cnt === 1),
-        concat(lstr("oneOf: "), cnt.cast(StringType), lstr(" subschemas matched, want exactly 1")))
+        concat(lstr("oneOf: "), cnt.cast(StringType), lstr(" subschemas matched, want exactly 1")),
+        ErrorKind.OneOfK(node.oneOf.size))
     }
     node.not.foreach { ch =>
       add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, dt, stack), lit(false))),
-        lstr("not: subschema matched"))
+        lstr("not: subschema matched"),
+        ErrorKind.NotK)
     }
     // if/then/else — conditional gating of the branch checks
     // (/root/reference/validator.go:622-630); a literal-false `if` prunes the

@@ -32,7 +32,8 @@ object SuiteCompiler {
     // column-level `required` — the only check that rejects NULL
     val reqChecks = spec.required.map { c =>
       if (!fieldSet.contains(c)) throw SpecError("#/required", s"unknown column '$c'")
-      Check(s"required/$c", c, col(c).isNotNull, lit(s"required: column '$c' is null"))
+      Check(s"required/$c", c, col(c).isNotNull, lit(s"required: column '$c' is null"),
+        ErrorKind.RequiredK(c))
     }
 
     val colChecks = spec.columns.flatMap { case (name, node) =>

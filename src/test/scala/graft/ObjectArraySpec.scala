@@ -264,6 +264,28 @@ class ObjectArraySpec extends SparkTestBase {
     assert(validsOf(spec, df) == Seq(true, false, true))
   }
 
+  test("compiled checks carry typed ErrorKinds (kind ADT, reference kind/kind.go)") {
+    import graft.compile.ErrorKind
+    val df = Seq((1, 5.0, "abc")).toDF("k", "num", "s")
+    val suite = SuiteCompiler.compile(Spec.fromJson(
+      """{"columns":{
+           "num":{"minimum":3,"multipleOf":0.5},
+           "s":{"pattern":"^a","maxLength":10,"format":"uuid"}},
+          "required":["k"]}"""), df.schema)
+    val kinds = suite.rowChecks.map(_.kind).toSet
+    assert(kinds.contains(ErrorKind.Minimum(BigDecimal(3))))
+    assert(kinds.contains(ErrorKind.MultipleOf(BigDecimal("0.5"))))
+    assert(kinds.contains(ErrorKind.PatternK("^a")))
+    assert(kinds.contains(ErrorKind.MaxLength(10)))
+    assert(kinds.contains(ErrorKind.FormatK("uuid")))
+    assert(kinds.contains(ErrorKind.RequiredK("k")))
+    // kind keyword matches the keywordPath leaf for every compiled check
+    suite.rowChecks.foreach { c =>
+      assert(c.keywordPath.split("/").contains(c.kind.keyword) ||
+        c.kind.keyword == "required", s"${c.keywordPath} vs ${c.kind}")
+    }
+  }
+
   test("violation rows for nested paths carry the inner instance location") {
     val schema = StructType(Seq(
       StructField("k", IntegerType),
