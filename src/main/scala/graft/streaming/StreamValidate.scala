@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.compile.CompiledSuite
 import graft.exec.Validator
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming validation. The reference is strictly batch (no concurrency
@@ -72,6 +72,44 @@ object StreamValidate {
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Windowed PSI drift: per event-time window, the PSI of `column`'s
+    * fixed-edge histogram against reference proportions. Built as ONE
+    * stateful aggregation (per-bucket conditional sums — Structured
+    * Streaming forbids chained aggregations), PSI computed in the final
+    * projection; watermark bounds state at O(windows × buckets).
+    */
+  def windowedPsiDrift(
+      stream: DataFrame,
+      column: String,
+      edges: Seq[Double],
+      refProps: Seq[Double],
+      tsCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    require(refProps.size == edges.size + 1, "refProps must have edges+1 entries")
+    val eps = 1e-6
+    val c = col(column).cast("double")
+    val bucket = edges.zipWithIndex.reverse.foldLeft(lit(edges.size): Column) {
+      case (acc, (e, i)) => when(c < e, i).otherwise(acc)
+    }
+    val bucketAggs = (0 to edges.size).map(i =>
+      sum(when(c.isNotNull && bucket === i, 1L).otherwise(0L)).as(s"__b_$i"))
+    val counts = (0 to edges.size).map(i => col(s"__b_$i"))
+    val total = greatest(counts.reduce(_ + _), lit(1L)).cast("double")
+    val psi = (0 to edges.size).map { i =>
+      val p = greatest(counts(i) / total, lit(eps))
+      val q = greatest(lit(refProps(i)), lit(eps))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(bucketAggs.head, bucketAggs.tail: _*)
+      .select(col("window.start").as("window_start"), psi.as("psi"))
+  }
 
   /** In-window duplicate keys (streaming uniqueness): key counts per
     * watermarked window; count > 1 ⇒ duplicate within the window. Global

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.getLong(0) == distinctKeys && got.getLong(1) == distinctKeys)
   }
 
+  test("windowed PSI drift ≡ batch PSI per window (single stateful agg)") {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val edges = Seq(25.0, 50.0, 75.0)
+    val ref = Seq(0.25, 0.25, 0.25, 0.25)
+    val q = StreamValidate.windowedPsiDrift(stream, "value", edges, ref,
+        "ts", "1 day", "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("psidrift")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT window_start, psi FROM psidrift")
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    // batch equivalence: TableChecks.psi over each window's slice
+    val batch = spark.read.parquet(src).withColumn("ts", col("ts").cast("timestamp"))
+    got.foreach { case (ws, psiStream) =>
+      val slice = batch.filter(
+        window(col("ts"), "1 day").getField("start") === lit(ws))
+      val psiBatch = graft.table.TableChecks.psi(slice, "value", edges, ref)
+      assert(math.abs(psiStream - psiBatch) < 1e-9, s"window $ws: $psiStream vs $psiBatch")
+    }
+  }
+
   test("windowed duplicates detect in-window key repeats") {
     
     val schema = spark.read.parquet(src).schema
