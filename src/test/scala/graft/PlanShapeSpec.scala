@@ -41,6 +41,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("dynamic JSON plan parses each row exactly once (binder + explode_outer)") {
+    // regression guard for the round-2 plan-shape bugs: filter-before-explode
+    // (explicit or inferred) re-inlines the whole check array, and unbound
+    // variant walks repeat the parse per check — 10× wall at sf0.1
+    val plan = Queries3.qValidateJsonDynamic(spark, dir)
+      .queryExecution.executedPlan.toString
+    val parses = "parseJson".r.findAllIn(plan).size
+    assert(parses == 1, s"expected exactly 1 parseJson, got $parses")
+    val schemaWalks = "schemaOfVariant".r.findAllIn(plan).size
+    assert(schemaWalks <= 2, s"expected <=2 schemaOfVariant (root+child), got $schemaWalks")
+  }
+
+  test("static JSON plan evaluates from_json once per row") {
+    val plan = Queries.qValidateJson(spark, dir)
+      .queryExecution.executedPlan.toString
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses <= 1, s"expected <=1 from_json, got $parses")
+  }
+
+  test("two-sample KS plan has no partition-less window") {
+    val plan = graft.table.TableChecks.ksTwoSampleDf(
+        spark.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+        spark.read.parquet(s"$dir/lineitem.parquet"), "l_quantity")
+      .queryExecution.executedPlan.toString
+    // every Window node must carry a partition spec (pid); a global window
+    // would single-task the distinct-value sort at scale
+    "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r.findAllMatchIn(plan).foreach { m =>
+      assert(m.group(1).nonEmpty, s"partition-less window in:\n$plan")
+    }
+    assert(plan.contains("Window"), "expected a per-partition window")
+  }
+
   test("text battery is a single codegen'd scan (no shuffle)") {
     val plan = Queries2.qTextBattery(spark, dir).queryExecution.executedPlan.toString
     // orderBy adds one exchange; the battery itself must not add more
