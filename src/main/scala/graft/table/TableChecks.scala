@@ -175,18 +175,22 @@ object TableChecks {
     val av = a.select(col(aCol).cast("double").as("v")).filter(col("v").isNotNull)
     val bv = b.select(col(bCol).cast("double").as("v")).filter(col("v").isNotNull)
     val union = av.withColumn("src", lit("a")).union(bv.withColumn("src", lit("b")))
-    // per distinct value (usually ≪ row count); persisted because the range
-    // exchange below SAMPLES its input to pick boundaries — without the
-    // persist that sampling pass would re-run the full scan+aggregation
+    // per distinct value (usually ≪ row count)
     val perValue = union.groupBy("v").agg(
-        sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
-        sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"))
     // pid is monotone in v after the range exchange (AQE may merge ADJACENT
-    // partitions, which preserves monotonicity); both consumers below share
-    // the same exchange via ReuseExchange
+    // partitions, which preserves monotonicity). The pid column MUST be
+    // materialized (persist) before fanning out to the window and the
+    // offsets consumers: spark_partition_id() is nondeterministic, and two
+    // independently executed range exchanges can number partitions
+    // differently under AQE — which would misalign the prefix offsets
+    // (observed as a wrong KS sup at sf0.1). The persist also keeps the
+    // range exchange's boundary-sampling pass from re-running the full
+    // aggregation.
     val ranged = perValue.repartitionByRange(col("v"))
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition totals (O(#partitions) rows) → prefix offsets + grand
     // totals, all tiny and broadcast — the driver never collects anything
     val partials = ranged.groupBy("pid")

@@ -107,6 +107,31 @@ class PropertySpec extends SparkTestBase {
     assert(ks > 0.5 && ks <= 1.0)
   }
 
+  test("distributed two-sample KS equals driver-exact KS over many partitions") {
+    // enough distinct values to span several range partitions; deterministic
+    // pseudo-random values (no Random: reproducibility)
+    val av = (1 to 20000).map(i => ((i * 2654435761L) % 100003L).toDouble)
+    val bv = (1 to 15000).map(i => ((i * 40503L) % 90001L).toDouble + (i % 2) * 0.5)
+    val aDf = av.toDF("x").repartition(7)
+    val bDf = bv.toDF("y").repartition(5)
+    val got = TableChecks.ksTwoSample(aDf, "x", bDf, "y")
+    // driver-exact sup |Fa - Fb| over the merged distinct-value grid
+    val ca = av.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = bv.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val na = av.size.toDouble
+    val nb = bv.size.toDouble
+    var (cumA, cumB, sup) = (0L, 0L, 0.0)
+    (ca.keySet ++ cb.keySet).toSeq.sorted.foreach { v =>
+      cumA += ca.getOrElse(v, 0L)
+      cumB += cb.getOrElse(v, 0L)
+      sup = math.max(sup, math.abs(cumA / na - cumB / nb))
+    }
+    assert(math.abs(got - sup) < 1e-12, s"distributed $got vs exact $sup")
+    // determinism across re-executions (spark_partition_id pitfalls)
+    val again = TableChecks.ksTwoSample(aDf, "x", bDf, "y")
+    assert(got == again)
+  }
+
   test("simhash is partitioning-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = graft.pipeline.Dedup.simhash16(docs.repartition(1), "doc_id", "text")
