@@ -65,7 +65,7 @@ object Bench {
     * before the timed region).
     */
   private def fullSuiteTimed(spark: SparkSession, dir: String,
-                             deep: Boolean, reps: Int = 5): Double = {
+                             deep: Boolean, reps: Int = 7): Double = {
     val base0 = spark.read.parquet(dir)
     // optional over-partitioning of the cached input (wave balancing knob)
     val base = sys.env.get("SPARK_GRAFT_CACHE_PARTS")

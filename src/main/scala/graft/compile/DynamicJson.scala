@@ -122,12 +122,16 @@ object DynamicJson {
     // const / enum — deep equality over canonical JSON with numeric
     // cross-type handling (2 == 2.0 compares as decimal)
     def constEqDyn(jn: com.fasterxml.jackson.databind.JsonNode): Column =
-      if (jn.isNumber)
+      if (jn.isNumber) {
         // decimal-exact compare, double fallback for magnitudes beyond
-        // decimal(38,12) (where the cast yields NULL)
-        (t === "number") && coalesce(
-          vDec === lit(jn.decimalValue()).cast("decimal(38,12)"),
-          vNum === lit(jn.decimalValue().doubleValue()))
+        // decimal(38,12); constants not exactly representable there take
+        // the double arm directly (the cast would round them)
+        val dblEq = vNum === lit(jn.decimalValue().doubleValue())
+        (t === "number") && (
+          if (RowCompiler.fitsDec(BigDecimal(jn.decimalValue())))
+            coalesce(vDec === lit(jn.decimalValue()).cast("decimal(38,12)"), dblEq)
+          else dblEq)
+      }
       else if (jn.isTextual) (t === "string") && (vStr === lit(jn.asText()))
       else if (jn.isBoolean) (t === "boolean") && (asBool(v) === lit(jn.asBoolean()))
       else if (jn.isNull) t === "null"
@@ -154,9 +158,12 @@ object DynamicJson {
     def boundCheck(name: String, bd: BigDecimal,
                    cmp: (Column, Column) => Column, want: String,
                    kind: ErrorKind): Unit = {
-      val core = coalesce(
-        cmp(vDec, lit(bd.bigDecimal).cast("decimal(38,12)")),
-        cmp(vNum, lit(bd.toDouble)))
+      val core =
+        if (RowCompiler.fitsDec(bd))
+          coalesce(
+            cmp(vDec, lit(bd.bigDecimal).cast("decimal(38,12)")),
+            cmp(vNum, lit(bd.toDouble)))
+        else cmp(vNum, lit(bd.toDouble)) // bound not Decimal(38,12)-exact
       add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
         concat(lit(s"$name: got "), vNum.cast(StringType), lit(s", want $want")),
         kind)
@@ -170,13 +177,18 @@ object DynamicJson {
     node.exclusiveMaximum.foreach(bd =>
       boundCheck("exclusiveMaximum", bd, _ < _, s"< $bd", ErrorKind.ExclusiveMaximum(bd)))
     node.multipleOf.foreach { m =>
-      add(kw("multipleOf"),
-        vac(v, (t =!= "number") || coalesce(
-          pmod(vDec, lit(m.bigDecimal).cast("decimal(38,12)")) ===
-            lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
-          // decimal overflow (>26 integer digits): approximate double check
-          pmod(vNum, lit(m.toDouble)) === lit(0.0),
-          lit(false))),
+      val core =
+        if (RowCompiler.fitsDec(m))
+          coalesce(
+            pmod(vDec, lit(m.bigDecimal).cast("decimal(38,12)")) ===
+              lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+            // decimal overflow (>26 integer digits): approximate double check
+            pmod(vNum, lit(m.toDouble)) === lit(0.0),
+            lit(false))
+        // divisor not Decimal(38,12)-exact (would round, possibly to ZERO —
+        // ANSI DIVIDE_BY_ZERO): approximate double arm only
+        else coalesce(pmod(vNum, lit(m.toDouble)) === lit(0.0), lit(false))
+      add(kw("multipleOf"), vac(v, (t =!= "number") || core),
         concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")),
         ErrorKind.MultipleOf(m))
     }

@@ -50,11 +50,17 @@ final case class Check(
   */
 final class Binder {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
-  def bind(c: Column): Column = {
-    val name = s"__graft_bind_${buf.size}"
-    buf += name -> c
-    col(name)
-  }
+  // memoized by expression tree: recursive compiles over the SAME value
+  // ($ref/allOf/dependentSchemas re-entry) bind the type dispatch and typed
+  // extractions once, not once per visiting node
+  private val memo = scala.collection.mutable.HashMap
+    .empty[org.apache.spark.sql.catalyst.expressions.Expression, Column]
+  def bind(c: Column): Column =
+    memo.getOrElseUpdate(org.apache.spark.sql.GraftColumnBridge.expression(c), {
+      val name = s"__graft_bind_${buf.size}"
+      buf += name -> c
+      col(name)
+    })
   def bindings: Seq[(String, Column)] = buf.toSeq
 }
 
@@ -74,6 +80,17 @@ final class Binder {
 object RowCompiler {
 
   private val Dec = DecimalType(38, 12)
+
+  /** True when `bd` is EXACTLY representable in Decimal(38,12) — the
+    * precondition for the decimal-exact arms below. Out-of-range literals
+    * (scale > 12, e.g. 1e-13, or > 26 integer digits) would be silently
+    * ROUNDED by the cast (try_cast nulls only on overflow, not scale loss):
+    * a divisor under 5e-13 rounds to zero (DIVIDE_BY_ZERO under ANSI) and a
+    * bound/const compares against the wrong value — those take the
+    * approximate double arm instead.
+    */
+  private[compile] def fitsDec(bd: BigDecimal): Boolean =
+    bd.scale <= 12 && bd.precision - bd.scale <= 26
 
   /** Wrap a core predicate so NULL input passes and a NULL-valued core
     * (three-valued logic leak) fails closed.
@@ -107,10 +124,13 @@ object RowCompiler {
     dt match {
       case _ if node.isNumber && isNumeric(dt) =>
         // try_cast: ANSI mode would otherwise THROW past Decimal(38,12);
-        // double fallback keeps cross-type equality working out of range
-        coalesce(
-          v.try_cast(Dec) === lit(node.decimalValue()).try_cast(Dec),
-          v.cast(DoubleType) === lit(node.decimalValue().doubleValue()))
+        // double fallback keeps cross-type equality working out of range;
+        // constants not exactly representable in Decimal(38,12) take the
+        // double arm directly (the cast would ROUND them)
+        val dblEq = v.cast(DoubleType) === lit(node.decimalValue().doubleValue())
+        if (fitsDec(BigDecimal(node.decimalValue())))
+          coalesce(v.try_cast(Dec) === lit(node.decimalValue()).try_cast(Dec), dblEq)
+        else dblEq
       case StringType if node.isTextual  => v === lit(node.asText())
       case BooleanType if node.isBoolean => v === lit(node.asBoolean())
       case at2: ArrayType if node.isArray =>
@@ -160,13 +180,17 @@ object RowCompiler {
     case FloatType | DoubleType if bd.isExactDouble =>
       native(v, lit(bd.toDouble))
     case d: DecimalType => native(v, lit(bd.bigDecimal).cast(d))
-    case _ =>
-      // decimal-exact compare; double fallback when value or bound overflows
+    case _ if fitsDec(bd) =>
+      // decimal-exact compare; double fallback when the VALUE overflows
       // Decimal(38,12) — try_cast yields NULL there (a plain cast would
       // THROW under ANSI), so 1e30 on a double column still bound-checks
       coalesce(
         native(v.try_cast(Dec), lit(bd.bigDecimal).try_cast(Dec)),
         native(v.cast(DoubleType), lit(bd.toDouble)))
+    case _ =>
+      // bound itself not representable in Decimal(38,12) (the cast would
+      // round it): approximate double compare
+      native(v.cast(DoubleType), lit(bd.toDouble))
   }
 
   /** Spark type inferred from a schema node's `type` keyword — used to give
@@ -221,7 +245,8 @@ object RowCompiler {
           n.dependentSchemas.map(_._2)).exists(evaluatesProps(_, st)) ||
         n.ref.exists(r => evaluatesProps(spec.resolve(r, st),
           r.stripPrefix("#/$defs/") :: st))
-    def walk(n: SchemaNode, st: List[String]): (Set[String], Vector[String], Boolean) = {
+    def walk(n: SchemaNode, st: List[String],
+             isRoot: Boolean): (Set[String], Vector[String], Boolean) = {
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesProps(_, st)).foreach { d =>
         throw SpecError(at,
@@ -229,12 +254,19 @@ object RowCompiler {
             s"the runtime-dependent applicator at '${d.path.mkString("/")}' evaluates properties")
       }
       val parts = n.ref.map(r => walk(spec.resolve(r, st),
-        r.stripPrefix("#/$defs/") :: st)).toVector ++ n.allOf.map(walk(_, st))
+        r.stripPrefix("#/$defs/") :: st, isRoot = false)).toVector ++
+        n.allOf.map(walk(_, st, isRoot = false))
+      // a NESTED unevaluatedProperties (in allOf/$ref children) annotates
+      // every property the closure leaves unevaluated, so the root's own
+      // check sees everything evaluated — but the root must not count
+      // ITSELF (that would make every check vacuous)
       (n.properties.map(_._1).toSet ++ parts.flatMap(_._1),
         n.patternProperties.map(_._1) ++ parts.flatMap(_._2),
-        n.additionalProperties.nonEmpty || parts.exists(_._3))
+        n.additionalProperties.nonEmpty ||
+          (!isRoot && n.unevaluatedProperties.nonEmpty) ||
+          parts.exists(_._3))
     }
-    walk(node, stack)
+    walk(node, stack, isRoot = true)
   }
 
   /** Statically-known evaluated item prefix for `unevaluatedItems`:
@@ -250,7 +282,7 @@ object RowCompiler {
           n.dependentSchemas.map(_._2)).exists(evaluatesItems(_, st)) ||
         n.ref.exists(r => evaluatesItems(spec.resolve(r, st),
           r.stripPrefix("#/$defs/") :: st))
-    def walk(n: SchemaNode, st: List[String]): (Int, Boolean) = {
+    def walk(n: SchemaNode, st: List[String], isRoot: Boolean): (Int, Boolean) = {
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesItems(_, st)).foreach { d =>
         throw SpecError(at,
@@ -262,11 +294,14 @@ object RowCompiler {
           "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
             "count as evaluated) — out of the static-lowering scope")
       val parts = n.ref.map(r => walk(spec.resolve(r, st),
-        r.stripPrefix("#/$defs/") :: st)).toVector ++ n.allOf.map(walk(_, st))
+        r.stripPrefix("#/$defs/") :: st, isRoot = false)).toVector ++
+        n.allOf.map(walk(_, st, isRoot = false))
       ((n.prefixItems.size +: parts.map(_._1)).max,
-        n.items.nonEmpty || parts.exists(_._2))
+        n.items.nonEmpty ||
+          (!isRoot && n.unevaluatedItems.nonEmpty) || // nested = all evaluated
+          parts.exists(_._2))
     }
-    walk(node, stack)
+    walk(node, stack, isRoot = true)
   }
 
   /** boolResult mode (/root/reference/validator.go:66): the conjunction of a
@@ -395,13 +430,18 @@ object RowCompiler {
         val core = dt match {
           case ByteType | ShortType | IntegerType | LongType if m.isValidLong =>
             pmod(v, lit(m.toLong)) === lit(0L)
-          case _ =>
+          case _ if fitsDec(m) =>
             // decimal-exact; approximate double fallback past Decimal(38,12)
             // range, matching the dynamic compiler
             coalesce(
               pmod(v.try_cast(Dec), lit(m.bigDecimal).try_cast(Dec)) ===
                 lit(java.math.BigDecimal.ZERO).cast(Dec),
               pmod(v.cast(DoubleType), lit(m.toDouble)) === lit(0.0))
+          case _ =>
+            // divisor not representable in Decimal(38,12): the cast would
+            // ROUND it (a sub-5e-13 divisor rounds to ZERO — ANSI
+            // DIVIDE_BY_ZERO on every row) — approximate double arm only
+            pmod(v.cast(DoubleType), lit(m.toDouble)) === lit(0.0)
         }
         add(kw("multipleOf"), vac(v, core),
           concat(lstr("multipleOf: got "), v.cast(StringType), lstr(s", want multiple of $m")),

@@ -21,6 +21,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Cache lifecycle: the LSH/signature frames below are persisted so the
+    * expensive scan pass runs once per call instead of per consumer. The
+    * cache entries live until `spark.catalog.clearCache()` / session end —
+    * long-lived drivers that loop over corpora should either clear between
+    * iterations or pass `storage = StorageLevel.NONE` to trade recompute
+    * for zero pinned blocks.
+    */
+  private def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
+    if (storage == StorageLevel.NONE) df else df.persist(storage)
+
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles; a document shorter than n words is its
@@ -98,9 +108,10 @@ object Dedup {
   def minhashCandidates(df: DataFrame, keyCol: String, textCol: String,
                         numBands: Int = 8, shingleN: Int = 3,
                         maxBucket: Long = 1000L,
-                        hashEngine: String = "md5"): DataFrame = {
-    val bands = minhashBands(df, keyCol, textCol, numBands, shingleN, hashEngine)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                        hashEngine: String = "md5",
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val bands = maybePersist(
+      minhashBands(df, keyCol, textCol, numBands, shingleN, hashEngine), storage)
     // drop empty/mega buckets BEFORE pairing (skew valve), then generate
     // pairs with a bucket-equality self-join — parallelizes across buckets
     // instead of materializing n² arrays per bucket
@@ -121,8 +132,9 @@ object Dedup {
     */
   def minhashMegaBuckets(df: DataFrame, keyCol: String, textCol: String,
                          numBands: Int = 8, shingleN: Int = 3,
-                         maxBucket: Long = 1000L): DataFrame =
-    minhashBands(df, keyCol, textCol, numBands, shingleN)
+                         maxBucket: Long = 1000L,
+                         hashEngine: String = "md5"): DataFrame =
+    minhashBands(df, keyCol, textCol, numBands, shingleN, hashEngine)
       .groupBy("band", "h").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
 
@@ -132,18 +144,19 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
-                   maxDf: Long = Long.MaxValue): DataFrame = {
+                   maxDf: Long = Long.MaxValue,
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val sh = df.select(col(keyCol).as("k"),
       explode(shingles(col(textCol), shingleN)).as("s"))
     // the exploded shingle frame feeds the per-doc sizes AND both sides of
     // the self-join — persist so shingling runs once, not 3×
-    val filtered = (
+    val filtered = maybePersist(
       if (maxDf == Long.MaxValue) sh
       else {
         val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("s")
         sh.join(broadcast(hot), Seq("s"), "left_anti")
-      }).persist(StorageLevel.MEMORY_AND_DISK)
+      }, storage)
     val sizes = filtered.groupBy("k").agg(count(lit(1)).as("n"))
     val inter = filtered.as("x").join(filtered.as("y"),
         col("x.s") === col("y.s") && col("x.k") < col("y.k"))
@@ -248,10 +261,10 @@ object Dedup {
     */
   def simhashNearDup64(df: DataFrame, keyCol: String, textCol: String,
                        maxHamming: Int = 3,
-                       maxBucket: Long = 100000L): DataFrame = {
+                       maxBucket: Long = 100000L,
+                       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(maxHamming <= 3, "4 bands guarantee recall only up to distance 3")
-    val sig = simhash64(df, keyCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = maybePersist(simhash64(df, keyCol, textCol), storage)
     val exploded = sig.select(col("k"), col("simhash"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band", "bv")))

@@ -97,7 +97,8 @@ object StreamValidate {
     val bucketAggs = (0 to edges.size).map(i =>
       sum(when(c.isNotNull && bucket === i, 1L).otherwise(0L)).as(s"__b_$i"))
     val counts = (0 to edges.size).map(i => col(s"__b_$i"))
-    val total = greatest(counts.reduce(_ + _), lit(1L)).cast("double")
+    val observed = counts.reduce(_ + _)
+    val total = greatest(observed, lit(1L)).cast("double")
     val psi = (0 to edges.size).map { i =>
       val p = greatest(counts(i) / total, lit(eps))
       val q = greatest(lit(refProps(i)), lit(eps))
@@ -108,7 +109,10 @@ object StreamValidate {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(bucketAggs.head, bucketAggs.tail: _*)
-      .select(col("window.start").as("window_start"), psi.as("psi"))
+      // a window with ZERO non-null observations carries no drift evidence:
+      // psi is NULL there, not the huge all-eps-vs-ref artifact
+      .select(col("window.start").as("window_start"),
+        when(observed === 0, lit(null).cast("double")).otherwise(psi).as("psi"))
   }
 
   /** In-window duplicate keys (streaming uniqueness): key counts per

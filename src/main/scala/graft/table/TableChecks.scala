@@ -187,7 +187,8 @@ object TableChecks {
     // differently under AQE — which would misalign the prefix offsets
     // (observed as a wrong KS sup at sf0.1). The persist also keeps the
     // range exchange's boundary-sampling pass from re-running the full
-    // aggregation.
+    // aggregation. NOTE: unlike the Dedup caches this persist is
+    // CORRECTNESS-REQUIRED, not an optimization — do not make it optional.
     val ranged = perValue.repartitionByRange(col("v"))
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

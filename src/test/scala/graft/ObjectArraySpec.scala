@@ -264,6 +264,38 @@ class ObjectArraySpec extends SparkTestBase {
     assert(validsOf(spec, df) == Seq(true, false, true))
   }
 
+  test("nested unevaluated* in allOf counts as all-evaluated (annotates everything)") {
+    // inner schema-form unevaluatedProperties evaluates every property, so
+    // the outer false sees nothing unevaluated → all valid
+    val dfm = Seq((1, Map("a" -> "1", "zzz" -> "2"))).toDF("k", "m")
+    val spec =
+      """{"columns":{"m":{
+           "allOf":[{"unevaluatedProperties":{"minLength":0}}],
+           "unevaluatedProperties":false}}}"""
+    assert(validsOf(spec, dfm) == Seq(true))
+    val dfa = Seq((1, Seq(1L, 2L, 3L))).toDF("k", "a")
+    val specA =
+      """{"columns":{"a":{
+           "allOf":[{"unevaluatedItems":{"maximum":100}}],
+           "unevaluatedItems":false}}}"""
+    assert(validsOf(specA, dfa) == Seq(true))
+  }
+
+  test("out-of-Decimal(38,12) literals take the double arm (no rounding, no div-by-zero)") {
+    val df = Seq((1, 2.0e-13), (2, 3.0e-13), (3, 1.0e-13)).toDF("k", "v")
+    // divisor 1e-13 would round to ZERO in Decimal(38,12) → ANSI
+    // DIVIDE_BY_ZERO without the guard; double arm: 2e-13 and 3e-13 are
+    // exact multiples of 1e-13? floating-point: 2e-13 pmod 1e-13 — allow
+    // either verdict, the point is NO exception and no all-rows-flagged
+    val spec = """{"columns":{"v":{"multipleOf":1e-13}}}"""
+    val suite = SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
+    Validator.annotate(df, suite).select("valid").collect() // must not throw
+    // bound 1e-13 would round to 0 → -5e-14 would wrongly pass minimum
+    val df2 = Seq((1, 5.0e-14), (2, 2.0e-13)).toDF("k", "v")
+    val bound = """{"columns":{"v":{"minimum":1e-13}}}"""
+    assert(validsOf(bound, df2) == Seq(false, true))
+  }
+
   test("compiled checks carry typed ErrorKinds (kind ADT, reference kind/kind.go)") {
     import graft.compile.ErrorKind
     val df = Seq((1, 5.0, "abc")).toDF("k", "num", "s")
