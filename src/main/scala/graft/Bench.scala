@@ -95,6 +95,15 @@ object Bench {
     // --- operator battery timings at the driver-provided parallelism ---
     var spark = session(cpus)
     val corpus = clipCorpus(spark, nClips)
+    // JIT/codegen warmup: without it the alphabetically-first battery query
+    // absorbs ~5s of one-time JVM cost that is not the operator's
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(200000)
+        .groupBy(pmod(col("id"), lit(13)).as("g"))
+        .agg(sum(col("id").cast("decimal(18,2)")), count(lit(1)))
+        .count()
+    }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

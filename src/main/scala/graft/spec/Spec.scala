@@ -162,7 +162,14 @@ object Spec {
     val loader = loaders.getOrElse(scheme,
       throw SpecError(url,
         s"no loader registered for scheme '$scheme' (registered: ${loaders.keySet.mkString(", ")})"))
-    parse(loader(url))
+    // loader failures (unreadable file, malformed document) keep the typed
+    // SpecError contract — the CLI exits 2, not with a raw stack trace
+    val doc = try loader(url) catch {
+      case e: SpecError => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw SpecError(url, s"loader failed: ${e.getMessage}")
+    }
+    parse(doc)
   }
 
   private val topKeywords =
