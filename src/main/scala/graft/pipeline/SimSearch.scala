@@ -35,11 +35,16 @@ object SimSearch {
   def bruteTopK(corpus: DataFrame, probes: DataFrame, keyCol: String,
                 vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are per-ROW, computed once per side — not per pair (the join
+    // would otherwise re-fold each probe's norm for every corpus row);
+    // sqrt(dot(v,v)) is the same expression, so sim stays bit-identical
+    val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -79,11 +84,16 @@ object SimSearch {
                  threshold: Double, numPlanes: Int = 8,
                  dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
-    val withB = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+    // signature + norm computed once per row in ONE select (multi-referenced
+    // non-cheap aliases survive CollapseProject); the per-pair work is one
+    // dot product + a multiply
+    val withB = df.select(col(keyCol).as("k"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"),
+      norm(col(vecCol)).as("n"))
     withB.as("x").join(withB.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.k") < col("y.k"))
-      .withColumn("sim", round(cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("sim",
+        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
       .filter(col("sim") >= threshold)
       .select(col("x.k").as("a"), col("y.k").as("b"), col("sim"))
   }
@@ -162,13 +172,15 @@ object SimSearch {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, keyCol: String,
               vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
       .withColumn("cell", model.cell(col("cv")))
-    val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"))
+    val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
       .withColumn("cell", explode(model.probeCells(col("qv"), nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -179,9 +191,11 @@ object SimSearch {
   /** Brute-force near-dup (all pairs) — the oracle/recall baseline. */
   def bruteNearDup(df: DataFrame, keyCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val v = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+    val v = df.select(col(keyCol).as("k"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
     v.as("x").join(v.as("y"), col("x.k") < col("y.k"))
-      .withColumn("sim", round(cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("sim",
+        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
       .filter(col("sim") >= threshold)
       .select(col("x.k").as("a"), col("y.k").as("b"), col("sim"))
   }
