@@ -216,6 +216,41 @@ object Queries {
            FROM typed WHERE kv IS NOT NULL AND NOT (kv <= 90)
        ) ORDER BY event_id, keyword"""
 
+  // ---- §2.4 object keywords over a map column: properties +
+  // patternProperties + dependentSchemas + unevaluatedProperties ----
+  def qValidateObjectOps(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+    // derived map column: every doc carries {lang, text}; every third doc an
+    // 'extra' key that no keyword evaluates
+    val m = when(pmod(col("doc_id"), lit(3)) === 0,
+        map(lit("lang"), col("lang"),
+          lit("text"), substring(col("text"), 1, 10),
+          lit("extra"), lit("x")))
+      .otherwise(
+        map(lit("lang"), col("lang"),
+          lit("text"), substring(col("text"), 1, 10)))
+    vios(base.select(col("doc_id"), m.as("m")),
+      """{"columns":{"m":{
+           "properties":{"lang":{"enum":["en","fr","es","de","zh"]}},
+           "patternProperties":{"^te":{"minLength":1}},
+           "dependentSchemas":{"extra":{"required":["title"]}},
+           "unevaluatedProperties":false}}}""",
+      Seq("doc_id"))
+  }
+
+  val sqlValidateObjectOps: String =
+    """WITH d AS (SELECT doc_id, lang, (doc_id % 3 = 0) AS has_extra FROM documents)
+       SELECT * FROM (
+         SELECT doc_id, 'columns/m/properties/lang' AS keyword, 'm' AS instance_path
+           FROM d WHERE lang NOT IN ('en','fr','es','de','zh')
+         UNION ALL
+         SELECT doc_id, 'columns/m/dependentSchemas/extra/required', 'm'
+           FROM d WHERE has_extra
+         UNION ALL
+         SELECT doc_id, 'columns/m/unevaluatedProperties', 'm'
+           FROM d WHERE has_extra
+       ) ORDER BY doc_id, keyword"""
+
   // ---- §2.9 uniqueness (hash agg w/ map-side partials) ----
   def qUnique(spark: SparkSession, dir: String): DataFrame =
     TableChecks.uniqueViolations(t(spark, dir, "orders"), Unique(Vector("o_custkey")))
@@ -389,6 +424,7 @@ object Queries {
     "q_validate_formats" -> ((qValidateFormats _, sqlValidateFormats)),
     "q_validate_composition" -> ((qValidateComposition _, sqlValidateComposition)),
     "q_validate_json" -> ((qValidateJson _, sqlValidateJson)),
+    "q_validate_object_ops" -> ((qValidateObjectOps _, sqlValidateObjectOps)),
     "q_unique" -> ((qUnique _, sqlUnique)),
     "q_referential" -> ((qReferential _, sqlReferential)),
     "q_stats_exact" -> ((qStatsExact _, sqlStatsExact)),
