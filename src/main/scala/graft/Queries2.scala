@@ -85,6 +85,40 @@ object Queries2 {
         SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id"""
   }
 
+  // ---- dedup clusters: connected components over near-dup pairs ----
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(
+        Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5).select("a", "b"))
+      .orderBy("canonical")
+
+  // oracle: transitive closure via recursive CTE over the same jaccard
+  // pairs; component id = min reachable id (matches the min-label engine)
+  val sqlDedupGroups: String =
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       sh AS (SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       prs AS (SELECT a, b
+               FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+               WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+       und AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+       reach(u, v) AS (
+         SELECT u, v FROM und
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       comp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+       SELECT comp AS canonical, count(*) AS n_members
+       FROM comp GROUP BY comp ORDER BY canonical"""
+
   // ---- 64-bit SimHash near-dup (banded Hamming join — the scale path) ----
   def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup64(t(spark, dir, "documents"), "doc_id", "text",
@@ -191,6 +225,7 @@ object Queries2 {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_dedup_exact" -> ((qDedupExact _, sqlDedupExact)),
     "q_dedup_jaccard" -> ((qDedupJaccard _, sqlDedupJaccard)),
+    "q_dedup_groups" -> ((qDedupGroups _, sqlDedupGroups)),
     "q_dedup_minhash" -> ((qDedupMinhash _, sqlDedupMinhash)),
     "q_dedup_simhash" -> ((qDedupSimhash _, sqlDedupSimhash)),
     "q_dedup_simhash64" -> ((qDedupSimhash64 _, sqlDedupSimhash64)),

@@ -281,6 +281,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * ((a, b) rows → (id, comp) with comp = min id in the component) — the
+    * standard last step of a dedup pipeline: candidate pairs → duplicate
+    * CLUSTERS → one canonical document per cluster.
+    *
+    * Algorithm: distributed min-label propagation — per round, every vertex
+    * takes the min label among itself and its neighbors (one equi-join +
+    * one partial-agg groupBy, both shuffling O(edges) small rows). Rounds
+    * needed = graph diameter; near-dup graphs are unions of near-cliques
+    * (LSH buckets), so 2-4 rounds in practice. The loop is driver-bounded
+    * with an exact convergence check per round; hitting `maxIter` without
+    * convergence THROWS rather than silently returning partial components
+    * (no-silent-caps). For adversarial long-chain graphs prefer a
+    * large-star/small-star variant (O(log n) rounds) — out of scope here.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val edges = maybePersist(
+      pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v"))), storage)
+    var labels = maybePersist(
+      edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")), storage)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow along edges; keep own label in the pool
+      val msgs = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u").as("id"), col("comp"))
+      val next = maybePersist(
+        labels.unionByName(msgs).groupBy("id").agg(min("comp").as("comp")),
+        storage)
+      val changed = next.withColumnRenamed("comp", "nc")
+        .join(labels, Seq("id"))
+        .filter(col("nc") =!= col("comp")).count()
+      if (storage != StorageLevel.NONE) labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
+    if (storage != StorageLevel.NONE) edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters from near-dup pairs: one row per component with the
+    * canonical (min) id and the member count. Documents not in any pair are
+    * singletons by definition and are not emitted.
+    */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .groupBy(col("comp").as("canonical"))
+      .agg(count(lit(1)).as("n_members"))
+
   /** Dropped mega-buckets of [[simhashNearDup64]] under the same parameters
     * (band, bv, n) with n > maxBucket — the no-silent-caps companion.
     */

@@ -108,6 +108,26 @@ class PipelineSpec extends SparkTestBase {
       s"banded-only: ${banded.diff(brute).take(3)}; missed: ${brute.diff(banded).take(3)}")
   }
 
+  test("connected components over near-dup pairs match driver union-find") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).select("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver union-find with min-root convention
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = (es.map(_._1) ++ es.map(_._2)).distinct.map(k => k -> find(k)).toMap
+    assert(got == exp, s"diff: ${got.toSet.diff(exp.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("simhash: identical docs share codes; codes in 16-bit range") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
     assert(sh.filter($"simhash" < 0 || $"simhash" > 0xFFFFL).count() == 0)
