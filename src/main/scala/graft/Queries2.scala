@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, SimSearch, TextStats}
+import graft.pipeline.{Dedup, Sampling, SimSearch, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,34 @@ object Queries2 {
         sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
         SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id"""
   }
+
+  // ---- deterministic stratified sampling (md5-of-key order) ----
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExact(t(spark, dir, "documents"), "lang", "doc_id", 5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val sqlSampleStratified: String =
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r
+         FROM documents) WHERE r <= 5 ORDER BY doc_id"""
+
+  // ---- benchmark contamination (train/test overlap by fingerprint) ----
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contamination(docs, docs.filter(col("doc_id") < 50), "doc_id", "text")
+      .orderBy("bench_id")
+  }
+
+  val sqlContamination: String =
+    """WITH f AS (SELECT doc_id,
+                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+                  FROM documents),
+       b AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id < 50)
+       SELECT bench_id, fp FROM b WHERE fp IN (SELECT fp FROM f)
+       ORDER BY bench_id"""
 
   // ---- dedup clusters: connected components over near-dup pairs ----
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
@@ -226,6 +254,8 @@ object Queries2 {
     "q_dedup_exact" -> ((qDedupExact _, sqlDedupExact)),
     "q_dedup_jaccard" -> ((qDedupJaccard _, sqlDedupJaccard)),
     "q_dedup_groups" -> ((qDedupGroups _, sqlDedupGroups)),
+    "q_sample_stratified" -> ((qSampleStratified _, sqlSampleStratified)),
+    "q_contamination" -> ((qContamination _, sqlContamination)),
     "q_dedup_minhash" -> ((qDedupMinhash _, sqlDedupMinhash)),
     "q_dedup_simhash" -> ((qDedupSimhash _, sqlDedupSimhash)),
     "q_dedup_simhash64" -> ((qDedupSimhash64 _, sqlDedupSimhash64)),

@@ -281,6 +281,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark-contamination check: rows of `bench` whose normalized text
+    * fingerprint (lowercase, alphanumerics only — [[TextStats]]'s
+    * fingerprint) also appears in `corpus`. The train/test-overlap sweep
+    * every training pipeline needs before evaluation.
+    *
+    * Scale shape: the benchmark is small — its fingerprint set broadcasts,
+    * so the corpus scan is filtered MAP-SIDE (BroadcastHashJoin LeftSemi, no
+    * shuffle of the corpus); only the matched fingerprints (≤ |bench|)
+    * move. Output: (bench key, fingerprint) per contaminated benchmark row.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    keyCol: String, textCol: String): DataFrame = {
+    def fp(c: Column): Column =
+      md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+    val bfp = bench.select(col(keyCol).as("bench_id"), fp(col(textCol)).as("fp"))
+    val hits = corpus.select(fp(col(textCol)).as("fp"))
+      .join(broadcast(bfp.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    bfp.join(hits, Seq("fp")).select(col("bench_id"), col("fp"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * ((a, b) rows → (id, comp) with comp = min id in the component) — the
     * standard last step of a dedup pipeline: candidate pairs → duplicate

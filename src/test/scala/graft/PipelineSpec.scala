@@ -108,6 +108,39 @@ class PipelineSpec extends SparkTestBase {
       s"banded-only: ${banded.diff(brute).take(3)}; missed: ${brute.diff(banded).take(3)}")
   }
 
+  test("deterministic sampling: exact per-stratum counts, append-stable hash membership") {
+    import graft.pipeline.Sampling
+    val s = Sampling.stratifiedExact(docs, "lang", "doc_id", 3)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) =>
+      assert(s(lang) == math.min(3L, n), s"stratum $lang: ${s(lang)} vs min(3,$n)")
+    }
+    // hash sample: membership is append-stable (a row's fate never changes
+    // when the corpus grows) and the rate is roughly honored
+    val full = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val subset = Sampling.hashSample(docs.filter($"doc_id" < 250), "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subset == full.filter(_ < 250))
+    val n = docs.count().toDouble
+    assert(full.size > 0.1 * n && full.size < 0.3 * n, s"${full.size} of $n")
+  }
+
+  test("contamination finds exactly the benchmark rows whose fingerprint is in the corpus") {
+    val corpus = docs.filter($"doc_id" >= 100)
+    val bench = docs.filter($"doc_id" < 100)
+    val got = Dedup.contamination(corpus, bench, "doc_id", "text")
+      .select("bench_id").collect().map(_.getLong(0)).toSet
+    // driver truth: normalized-text equality across the split
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val corpusFps = corpus.select("text").collect().map(r => norm(r.getString(0))).toSet
+    val exp = bench.select("doc_id", "text").collect()
+      .filter(r => corpusFps.contains(norm(r.getString(1)))).map(_.getLong(0)).toSet
+    assert(got == exp)
+  }
+
   test("connected components over near-dup pairs match driver union-find") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).select("a", "b")
     val got = Dedup.connectedComponents(pairs)
