@@ -238,11 +238,19 @@ object Queries {
       Seq("doc_id"))
   }
 
+  // semantically complete: includes the patternProperties branch (fires on
+  // EMPTY text — NULL map values are vacuous per the engine's convention;
+  // zero rows on the current corpus but the oracle must not rely on that
+  // data invariant) and the lang-NULL vacuous convention
   val sqlValidateObjectOps: String =
-    """WITH d AS (SELECT doc_id, lang, (doc_id % 3 = 0) AS has_extra FROM documents)
+    """WITH d AS (SELECT doc_id, lang, text,
+                    (doc_id % 3 = 0) AS has_extra FROM documents)
        SELECT * FROM (
          SELECT doc_id, 'columns/m/properties/lang' AS keyword, 'm' AS instance_path
            FROM d WHERE lang NOT IN ('en','fr','es','de','zh')
+         UNION ALL
+         SELECT doc_id, 'columns/m/patternProperties/^te', 'm'
+           FROM d WHERE text IS NOT NULL AND length(substr(text, 1, 10)) < 1
          UNION ALL
          SELECT doc_id, 'columns/m/dependentSchemas/extra/required', 'm'
            FROM d WHERE has_extra

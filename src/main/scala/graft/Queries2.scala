@@ -99,9 +99,14 @@ object Queries2 {
          FROM documents) WHERE r <= 5 ORDER BY doc_id"""
 
   // ---- benchmark contamination (train/test overlap by fingerprint) ----
+  // corpus/bench OVERLAP on doc_id 25..49 (positive path trivially
+  // contaminated) and are DISJOINT on 0..24 (contaminated only via a real
+  // cross-split duplicate) — so the oracle exercises both join outcomes
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    Dedup.contamination(docs, docs.filter(col("doc_id") < 50), "doc_id", "text")
+    Dedup.contamination(
+        docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 50), "doc_id", "text")
       .orderBy("bench_id")
   }
 
@@ -110,7 +115,8 @@ object Queries2 {
                     md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
                   FROM documents),
        b AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id < 50)
-       SELECT bench_id, fp FROM b WHERE fp IN (SELECT fp FROM f)
+       SELECT bench_id, fp FROM b
+       WHERE fp IN (SELECT fp FROM f WHERE doc_id >= 25)
        ORDER BY bench_id"""
 
   // ---- dedup clusters: connected components over near-dup pairs ----

@@ -36,16 +36,26 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Uniform [0,1) bucket from the key hash. 60 hash bits squeezed into a
+    * double's 53-bit mantissa — values within ~2^-53 of 1.0 can round UP to
+    * exactly 1.0, so rate comparisons use `< rate` with an explicit
+    * rate-≥-1 bypass (otherwise a "keep everything" sample could drop a
+    * one-in-2^53 row).
+    */
+  private def hashBucket(key: Column): Column =
+    conv(substring(hashKey(key), 1, 15), 16, 10)
+      .cast("double") / math.pow(16.0, 15)
+
+  private def requireRate(r: Double): Unit =
+    require(r >= 0 && r <= 1, s"rate must be in [0,1], got $r")
+
   /** Rate-based deterministic sample: keep rows whose key hash falls below
     * `rate` of the hash space — zero shuffle, stable under appends (a row's
     * membership never changes when other rows arrive).
     */
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
-    require(rate >= 0 && rate <= 1, "rate in [0,1]")
-    // first 15 hex digits = 60 bits, exact in a double
-    val bucket = conv(substring(hashKey(col(keyCol)), 1, 15), 16, 10)
-      .cast("double") / math.pow(16.0, 15)
-    df.filter(bucket < rate)
+    requireRate(rate)
+    if (rate >= 1.0) df else df.filter(hashBucket(col(keyCol)) < rate)
   }
 
   /** Per-stratum rate sampling (map-side only). `rates` maps stratum value →
@@ -54,11 +64,11 @@ object Sampling {
   def stratifiedHash(df: DataFrame, strataCol: String, keyCol: String,
                      rates: Map[String, Double],
                      defaultRate: Double = 0.0): DataFrame = {
-    val bucket = conv(substring(hashKey(col(keyCol)), 1, 15), 16, 10)
-      .cast("double") / math.pow(16.0, 15)
+    (rates.values.toSeq :+ defaultRate).foreach(requireRate)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(strataCol) === s, lit(r)).otherwise(acc)
     }
-    df.filter(bucket < rate)
+    // rate >= 1.0 bypasses the bucket compare entirely (see hashBucket)
+    df.filter(rate >= 1.0 || hashBucket(col(keyCol)) < rate)
   }
 }

@@ -167,7 +167,8 @@ object Spec {
     val doc = try loader(url) catch {
       case e: SpecError => throw e
       case scala.util.control.NonFatal(e) =>
-        throw SpecError(url, s"loader failed: ${e.getMessage}")
+        // e.toString keeps the exception class when the message is null (NPE)
+        throw SpecError(url, s"loader failed: $e")
     }
     parse(doc)
   }
