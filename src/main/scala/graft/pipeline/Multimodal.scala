@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: media as opaque `binary` + typed metadata structs.
   *
-  * The AUDIO arm is fully real (the repo ships a WAV codec): decode, feature
-  * extraction, and frame sampling run as typed UDFs over the binary column.
-  * The IMAGE arm is the Spark-side plumbing (schema, batching, partition
-  * shape) around a STUBBED decoder — this container has no image libs, so
-  * `decodeImageStub` produces a deterministic fake (hash-derived dimensions
-  * + intensity) with the exact struct shape a real decoder would emit.
-  * Swapping in a real decoder changes one function body, nothing in the
-  * plan.
+  * Both arms are REAL:
+  *  - AUDIO: the repo ships a WAV codec — decode, feature extraction and
+  *    frame sampling run as typed UDFs over the binary column.
+  *  - IMAGE: decode/feature-extract/resize via the JDK's own
+  *    `javax.imageio` (headless-safe, no external libs — PNG/JPEG/BMP/GIF
+  *    readers ship with the JVM). [[decodeImageStub]] remains as the
+  *    documented template for codecs the runtime genuinely lacks (e.g.
+  *    video): real plumbing, deterministic fake payloads.
   *
   * Scale note: these UDFs are the ONLY operators allowed to touch the bytes
   * column, and callers must project (key, bytes) only — the feature frames
@@ -70,9 +70,99 @@ object Multimodal {
     c => f(c)
   }
 
+  final case class ImageFeatures(
+      width: Int, height: Int, channels: Int, format: String, mean_luma: Double)
+
+  /** Container sniff from magic bytes (the format ImageIO decoded FROM —
+    * ImageIO itself does not report it).
+    */
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
+  /** REAL image decode + feature extraction via the JDK's javax.imageio
+    * (PNG/JPEG/BMP/GIF; headless-safe; NULL on undecodable bytes).
+    * mean_luma is Rec.601 luma in [0,1], sampled on a bounded ≤64×64 pixel
+    * grid so a 100-megapixel input costs the same as a thumbnail.
+    */
+  val imageFeatures: Column => Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          .map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val sx = math.max(1, w / 64)
+            val sy = math.max(1, h / 64)
+            var sum = 0.0
+            var n = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xFF) * 0.299 +
+                  ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            ImageFeatures(w, h, img.getColorModel.getNumComponents,
+              sniffFormat(b), if (n == 0) 0.0 else sum / n)
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    c => f(c)
+  }
+
+  /** REAL resize: bilinear down-scale so max(side) ≤ maxSide (no-op pass
+    * through for smaller images), re-encoded as PNG bytes. Headless
+    * BufferedImage + Graphics2D — deterministic output.
+    */
+  def resizeImage(maxSide: Int): Column => Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          .map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            if (math.max(w, h) <= maxSide) b
+            else {
+              val scale = maxSide.toDouble / math.max(w, h)
+              val nw = math.max(1, math.round(w * scale).toInt)
+              val nh = math.max(1, math.round(h * scale).toInt)
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              bos.toByteArray
+            }
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    c => f(c)
+  }
+
+  /** Image feature table: project only (key, bytes), extract, drop bytes. */
+  def imageFeatureTable(df: DataFrame, keyCol: String, bytesCol: String): DataFrame =
+    df.select(col(keyCol), imageFeatures(col(bytesCol)).as("f"))
+      .select(col(keyCol), col("f.*"))
+
   /** STUB image decode: deterministic fake metadata from the byte content.
-    * Real plumbing, fake pixels — replace the body with an actual codec
-    * (javax.imageio etc.) when the runtime ships one.
+    * Retained as the documented TEMPLATE for codecs the runtime genuinely
+    * lacks (e.g. video) — for PNG/JPEG/BMP/GIF use the real
+    * [[imageFeatures]] above.
     */
   val decodeImageStub: Column => Column = {
     val f = udf { (b: Array[Byte]) =>

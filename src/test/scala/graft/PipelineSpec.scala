@@ -33,6 +33,62 @@ class PipelineSpec extends SparkTestBase {
     assert(r.filter(size($"frames") =!= ceil(floor($"n" / 160) / 2).cast("int")).count() == 0)
   }
 
+  test("REAL image decode via JDK ImageIO: dims/channels/format/luma + bilinear resize") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // deterministic synthetic images across three containers + one corrupt
+    def genImage(i: Int, fmt: String): Array[Byte] = {
+      val w = 16 + (i % 5) * 8
+      val h = 12 + (i % 3) * 10
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 37 + y * 91 + i * 13) % 256) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = (0 until 12).map { i =>
+      val fmt = Seq("png", "bmp", "jpeg")(i % 3)
+      (i.toLong, fmt, if (i == 11) Array[Byte](1, 2, 3) else genImage(i, fmt))
+    }
+    val df = rows.toDF("id", "fmt", "bytes")
+    val feats = Multimodal.imageFeatureTable(df, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (i, fmt, bytes) =>
+      if (i == 11) assert(feats(i).isNullAt(1), "corrupt bytes must decode to NULL")
+      else {
+        val r = feats(i)
+        assert(r.getInt(1) == 16 + (i % 5) * 8 && r.getInt(2) == 12 + (i % 3) * 10)
+        assert(r.getInt(3) == 3)
+        assert(r.getString(4) == fmt)
+        val luma = r.getDouble(5)
+        assert(luma > 0.0 && luma < 1.0, s"luma $luma")
+        // grayscale pixels (r=g=b): luma == mean intensity; exact for
+        // lossless containers on a full (stride-1) grid
+        if (fmt != "jpeg") {
+          val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val exp = (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            yield (img.getRGB(x, y) & 0xFF) / 255.0).sum / (img.getWidth * img.getHeight)
+          assert(math.abs(luma - exp) < 1e-9, s"$luma vs $exp")
+        }
+      }
+    }
+    // resize: bounded side, aspect preserved, output is decodable PNG
+    val big = new BufferedImage(200, 100, BufferedImage.TYPE_INT_RGB)
+    val bigBytes = { val bos = new java.io.ByteArrayOutputStream(); ImageIO.write(big, "png", bos); bos.toByteArray }
+    val resized = Seq((1L, bigBytes)).toDF("id", "bytes")
+      .select(Multimodal.resizeImage(64)($"bytes").as("rb"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 64 && back.getHeight == 32)
+    // small images pass through untouched
+    val small = genImage(0, "png")
+    val passThrough = Seq((1L, small)).toDF("id", "bytes")
+      .select(Multimodal.resizeImage(64)($"bytes").as("rb"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(passThrough.sameElements(small))
+  }
+
   test("image decode stub: deterministic metadata + resize contract") {
     val meta = clips.limit(20)
       .select($"clip_id", Multimodal.decodeImageStub($"bytes").as("m"))
