@@ -322,9 +322,12 @@ object Dedup {
     val edges = maybePersist(
       pairs.select(col("a").as("u"), col("b").as("v"))
         .union(pairs.select(col("b").as("u"), col("a").as("v"))), storage)
+    // seed with round 1 directly: comp₀ = min(self, direct neighbors) — one
+    // groupBy instead of a full join+agg+convergence round
     var labels = maybePersist(
-      edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")), storage)
+      edges.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("id"), least(col("u"), col("mn")).as("comp")),
+      storage)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
