@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.StringType
   *    (/root/reference/util.go:272-275).
   *
   * Everything is built from codegen'd variant expressions — no UDFs.
-  * Unsupported here (static-compiler or out-of-scope territory):
-  * min/maxProperties, patternProperties, propertyNames,
-  * additionalProperties, contentEncoding/MediaType/Schema.
+  * Key-enumerating object keywords (patternProperties, propertyNames,
+  * additionalProperties, min/maxProperties) re-serialize the object once
+  * (bound) into a map<string,variant>, so their subschemas keep full
+  * dynamic semantics. Unsupported here (out-of-scope territory):
+  * unevaluated* (static lowering only), contentEncoding/MediaType/Schema,
+  * nested `json`.
   */
 object DynamicJson {
 
@@ -230,8 +233,18 @@ object DynamicJson {
         lit("uniqueItems: duplicate items found"),
         ErrorKind.UniqueItemsK)
     }
+    node.prefixItems.zipWithIndex.foreach { case (ps, i) =>
+      val p = predicate(spec, ps, element_at(arr, i + 1), stack)
+      arrCheck(s"prefixItems/$i", size(arr) <= i || coalesce(p, lit(false)),
+        lit(s"prefixItems/$i: element does not match"),
+        ErrorKind.PrefixItemsK(i))
+    }
+    val prefixN = node.prefixItems.size
     node.items.foreach { is =>
-      val p = forall(arr, e => coalesce(predicate(spec, is, e, stack), lit(false)))
+      // 2020-12: items applies AFTER the prefix
+      val rest = if (prefixN == 0) arr
+        else slice(arr, lit(prefixN + 1), greatest(size(arr) - prefixN, lit(0)))
+      val p = forall(rest, e => coalesce(predicate(spec, is, e, stack), lit(false)))
       arrCheck("items", p, lit("items: element(s) do not match"),
         ErrorKind.ItemsK)
     }
@@ -271,16 +284,80 @@ object DynamicJson {
         out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
       }
     }
+    node.dependentRequired.foreach { case (k, reqs) =>
+      val present = try_variant_get(v, propPath(k), "variant").isNotNull
+      val core = reqs.map(r => try_variant_get(v, propPath(r), "variant").isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      add(kw("dependentRequired", k),
+        vac(v, (t =!= "object") || !present || coalesce(core, lit(false))),
+        lit(s"dependentRequired: '$k' present but ${reqs.mkString(",")} missing"),
+        ErrorKind.DependentRequiredK(k, reqs))
+    }
+
+    // key-enumerating object keywords: variant exposes no native key list,
+    // so the object is re-serialized ONCE (bound) and re-parsed as
+    // map<string,variant> — values stay variant, so subschemas keep full
+    // dynamic semantics. Non-objects parse to NULL → type-gated vacuous.
+    lazy val asMap = b(from_json(to_json(v),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string, variant>")))
+    def objCheck(name: String, core: Column, detail: Column,
+                 kind: ErrorKind): Unit =
+      add(kw(name), vac(v, (t =!= "object") || coalesce(core, lit(false))),
+        detail, kind)
+    node.minProperties.foreach(n =>
+      objCheck("minProperties", size(map_keys(asMap)) >= n,
+        concat(lit("minProperties: got "), size(map_keys(asMap)).cast(StringType),
+          lit(s", want >= $n")),
+        ErrorKind.MinProperties(n)))
+    node.maxProperties.foreach(n =>
+      objCheck("maxProperties", size(map_keys(asMap)) <= n,
+        concat(lit("maxProperties: got "), size(map_keys(asMap)).cast(StringType),
+          lit(s", want <= $n")),
+        ErrorKind.MaxProperties(n)))
+    node.propertyNames.foreach { ps =>
+      // key names are strings — the STATIC string compiler applies
+      val p = forall(map_keys(asMap),
+        k => coalesce(RowCompiler.predicate(spec, ps, k,
+          org.apache.spark.sql.types.StringType, stack), lit(false)))
+      objCheck("propertyNames", p, lit("propertyNames: key does not match"),
+        ErrorKind.PropertyNamesK("*"))
+    }
+    node.patternProperties.foreach { case (re, ps) =>
+      val sub = map_filter(asMap, (k, _) => Formats.patternMatch(k, re))
+      val p = forall(map_values(sub),
+        x => coalesce(predicate(spec, ps, x, stack), lit(false)))
+      add(kw("patternProperties", re),
+        vac(v, (t =!= "object") || coalesce(p, lit(false))),
+        lit(s"patternProperties: value(s) for keys matching '$re' do not match"),
+        ErrorKind.PatternPropertiesK(re))
+    }
+    node.additionalProperties.foreach { ap =>
+      val known = node.properties.map(_._1)
+      val pats = node.patternProperties.map(_._1)
+      def isKnown(k: Column): Column = {
+        val inProps = known.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
+        val inPats = pats.map(Formats.patternMatch(k, _))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        inProps || inPats
+      }
+      ap match {
+        case Left(true) =>
+        case Left(false) =>
+          objCheck("additionalProperties", forall(map_keys(asMap), isKnown),
+            lit("additionalProperties: unexpected key(s)"),
+            ErrorKind.AdditionalPropertiesK)
+        case Right(as) =>
+          val rem = map_filter(asMap, (k, _) => !isKnown(k))
+          val p = forall(map_values(rem),
+            x => coalesce(predicate(spec, as, x, stack), lit(false)))
+          objCheck("additionalProperties", p,
+            lit("additionalProperties: value(s) do not match"),
+            ErrorKind.AdditionalPropertiesK)
+      }
+    }
     Seq(
-      node.minProperties.map(_ => "minProperties"),
-      node.maxProperties.map(_ => "maxProperties"),
-      node.propertyNames.map(_ => "propertyNames"),
-      node.additionalProperties.map(_ => "additionalProperties"),
       node.unevaluatedProperties.map(_ => "unevaluatedProperties"),
       node.unevaluatedItems.map(_ => "unevaluatedItems"),
-      if (node.patternProperties.nonEmpty) Some("patternProperties") else None,
-      if (node.prefixItems.nonEmpty) Some("prefixItems") else None,
-      if (node.dependentRequired.nonEmpty) Some("dependentRequired") else None,
       node.contentEncoding.map(_ => "contentEncoding"),
       node.contentMediaType.map(_ => "contentMediaType"),
       node.contentSchema.map(_ => "contentSchema"),

@@ -151,10 +151,9 @@ class DynamicJsonSpec extends SparkTestBase {
 
   test("every unimplemented dynamic keyword throws (no silent drops)") {
     val df = Seq((1, "{}")).toDF("k", "j")
-    Seq("prefixItems" -> """{"prefixItems":[{"type":"string"}]}""",
-        "dependentRequired" -> """{"dependentRequired":{"a":["b"]}}""",
-        "contentMediaType" -> """{"contentMediaType":"application/json"}""",
-        "patternProperties" -> """{"patternProperties":{"^x":{}}}""").foreach {
+    Seq("contentMediaType" -> """{"contentMediaType":"application/json"}""",
+        "contentSchema" -> """{"contentSchema":{"type":"object"}}""",
+        "unevaluatedItems" -> """{"unevaluatedItems":false}""").foreach {
       case (name, frag) =>
         val e = intercept[SpecError] {
           SuiteCompiler.compile(Spec.fromJson(
@@ -188,8 +187,54 @@ class DynamicJsonSpec extends SparkTestBase {
     val df = Seq((1, "{}")).toDF("k", "j")
     val e = intercept[SpecError] {
       SuiteCompiler.compile(Spec.fromJson(
-        """{"columns":{"j":{"json":{"minProperties":1}}}}"""), df.schema)
+        """{"columns":{"j":{"json":{"unevaluatedProperties":false}}}}"""), df.schema)
     }
     assert(e.getMessage.contains("not supported in dynamic"))
+  }
+
+  test("dynamic object keywords via variant key enumeration (min/maxProperties, propertyNames, additionalProperties, patternProperties)") {
+    val minp = """{"columns":{"j":{"json":{"minProperties":2}}}}"""
+    assert(validsOf(minp, Seq(
+      """{"a":1,"b":2}""", """{"a":1}""", "5", "null"
+    )) == Seq(true, false, true, true)) // non-objects vacuous
+    val names = """{"columns":{"j":{"json":{"propertyNames":{"pattern":"^[a-z]+$"}}}}}"""
+    assert(validsOf(names, Seq(
+      """{"ok":1}""", """{"NOT_OK":1}""", """{}""", "[1]"
+    )) == Seq(true, false, true, true))
+    val closed =
+      """{"columns":{"j":{"json":{"properties":{"a":{}},
+          "patternProperties":{"^x_":{"type":"integer"}},
+          "additionalProperties":false}}}}"""
+    assert(validsOf(closed, Seq(
+      """{"a":1,"x_b":2}""",     // both keys evaluated
+      """{"a":1,"zzz":2}""",     // zzz is additional
+      """{"a":1,"x_b":"str"}""", // patternProperties type fails
+      """{}"""
+    )) == Seq(true, false, false, true))
+    val addSchema =
+      """{"columns":{"j":{"json":{"properties":{"a":{}},
+          "additionalProperties":{"type":"string"}}}}}"""
+    assert(validsOf(addSchema, Seq(
+      """{"a":[1],"note":"x"}""", // additional value is a string
+      """{"a":[1],"note":5}"""    // additional value wrong dynamic type
+    )) == Seq(true, false))
+  }
+
+  test("dynamic dependentRequired + prefixItems + items-after-prefix") {
+    val dep = """{"columns":{"j":{"json":{"dependentRequired":{"cc":["addr"]}}}}}"""
+    assert(validsOf(dep, Seq(
+      """{"cc":1,"addr":"s"}""", """{"cc":1}""", """{"other":1}""", "\"str\""
+    )) == Seq(true, false, true, true))
+    val prefix =
+      """{"columns":{"j":{"json":{
+          "prefixItems":[{"type":"integer"},{"type":"string"}],
+          "items":{"type":"boolean"}}}}}"""
+    assert(validsOf(prefix, Seq(
+      """[1,"a",true,false]""",
+      """[1,"a"]""",
+      """["wrong","a"]""",
+      """[1,"a",5]""",
+      """[]"""
+    )) == Seq(true, true, false, false, true))
   }
 }
