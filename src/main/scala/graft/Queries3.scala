@@ -135,7 +135,58 @@ object Queries3 {
            FROM typed WHERE kt IN ('BIGINT','UBIGINT','DOUBLE') AND NOT (kv <= 90)
        ) ORDER BY event_id, keyword"""
 
+  // ---- dynamic object-keyword validation over DERIVED JSON (the new
+  // key-enumeration arm: propertyNames / additionalProperties /
+  // patternProperties / dependentRequired), branch per doc_id % 5 ----
+  def qValidateJsonDynamic2(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("""{"a":1,"x_n":2}"""))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit("""{"a":1,"zzz":"s"}"""))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("""{"BAD KEY":1}"""))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit("""{"a":1,"x_n":"str"}"""))
+        .otherwise(lit("not json")).as("j"))
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson(
+        """{"columns":{"j":{"json":{
+             "properties":{"a":{"type":"integer"}},
+             "patternProperties":{"^x_":{"type":"integer"}},
+             "propertyNames":{"pattern":"^[a-zA-Z_]+$"},
+             "additionalProperties":false,
+             "dependentRequired":{"zzz":["www"]}}}}}"""),
+      df.schema)
+    graft.exec.Validator.violations(df, suite, Seq("doc_id"))
+      .select(col("doc_id"), col("keyword"), col("instance_path"))
+      .orderBy("doc_id", "keyword")
+  }
+
+  // branch map (m = doc_id % 5):
+  //   m=0 {"a":1,"x_n":2}     → valid
+  //   m=1 {"a":1,"zzz":"s"}   → additionalProperties (zzz) + dependentRequired/zzz
+  //   m=2 {"BAD KEY":1}       → propertyNames (space) + additionalProperties
+  //   m=3 {"a":1,"x_n":"str"} → patternProperties (^x_ value not integer)
+  //   m=4 not json            → !parse only (checks vacuous on null variant)
+  val sqlValidateJsonDynamic2: String =
+    """WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+       SELECT * FROM (
+         SELECT doc_id, 'columns/j/json/additionalProperties' AS keyword,
+                'j!json' AS instance_path
+           FROM d WHERE m IN (1, 2)
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/dependentRequired/zzz', 'j!json'
+           FROM d WHERE m = 1
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/propertyNames', 'j!json'
+           FROM d WHERE m = 2
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/patternProperties/^x_', 'j!json'
+           FROM d WHERE m = 3
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/!parse', 'j!json'
+           FROM d WHERE m = 4
+       ) ORDER BY doc_id, keyword"""
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_validate_json_dynamic2" -> ((qValidateJsonDynamic2 _, sqlValidateJsonDynamic2)),
     "q_drift_ks" -> ((qDriftKs _, sqlDriftKs)),
     "q_drift_psi" -> ((qDriftPsi _, sqlDriftPsi)),
     "q_verdict" -> ((qVerdict _, sqlVerdict)),
