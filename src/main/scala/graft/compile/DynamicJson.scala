@@ -332,14 +332,8 @@ object DynamicJson {
         ErrorKind.PatternPropertiesK(re))
     }
     node.additionalProperties.foreach { ap =>
-      val known = node.properties.map(_._1)
-      val pats = node.patternProperties.map(_._1)
-      def isKnown(k: Column): Column = {
-        val inProps = known.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
-        val inPats = pats.map(Formats.patternMatch(k, _))
-          .reduceOption(_ || _).getOrElse(lit(false))
-        inProps || inPats
-      }
+      def isKnown(k: Column): Column = RowCompiler.nameCovered(k,
+        node.properties.map(_._1), node.patternProperties.map(_._1))
       ap match {
         case Left(true) =>
         case Left(false) =>

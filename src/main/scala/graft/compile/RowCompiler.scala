@@ -81,6 +81,20 @@ object RowCompiler {
 
   private val Dec = DecimalType(38, 12)
 
+  /** The object-keyword name algebra shared by additionalProperties /
+    * unevaluatedProperties in BOTH compilers: a key is "covered" when it is
+    * a listed property name or matches a patternProperties regex (via the
+    * pluggable engine). One definition so static and dynamic modes cannot
+    * silently diverge.
+    */
+  private[compile] def nameCovered(k: Column, names: Iterable[String],
+      patterns: Iterable[String]): Column = {
+    val inNames = names.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
+    val inPats = patterns.map(Formats.patternMatch(k, _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    inNames || inPats
+  }
+
   /** True when `bd` is EXACTLY representable in Decimal(38,12) — the
     * precondition for the decimal-exact arms below. Out-of-range literals
     * (scale > 12, e.g. 1e-13, or > 26 integer digits) would be silently
@@ -746,12 +760,7 @@ object RowCompiler {
           val (evalKeys, evalPats, allEval) =
             staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
           if (!allEval) {
-            def isEval(k: Column): Column = {
-              val inProps = evalKeys.toSeq.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
-              val inPats = evalPats.map(Formats.patternMatch(k, _))
-                .reduceOption(_ || _).getOrElse(lit(false))
-              inProps || inPats
-            }
+            def isEval(k: Column): Column = nameCovered(k, evalKeys, evalPats)
             up match {
               case Left(true) =>
               case Left(false) =>
@@ -769,13 +778,8 @@ object RowCompiler {
           }
         }
         node.additionalProperties.foreach { ap =>
-          val known = node.properties.map(_._1)
-          val pats = node.patternProperties.map(_._1)
-          def isKnown(k: Column): Column = {
-            val inProps = known.map(k === _).reduceOption(_ || _).getOrElse(lit(false))
-            val inPats = pats.map(Formats.patternMatch(k, _)).reduceOption(_ || _).getOrElse(lit(false))
-            inProps || inPats
-          }
+          def isKnown(k: Column): Column =
+            nameCovered(k, node.properties.map(_._1), node.patternProperties.map(_._1))
           ap match {
             case Left(false) =>
               add(kw("additionalProperties"), vac(v, forall(keys, isKnown)),

@@ -83,21 +83,61 @@ object Multimodal {
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
     else "unknown"
 
+  /** Decoded-pixel budget: a decompression bomb (kilobytes of PNG declaring
+    * a 60000×60000 canvas) must NOT reach the full decode — dimensions are
+    * peeked from the container header first and oversized inputs yield NULL
+    * like any other undecodable payload.
+    */
+  private val MaxDecodedPixels = 64L * 1024 * 1024 // 64 MP ≈ 256 MB of ARGB
+
+  /** ImageIO defaults to DISK-backed stream caches — one temp file per
+    * decode — which is pure churn for already-in-memory byte arrays; flip
+    * the process-global switch once per executor JVM.
+    */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Header-peek + bounded decode: NULL on undecodable bytes, unknown
+    * containers, and over-budget dimensions.
+    */
+  private def readBounded(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoInMemory
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0).toLong
+          val h = r.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxDecodedPixels) None
+          else Option(r.read(0))
+        } finally r.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
   /** REAL image decode + feature extraction via the JDK's javax.imageio
-    * (PNG/JPEG/BMP/GIF; headless-safe; NULL on undecodable bytes).
-    * mean_luma is Rec.601 luma in [0,1], sampled on a bounded ≤64×64 pixel
-    * grid so a 100-megapixel input costs the same as a thumbnail.
+    * (PNG/JPEG/BMP/GIF; headless-safe; NULL on undecodable or over-budget
+    * bytes). mean_luma is Rec.601 luma in [0,1], sampled on a bounded
+    * ≤64×64 pixel grid (ceil-division strides) so a huge input costs the
+    * same as a thumbnail.
     */
   val imageFeatures: Column => Column = {
     val f = udf { (b: Array[Byte]) =>
       if (b == null) None
       else try {
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        readBounded(b)
           .map { img =>
             val w = img.getWidth
             val h = img.getHeight
-            val sx = math.max(1, w / 64)
-            val sy = math.max(1, h / 64)
+            val sx = math.max(1, (w + 63) / 64)
+            val sy = math.max(1, (h + 63) / 64)
             var sum = 0.0
             var n = 0
             var y = 0
@@ -128,7 +168,7 @@ object Multimodal {
     val f = udf { (b: Array[Byte]) =>
       if (b == null) None
       else try {
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        readBounded(b)
           .map { img =>
             val w = img.getWidth
             val h = img.getHeight

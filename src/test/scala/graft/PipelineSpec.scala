@@ -87,6 +87,22 @@ class PipelineSpec extends SparkTestBase {
       .select(Multimodal.resizeImage(64)($"bytes").as("rb"))
       .collect()(0).getAs[Array[Byte]](0)
     assert(passThrough.sameElements(small))
+    // decompression bomb: a valid PNG HEADER declaring 100000×100000 must
+    // yield NULL from the dimension peek, never a full decode attempt
+    def bombPng(w0: Int, h0: Int): Array[Byte] = {
+      val ihdrData = java.nio.ByteBuffer.allocate(13)
+        .putInt(w0).putInt(h0).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes); crc.update(ihdrData)
+      java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13 + 4)
+        .put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+        .putInt(13).put("IHDR".getBytes).put(ihdrData)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val bombed = Seq((1L, bombPng(100000, 100000))).toDF("id", "bytes")
+      .select(Multimodal.imageFeatures($"bytes").as("f")).collect()(0)
+    assert(bombed.isNullAt(0), "oversized canvas must be rejected at the header peek")
   }
 
   test("image decode stub: deterministic metadata + resize contract") {
