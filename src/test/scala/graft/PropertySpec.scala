@@ -107,6 +107,36 @@ class PropertySpec extends SparkTestBase {
     assert(ks > 0.5 && ks <= 1.0)
   }
 
+  test("static (typed columns) and dynamic (variant JSON) modes agree on shared keywords") {
+    // the same logical instances validated twice: once as typed columns
+    // (static compiler), once JSON-encoded (dynamic compiler) — per-row
+    // verdicts must match. to_json omits SQL NULLs, which matches the
+    // static NULL=absent convention exactly.
+    val rows = (0 until 60).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf((i * 37) % 150 - 10),
+        if (i % 5 == 0) null else s"${"h" * (i % 3)}ello-$i")
+    }
+    val df = rows.toDF("k", "a", "b")
+    val shared =
+      """"a":{"minimum":0,"maximum":100,"multipleOf":1},
+         "b":{"minLength":7,"pattern":"^h"}"""
+    val staticSuite = SuiteCompiler.compile(Spec.fromJson(
+      s"""{"columns":{$shared}}"""), df.schema)
+    val staticValid = graft.exec.Validator.annotate(df, staticSuite)
+      .select("k", "valid").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dyn = df.select(col("k"),
+      to_json(struct(col("a"), col("b"))).as("j"))
+    val dynSuite = SuiteCompiler.compile(Spec.fromJson(
+      s"""{"columns":{"j":{"json":{"properties":{$shared}}}}}"""), dyn.schema)
+    val dynValid = graft.exec.Validator.annotate(dyn, dynSuite)
+      .select("k", "valid").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (k, a, b) =>
+      assert(staticValid(k) == dynValid(k),
+        s"row $k (a=$a, b=$b): static=${staticValid(k)} dynamic=${dynValid(k)}")
+    }
+  }
+
   test("distributed two-sample KS equals driver-exact KS over many partitions") {
     // enough distinct values to span several range partitions; deterministic
     // pseudo-random values (no Random: reproducibility)
