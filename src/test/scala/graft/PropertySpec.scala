@@ -107,6 +107,35 @@ class PropertySpec extends SparkTestBase {
     assert(ks > 0.5 && ks <= 1.0)
   }
 
+  test("uniqueness under extreme key skew: one key holds half the table (salted ≡ naive)") {
+    // 200k rows, key 7 appears 100k times — the mega-hot-key shape that
+    // breaks naive shuffles; partial-agg (and the explicit salted two-phase)
+    // must both return the exact duplicate set
+    val df = spark.range(200000)
+      .select(when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"))
+    val naive = TableChecks.duplicateKeys(df, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100000 even ids map to 7, plus id=7 itself (odd) → 100001
+    assert(naive == Set((7L, 100001L)))
+    val salted = TableChecks.saltedDuplicateKeys(df, Seq("k"), saltBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == naive)
+  }
+
+  test("referential violations: broadcast and sort-merge anti-join arms agree") {
+    import graft.spec.ForeignKey
+    val df = spark.range(50000).select((col("id") % 1000).as("fk"))
+    val ref = spark.range(900).select(col("id").as("rk")) // keys 900..999 missing
+    val bc = TableChecks.fkViolations(df,
+        ForeignKey(Vector("fk"), "ref", Vector("rk"), broadcastRef = true), ref)
+      .collect().map(_.toString).sorted
+    val smj = TableChecks.fkViolations(df,
+        ForeignKey(Vector("fk"), "ref", Vector("rk"), broadcastRef = false), ref)
+      .collect().map(_.toString).sorted
+    assert(bc.length == 100) // 100 missing keys, 50 rows each
+    assert(bc.sameElements(smj))
+  }
+
   test("static (typed columns) and dynamic (variant JSON) modes agree on shared keywords") {
     // the same logical instances validated twice: once as typed columns
     // (static compiler), once JSON-encoded (dynamic compiler) — per-row
