@@ -39,8 +39,11 @@ object Main {
       val parsedSpec: Spec = opt("spec") match {
         case Some("clip-suite") => Spec.fromJson(graft.ClipSuite.specJson)
         case Some("clip-suite-deep") => Spec.fromJson(graft.ClipSuite.deepSpecJson)
-        case Some(url) if url.indexOf(':') > 0 &&
-            Spec.knownSchemes.contains(url.substring(0, url.indexOf(':'))) =>
+        // anything URL-shaped routes through the loader registry — an
+        // unregistered scheme is then a TYPED SpecError (exit 2), not a raw
+        // FileNotFoundException from treating "s3://..." as a local path
+        case Some(url) if url.contains("://") || (url.indexOf(':') > 0 &&
+            Spec.knownSchemes.contains(url.substring(0, url.indexOf(':')))) =>
           Spec.fromUrl(url) // scheme-routed (file://, inline+json:, custom)
         case Some(path) => Spec.fromFile(path) // .json or .yaml/.yml
         case None => usage("missing --spec")

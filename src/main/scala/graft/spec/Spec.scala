@@ -127,9 +127,16 @@ object Spec {
   def fromYaml(yaml: String): Spec = parse(yamlMapper.readTree(yaml))
 
   def fromFile(path: String): Spec =
-    if (path.endsWith(".yaml") || path.endsWith(".yml"))
-      parse(yamlMapper.readTree(new java.io.File(path)))
-    else parse(mapper.readTree(new java.io.File(path)))
+    try {
+      if (path.endsWith(".yaml") || path.endsWith(".yml"))
+        parse(yamlMapper.readTree(new java.io.File(path)))
+      else parse(mapper.readTree(new java.io.File(path)))
+    } catch {
+      // unreadable/malformed files keep the typed SpecError contract
+      // (CLI exit 2), like the loader registry
+      case e: java.io.IOException =>
+        throw SpecError(path, s"cannot read spec file: $e")
+    }
 
   /** Scheme → loader registry — the reference's SchemeURLLoader
     * (/root/reference/loader.go:62-100): each loader receives the full URL
