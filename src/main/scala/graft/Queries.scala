@@ -29,13 +29,18 @@ object Queries {
       .orderBy((keys :+ "keyword").map(col): _*)
   }
 
-  // ---- §2.2 number keywords ----
+  // ---- §2.2 number keywords (+ §2.7 ref addressing: the discount rule is
+  // reached through an arbitrary-pointer $ref and the price rule through a
+  // named $anchor, so both resolution paths are oracle-gated) ----
   def qValidateBounds(spark: SparkSession, dir: String): DataFrame =
     vios(t(spark, dir, "lineitem"),
-      """{"columns":{
+      """{"$defs":{
+           "shared":{"properties":{"disc":{"maximum":0.08}}},
+           "price":{"$anchor":"priceRule","exclusiveMinimum":1500}},
+          "columns":{
            "l_quantity":{"minimum":5,"maximum":45},
-           "l_discount":{"maximum":0.08},
-           "l_extendedprice":{"exclusiveMinimum":1500}}}""",
+           "l_discount":{"$ref":"#/$defs/shared/properties/disc"},
+           "l_extendedprice":{"$ref":"#priceRule"}}}""",
       Seq("l_orderkey", "l_linenumber"))
 
   val sqlValidateBounds: String =
@@ -46,10 +51,10 @@ object Queries {
          SELECT l_orderkey, l_linenumber, 'columns/l_quantity/maximum', 'l_quantity'
            FROM lineitem WHERE l_quantity IS NOT NULL AND NOT (l_quantity <= 45)
          UNION ALL
-         SELECT l_orderkey, l_linenumber, 'columns/l_discount/maximum', 'l_discount'
+         SELECT l_orderkey, l_linenumber, '$defs/shared/properties/disc/maximum', 'l_discount'
            FROM lineitem WHERE l_discount IS NOT NULL AND NOT (l_discount <= 0.08)
          UNION ALL
-         SELECT l_orderkey, l_linenumber, 'columns/l_extendedprice/exclusiveMinimum', 'l_extendedprice'
+         SELECT l_orderkey, l_linenumber, '$defs/price/exclusiveMinimum', 'l_extendedprice'
            FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT (l_extendedprice > 1500)
        ) ORDER BY l_orderkey, l_linenumber, keyword"""
 
@@ -331,26 +336,28 @@ object Queries {
     val dq = col("l_quantity").cast("decimal(18,2)")
     val dp = col("l_extendedprice").cast("decimal(18,2)")
     val dd = col("l_discount").cast("decimal(18,2)")
-    // sum() results are cast to one explicit common type on BOTH the Spark
-    // and DuckDB sides: DuckDB widens sum(DECIMAL(18,2)) to DECIMAL(38,2)
-    // while Spark yields DECIMAL(28,2) — the driver's hash sees the types.
+    // sum() results are rendered as fixed-scale STRINGS on BOTH the Spark and
+    // DuckDB sides: the driver's hash renders DECIMAL columns differently
+    // across the two readers even when values are identical (r2 verdict), and
+    // scale-2/4 decimal→string is deterministic and identical in both engines
+    // (the q_stats_exact min/max→VARCHAR precedent).
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dq).cast("decimal(38,2)").as("sum_qty"),
-        sum(dp).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dq).cast("decimal(38,2)").cast("string").as("sum_qty"),
+        sum(dp).cast("decimal(38,2)").cast("string").as("sum_base_price"),
         sum((dp * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - dd))
-          .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("decimal(28,4)")).cast("decimal(38,4)").cast("string").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val sqlAggPricing: String =
     """SELECT l_returnflag, l_linestatus,
-              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+              CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                  AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+                  AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
               count(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
@@ -382,14 +389,15 @@ object Queries {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("string").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
 
   val sqlJoinBrandRevenue: String =
     """SELECT p_brand,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
               count(*) AS n_items
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY p_brand ORDER BY p_brand"""
@@ -412,7 +420,8 @@ object Queries {
     t(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+          .cast("string").as("sum_value"))
       .select(col("w.start").cast("string").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
@@ -420,7 +429,7 @@ object Queries {
   val sqlEventsHourly: String =
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
               count(*) AS n,
-              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
 
   /** Batch-1 registry (validation + table + relational operators). */

@@ -104,7 +104,7 @@ object DynamicJson {
     node.ref.foreach { r =>
       val target = spec.resolve(r, stack)
       out ++= compile(spec, target, v, instPath,
-        r.stripPrefix("#/$defs/") :: stack, binder)
+        r :: stack, binder)
     }
 
     // type — runtime dispatch; integer = number with zero fraction

@@ -258,7 +258,7 @@ object RowCompiler {
         (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
           n.dependentSchemas.map(_._2)).exists(evaluatesProps(_, st)) ||
         n.ref.exists(r => evaluatesProps(spec.resolve(r, st),
-          r.stripPrefix("#/$defs/") :: st))
+          r :: st))
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Set[String], Vector[String], Boolean) = {
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
@@ -268,7 +268,7 @@ object RowCompiler {
             s"the runtime-dependent applicator at '${d.path.mkString("/")}' evaluates properties")
       }
       val parts = n.ref.map(r => walk(spec.resolve(r, st),
-        r.stripPrefix("#/$defs/") :: st, isRoot = false)).toVector ++
+        r :: st, isRoot = false)).toVector ++
         n.allOf.map(walk(_, st, isRoot = false))
       // a NESTED unevaluatedProperties (in allOf/$ref children) annotates
       // every property the closure leaves unevaluated, so the root's own
@@ -295,7 +295,7 @@ object RowCompiler {
         (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
           n.dependentSchemas.map(_._2)).exists(evaluatesItems(_, st)) ||
         n.ref.exists(r => evaluatesItems(spec.resolve(r, st),
-          r.stripPrefix("#/$defs/") :: st))
+          r :: st))
     def walk(n: SchemaNode, st: List[String], isRoot: Boolean): (Int, Boolean) = {
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesItems(_, st)).foreach { d =>
@@ -308,7 +308,7 @@ object RowCompiler {
           "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
             "count as evaluated) — out of the static-lowering scope")
       val parts = n.ref.map(r => walk(spec.resolve(r, st),
-        r.stripPrefix("#/$defs/") :: st, isRoot = false)).toVector ++
+        r :: st, isRoot = false)).toVector ++
         n.allOf.map(walk(_, st, isRoot = false))
       ((n.prefixItems.size +: parts.map(_._1)).max,
         n.items.nonEmpty ||
@@ -359,7 +359,7 @@ object RowCompiler {
     node.ref.foreach { r =>
       val target = spec.resolve(r, stack)
       out ++= compile(spec, target, v, dt, instPath,
-        r.stripPrefix("#/$defs/") :: stack, binder)
+        r :: stack, binder)
     }
 
     // type (/root/reference/validator.go:98-103)

@@ -111,7 +111,10 @@ object SchemaNode {
     "unevaluatedProperties", "unevaluatedItems",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     // annotations — accepted and ignored (reference: schema.go:87-94)
-    "title", "description", "$comment", "default", "examples", "deprecated"
+    "title", "description", "$comment", "default", "examples", "deprecated",
+    // $anchor names a node for '#name' refs; validated + indexed per
+    // document by Spec.collectAnchors (/root/reference/root.go:78-135)
+    "$anchor"
   )
 
   /** Parse one schema node. Rejects unknown keywords and ill-typed keyword

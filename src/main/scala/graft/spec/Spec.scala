@@ -95,21 +95,64 @@ final case class Spec(
     required: Vector[String],
     rowRules: Vector[SchemaNode], // schemas over the whole row-as-object
     table: Vector[TableConstraint],
-    defs: Map[String, SchemaNode]
+    defs: Map[String, SchemaNode],
+    // raw parsed document — kept so $ref can address ANY node by JSON
+    // pointer, not just $defs entries (the reference resolves any urlPtr,
+    // /root/reference/util.go:221-244)
+    raw: Option[JsonNode] = None,
+    // $anchor name -> (raw node, spec path) index, built once per document
+    // (mirrors the reference's per-resource anchor map,
+    // /root/reference/root.go:78-135)
+    anchors: Map[String, (JsonNode, Vector[String])] = Map.empty
 ) {
 
-  /** Resolve a `$ref` of form `#/$defs/<name>`; cycle detection mirrors the
-    * reference's compile-time memoization + runtime cycle guard
+  /** Resolve a same-document `$ref`: either a JSON pointer (`#/<path>`, any
+    * node — `#/$defs/<name>`, `#/columns/x/properties/y`, …) or a named
+    * anchor (`#myAnchor`). Cycle detection mirrors the reference's
+    * compile-time memoization + runtime cycle guard
     * (/root/reference/compiler.go:153-164, validator.go:84-90) — except our
-    * flat columnar model lets us reject cycles outright at compile.
+    * flat columnar model lets us reject cycles outright at compile: the
+    * caller pushes each traversed ref string onto `stack`, and any repeat is
+    * a cycle (a finite document has finitely many ref strings, so every
+    * infinite chain must repeat one).
+    *
+    * External documents (`$id`-based bases, cross-file refs) stay out of
+    * scope: specs are single documents loaded whole via the loader registry.
     */
   def resolve(ref: String, stack: List[String]): SchemaNode = {
-    if (!ref.startsWith("#/$defs/"))
-      throw SpecError(ref, "only '#/$defs/<name>' references are supported")
-    val nm = ref.stripPrefix("#/$defs/")
-    if (stack.contains(nm))
-      throw SpecError(ref, s"cyclic $$ref chain: ${(nm :: stack).reverse.mkString(" -> ")}")
-    defs.getOrElse(nm, throw SpecError(ref, s"unresolved $$ref: no $$defs/$nm"))
+    if (stack.contains(ref))
+      throw SpecError(ref, s"cyclic $$ref chain: ${(ref :: stack).reverse.mkString(" -> ")}")
+    if (ref.startsWith("#/")) {
+      // fast path: a plain $defs name is already parsed
+      val nm = ref.stripPrefix("#/$defs/")
+      if (ref.startsWith("#/$defs/") && !nm.contains('/') && defs.contains(nm))
+        return defs(nm)
+      val doc = raw.getOrElse(throw SpecError(ref,
+        "only '#/$defs/<name>' references are resolvable on a spec built " +
+          "without its raw document"))
+      val segs = Spec.pointerSegments(ref.drop(2))
+      var cur = doc
+      segs.zipWithIndex.foreach { case (seg, i) =>
+        val next =
+          if (cur.isArray && seg.forall(_.isDigit) && seg.nonEmpty)
+            cur.get(seg.toInt)
+          else if (cur.isObject) cur.get(seg)
+          else null
+        if (next == null)
+          throw SpecError(ref,
+            s"unresolved $$ref: no element at '/${segs.take(i + 1).mkString("/")}'")
+        cur = next
+      }
+      SchemaNode.parse(cur, segs)
+    } else if (ref.length > 1 && ref.startsWith("#")) {
+      val name = ref.drop(1)
+      anchors.get(name) match {
+        case Some((node, path)) => SchemaNode.parse(node, path)
+        case None => throw SpecError(ref, s"unresolved $$ref: no $$anchor '$name'")
+      }
+    } else
+      throw SpecError(ref,
+        "only same-document references are supported: '#/<json-pointer>' or '#<anchor>'")
   }
 }
 
@@ -220,7 +263,68 @@ object Spec {
 
     val table = Option(root.get("table")).map(parseTable).getOrElse(Vector.empty)
 
-    Spec(columns, required, rowRules, table, defs)
+    Spec(columns, required, rowRules, table, defs,
+      raw = Some(root), anchors = collectAnchors(root))
+  }
+
+  /** Split an RFC 6901 JSON pointer into unescaped segments: `~1` → `/`,
+    * `~0` → `~`, plus `%XX` percent-decoding since a `$ref` fragment is URI
+    * syntax (the reference decodes both, /root/reference/util.go:221-244).
+    */
+  private[spec] def pointerSegments(ptr: String): Vector[String] =
+    ptr.split("/", -1).toVector.map { seg =>
+      val pct = if (seg.contains('%')) {
+        val sb = new StringBuilder
+        val bytes = new java.io.ByteArrayOutputStream
+        var i = 0
+        def flush(): Unit = if (bytes.size() > 0) {
+          sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+          bytes.reset()
+        }
+        while (i < seg.length) {
+          val c = seg.charAt(i)
+          if (c == '%' && i + 2 < seg.length) {
+            try {
+              bytes.write(Integer.parseInt(seg.substring(i + 1, i + 3), 16))
+              i += 3
+            } catch {
+              case _: NumberFormatException => flush(); sb.append(c); i += 1
+            }
+          } else { flush(); sb.append(c); i += 1 }
+        }
+        flush()
+        sb.toString
+      } else seg
+      pct.replace("~1", "/").replace("~0", "~")
+    }
+
+  private val anchorName = "^[A-Za-z_][A-Za-z0-9._-]*$".r
+
+  /** Index every `$anchor` in the document (name → node + path); duplicate
+    * or malformed anchor names are typed spec errors, as in the reference's
+    * resource loader (/root/reference/root.go:96-120).
+    */
+  private[spec] def collectAnchors(root: JsonNode)
+      : Map[String, (JsonNode, Vector[String])] = {
+    val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
+    def walk(n: JsonNode, path: Vector[String]): Unit = {
+      if (n.isObject) {
+        Option(n.get("$anchor")).foreach { a =>
+          val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
+          if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
+            throw SpecError(s"$at/$$anchor", s"invalid anchor name $a")
+          val name = a.asText()
+          if (out.contains(name))
+            throw SpecError(s"$at/$$anchor", s"duplicate anchor '$name'")
+          out(name) = (n, path)
+        }
+        n.fieldNames().asScala.foreach(k => walk(n.get(k), path :+ k))
+      } else if (n.isArray) {
+        n.asScala.zipWithIndex.foreach { case (c, i) => walk(c, path :+ i.toString) }
+      }
+    }
+    walk(root, Vector.empty)
+    out.toMap
   }
 
   private def parseTable(t: JsonNode): Vector[TableConstraint] = {
