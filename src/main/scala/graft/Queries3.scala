@@ -185,8 +185,55 @@ object Queries3 {
            FROM d WHERE m = 4
        ) ORDER BY doc_id, keyword"""
 
+  // ---- content* keywords in DYNAMIC mode: base64-embedded JSON payloads
+  // inside variant objects (validator.go:468-510), branch per doc_id % 5 ----
+  def qValidateContentDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("""{"payload":"eyJrIjoxMn0="}""")) // {"k":12} → valid
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          lit("""{"payload":"!!!"}""")) // undecodable base64
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          lit("""{"payload":"bm90anNvbg=="}""")) // "notjson" → bad media type
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          lit("""{"payload":"eyJrIjozfQ=="}""")) // {"k":3} → minimum fails
+        .otherwise(lit("""{"payload":42}""")).as("j")) // non-string: vacuous
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson(
+        """{"columns":{"j":{"json":{
+             "properties":{"payload":{
+               "contentEncoding":"base64",
+               "contentMediaType":"application/json",
+               "contentSchema":{"required":["k"],
+                 "properties":{"k":{"minimum":10}}}}}}}}}"""),
+      df.schema)
+    graft.exec.Validator.violations(df, suite, Seq("doc_id"))
+      .select(col("doc_id"), col("keyword"), col("instance_path"))
+      .orderBy("doc_id", "keyword")
+  }
+
+  // branch map (m = doc_id % 5): m=0 valid; m=1 contentEncoding;
+  // m=2 contentMediaType (decodes, not JSON); m=3 contentSchema minimum
+  // (decoded k=3); m=4 non-string payload → all content* vacuous
+  val sqlValidateContentDynamic: String =
+    """WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+       SELECT * FROM (
+         SELECT doc_id, 'columns/j/json/properties/payload/contentEncoding' AS keyword,
+                'j!json/payload' AS instance_path
+           FROM d WHERE m = 1
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/properties/payload/contentMediaType',
+                'j!json/payload'
+           FROM d WHERE m = 2
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/properties/payload/contentSchema/properties/k/minimum',
+                'j!json/payload!json/k'
+           FROM d WHERE m = 3
+       ) ORDER BY doc_id, keyword"""
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_validate_json_dynamic2" -> ((qValidateJsonDynamic2 _, sqlValidateJsonDynamic2)),
+    "q_validate_content_dynamic" -> ((qValidateContentDynamic _, sqlValidateContentDynamic)),
     "q_drift_ks" -> ((qDriftKs _, sqlDriftKs)),
     "q_drift_psi" -> ((qDriftPsi _, sqlDriftPsi)),
     "q_verdict" -> ((qVerdict _, sqlVerdict)),

@@ -36,18 +36,23 @@ object Main {
 
     try {
       AudioGen.registerFormats()
-      val parsedSpec: Spec = opt("spec") match {
-        case Some("clip-suite") => Spec.fromJson(graft.ClipSuite.specJson)
-        case Some("clip-suite-deep") => Spec.fromJson(graft.ClipSuite.deepSpecJson)
+      val specDoc = opt("spec") match {
+        case Some("clip-suite") => Spec.documentFromJson(graft.ClipSuite.specJson)
+        case Some("clip-suite-deep") => Spec.documentFromJson(graft.ClipSuite.deepSpecJson)
         // anything URL-shaped routes through the loader registry — an
         // unregistered scheme is then a TYPED SpecError (exit 2), not a raw
         // FileNotFoundException from treating "s3://..." as a local path
         case Some(url) if url.contains("://") || (url.indexOf(':') > 0 &&
             Spec.knownSchemes.contains(url.substring(0, url.indexOf(':')))) =>
-          Spec.fromUrl(url) // scheme-routed (file://, inline+json:, custom)
-        case Some(path) => Spec.fromFile(path) // .json or .yaml/.yml
+          Spec.documentFromUrl(url) // scheme-routed (file://, inline+json:, custom)
+        case Some(path) => Spec.documentFromFile(path) // .json or .yaml/.yml
         case None => usage("missing --spec")
       }
+      // self-hosted meta-spec gate before the typed parse (the reference
+      // validates every schema against its metaschema before compiling,
+      // roots.go:240-248); --no-metaspec skips it for trusted specs
+      if (!opts.contains("no-metaspec")) graft.spec.MetaSpec.check(spark, specDoc)
+      val parsedSpec: Spec = Spec.parse(specDoc)
       val df: DataFrame = opt("table") match {
         case Some(t) if t.startsWith("synth:") =>
           AudioGen.clips(spark, t.stripPrefix("synth:").toLong)
@@ -133,6 +138,8 @@ object Main {
   private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
+      case "--no-metaspec" :: rest => // value-less flag
+        parseArgs(rest, acc + ("no-metaspec" -> "true"))
       case "--ref" :: kv :: rest if kv.contains("=") =>
         val Array(n, dir) = kv.split("=", 2)
         parseArgs(rest, acc + (s"ref:$n" -> dir))

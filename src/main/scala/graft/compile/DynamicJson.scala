@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.StringType
   * Key-enumerating object keywords (patternProperties, propertyNames,
   * additionalProperties, min/maxProperties) re-serialize the object once
   * (bound) into a map<string,variant>, so their subschemas keep full
-  * dynamic semantics. Unsupported here (out-of-scope territory):
-  * unevaluated* (static lowering only), contentEncoding/MediaType/Schema,
-  * nested `json`.
+  * dynamic semantics. content* keywords apply to any runtime-string
+  * instance via the same pluggable registries as the static compiler
+  * (decode → mediaType → contentSchema over the decoded value,
+  * /root/reference/validator.go:468-510). Unsupported here (out-of-scope
+  * territory): unevaluated* (static lowering only), nested `json`.
   */
 object DynamicJson {
 
@@ -349,12 +351,53 @@ object DynamicJson {
             ErrorKind.AdditionalPropertiesK)
       }
     }
+    // content* keywords over runtime strings (/root/reference/
+    // validator.go:468-510): wherever a string instance appears in the
+    // dynamic tree, decode via the pluggable registry, then media-type and
+    // contentSchema run over the DECODED value; non-string instances are
+    // vacuous (the reference only applies content* to strings).
+    if (node.contentEncoding.nonEmpty || node.contentMediaType.nonEmpty ||
+        node.contentSchema.nonEmpty) {
+      val contentValue = b(node.contentEncoding match {
+        case Some(enc) =>
+          val decode = graft.functions.Content.encoding(enc).getOrElse(
+            throw SpecError(kw("contentEncoding"),
+              s"unknown encoding '$enc' (registered: ${graft.functions.Content.knownEncodings.mkString(", ")})"))
+          decode(vStr)
+        case None => vStr
+      })
+      node.contentEncoding.foreach { enc =>
+        add(kw("contentEncoding"),
+          vac(v, (t =!= "string") || contentValue.isNotNull),
+          lit(s"contentEncoding: value is not valid $enc"),
+          ErrorKind.ContentEncodingK(enc))
+      }
+      // decode failure is already contentEncoding's violation — downstream
+      // checks are vacuous on the null decoded value, like the static arm
+      node.contentMediaType.foreach { mt =>
+        val parseOk = graft.functions.Content.mediaType(mt).getOrElse(
+          throw SpecError(kw("contentMediaType"),
+            s"unknown media type '$mt' (registered: ${graft.functions.Content.knownMediaTypes.mkString(", ")})"))
+        add(kw("contentMediaType"),
+          vac(v, (t =!= "string") ||
+            when(contentValue.isNull, lit(true))
+              .otherwise(coalesce(parseOk(contentValue), lit(false)))),
+          lit(s"contentMediaType: value is not valid $mt"),
+          ErrorKind.ContentMediaTypeK(mt))
+      }
+      // contentSchema recurses DYNAMICALLY: the decoded payload is itself
+      // schema-unknown JSON, so it parses to variant and re-enters this
+      // compiler (static mode instead derives a struct type — both mirror
+      // validator.go:497-510's decode-then-validate)
+      node.contentSchema.foreach { cs =>
+        val parsed = b(when(t === "string", try_parse_json(contentValue)))
+        out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder)
+      }
+    }
+
     Seq(
       node.unevaluatedProperties.map(_ => "unevaluatedProperties"),
       node.unevaluatedItems.map(_ => "unevaluatedItems"),
-      node.contentEncoding.map(_ => "contentEncoding"),
-      node.contentMediaType.map(_ => "contentMediaType"),
-      node.contentSchema.map(_ => "contentSchema"),
       node.jsonSchema.map(_ => "json")
     ).flatten.foreach { k =>
       throw SpecError(kw(k), s"'$k' is not supported in dynamic (variant) mode")

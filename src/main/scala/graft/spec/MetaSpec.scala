@@ -1,0 +1,104 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.compile.SuiteCompiler
+import graft.exec.Validator
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Self-hosted meta-spec validation: the spec language described in a spec
+  * document and enforced by the engine itself, before the typed parser runs
+  * — the analogue of the reference validating every schema against its
+  * dialect's metaschema before compiling (/root/reference/roots.go:53-56,
+  * 240-248).
+  *
+  * Because the engine inlines `$ref`s at compile time (cycles rejected), a
+  * recursive metaschema cannot be expressed directly. Instead we mirror the
+  * reference's resource-walker architecture (/root/reference/root.go:78-135):
+  * a keyword-position map flattens the document into its constituent schema
+  * nodes, and EVERY node is validated — by the engine's own dynamic JSON
+  * compiler — against a depth-1 node meta-spec whose nested schema positions
+  * only assert "object or boolean" (each nested node appears as its own row,
+  * so nothing is left unchecked). This also makes meta-validation an ordinary
+  * DataFrame pass: validating a catalog of a million stored specs is the same
+  * plan over a million documents.
+  *
+  * Division of labour: this gate catches SHAPE errors (unknown keywords,
+  * ill-typed keyword values, negative lengths, empty enums, malformed anchor
+  * names). Semantic errors (regex validity, format/encoding registries,
+  * `$ref` resolution, column existence) stay with the typed parser that runs
+  * after it — same split as the reference, whose metaschema also cannot see
+  * registries.
+  */
+object MetaSpec {
+
+  private val mapper = new ObjectMapper()
+
+  /** The meta-spec source document (a spec in the engine's own language). */
+  lazy val document: String = {
+    val in = getClass.getResourceAsStream("/graft/metaspec.json")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** The meta-spec, parsed like any other spec. */
+  lazy val spec: Spec = Spec.fromJson(document)
+
+  /** Input shape for meta-validation: one 'root' row for the whole document,
+    * one 'node' row per enumerated schema node (exactly one of root/node is
+    * non-null per row — the engine's NULL-vacuous convention skips the other
+    * column's checks).
+    */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("root", StringType, nullable = true),
+    StructField("node", StringType, nullable = true)))
+
+  private lazy val compiledSuite = SuiteCompiler.compile(spec, inputSchema)
+
+  /** Enumerate every schema node in a spec document with its location, via
+    * the shared keyword-position map ([[Spec.walkSchemaNodes]]). Non-object,
+    * non-boolean children are not descended into — the parent's meta-check
+    * already flags them (nested positions must be object or boolean).
+    */
+  def schemaNodes(doc: JsonNode): Vector[(String, JsonNode)] = {
+    val out = Vector.newBuilder[(String, JsonNode)]
+    Spec.walkSchemaNodes(doc) { (n, path) =>
+      out += (("#/" + path.mkString("/"), n))
+    }
+    out.result()
+  }
+
+  /** One meta-violation: (spec location, meta keyword, detail). */
+  final case class MetaViolation(path: String, keyword: String, detail: String)
+
+  /** Meta-validate a spec document with the engine itself. Returns all
+    * violations (empty = shape-valid).
+    */
+  def violations(spark: SparkSession, doc: JsonNode): Vector[MetaViolation] = {
+    val rows: Seq[Row] = Row("#", doc.toString, null) +:
+      schemaNodes(doc).map { case (p, n) => Row(p, null, n.toString) }
+    val df = spark.createDataFrame(rows.asJava, inputSchema)
+    Validator.violations(df, compiledSuite, Seq("path"))
+      .collect()
+      .map(r => MetaViolation(r.getString(0), r.getString(1), r.getString(3)))
+      .toVector
+      .sortBy(v => (v.path, v.keyword))
+  }
+
+  def violations(spark: SparkSession, json: String): Vector[MetaViolation] =
+    violations(spark, mapper.readTree(json))
+
+  /** Gate: throw a typed [[SpecError]] on the first meta-violation (CLI exit
+    * 2), mirroring the reference's compile-time metaschema rejection.
+    */
+  def check(spark: SparkSession, doc: JsonNode): Unit = {
+    val vs = violations(spark, doc)
+    vs.headOption.foreach { v =>
+      val more = if (vs.size > 1) s" (+${vs.size - 1} more)" else ""
+      throw SpecError(v.path, s"meta-spec: ${v.detail}$more")
+    }
+  }
+}

@@ -169,17 +169,25 @@ object Spec {
     */
   def fromYaml(yaml: String): Spec = parse(yamlMapper.readTree(yaml))
 
-  def fromFile(path: String): Spec =
+  /** Raw-document loaders (no typed parse) — callers that want to run
+    * meta-spec validation first ([[MetaSpec.check]]) load the document, gate
+    * it, then [[parse]] it.
+    */
+  def documentFromJson(json: String): JsonNode = mapper.readTree(json)
+
+  def documentFromFile(path: String): JsonNode =
     try {
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
-        parse(yamlMapper.readTree(new java.io.File(path)))
-      else parse(mapper.readTree(new java.io.File(path)))
+        yamlMapper.readTree(new java.io.File(path))
+      else mapper.readTree(new java.io.File(path))
     } catch {
       // unreadable/malformed files keep the typed SpecError contract
       // (CLI exit 2), like the loader registry
       case e: java.io.IOException =>
         throw SpecError(path, s"cannot read spec file: $e")
     }
+
+  def fromFile(path: String): Spec = parse(documentFromFile(path))
 
   /** Scheme → loader registry — the reference's SchemeURLLoader
     * (/root/reference/loader.go:62-100): each loader receives the full URL
@@ -204,8 +212,8 @@ object Spec {
 
   def knownSchemes: Set[String] = loaders.keySet
 
-  /** Load a spec from a scheme URL via the loader registry. */
-  def fromUrl(url: String): Spec = {
+  /** Load a spec document from a scheme URL via the loader registry. */
+  def documentFromUrl(url: String): JsonNode = {
     val i = url.indexOf(':')
     if (i <= 0) throw SpecError(url, "spec URL needs a scheme (e.g. file://...)")
     val scheme = url.substring(0, i)
@@ -214,14 +222,15 @@ object Spec {
         s"no loader registered for scheme '$scheme' (registered: ${loaders.keySet.mkString(", ")})"))
     // loader failures (unreadable file, malformed document) keep the typed
     // SpecError contract — the CLI exits 2, not with a raw stack trace
-    val doc = try loader(url) catch {
+    try loader(url) catch {
       case e: SpecError => throw e
       case scala.util.control.NonFatal(e) =>
         // e.toString keeps the exception class when the message is null (NPE)
         throw SpecError(url, s"loader failed: $e")
     }
-    parse(doc)
   }
+
+  def fromUrl(url: String): Spec = parse(documentFromUrl(url))
 
   private val topKeywords =
     Set("$defs", "columns", "required", "row", "table", "title", "description", "$comment")
@@ -298,32 +307,80 @@ object Spec {
       pct.replace("~1", "/").replace("~0", "~")
     }
 
+  /** Keyword-position map: which keywords hold schemas, and in what shape —
+    * the analogue of the reference's subschema position registry
+    * (/root/reference/root.go:78-135). Shared by the anchor collector and
+    * the meta-spec node walker: keys of `properties`/`patternProperties`/
+    * `dependentSchemas`/`$defs` maps and values of `const`/`enum`/`default`
+    * are DATA, never schema positions.
+    */
+  private[spec] val singleSchemaKw = Seq("items", "contains", "propertyNames",
+    "not", "if", "then", "else", "contentSchema", "json",
+    "additionalProperties", "unevaluatedProperties", "unevaluatedItems")
+  private[spec] val arraySchemaKw = Seq("prefixItems", "allOf", "anyOf", "oneOf")
+  private[spec] val mapSchemaKw = Seq("properties", "patternProperties", "dependentSchemas")
+
+  /** Visit every schema node of a spec document with its location path. */
+  private[spec] def walkSchemaNodes(root: JsonNode)
+      (f: (JsonNode, Vector[String]) => Unit): Unit = {
+    def walk(n: JsonNode, path: Vector[String]): Unit = {
+      f(n, path)
+      if (!n.isObject) return // boolean schemas have no children
+      singleSchemaKw.foreach { k =>
+        val c = n.get(k)
+        if (c != null && (c.isObject || c.isBoolean)) walk(c, path :+ k)
+      }
+      arraySchemaKw.foreach { k =>
+        val c = n.get(k)
+        if (c != null && c.isArray) c.asScala.zipWithIndex.foreach { case (e, i) =>
+          if (e.isObject || e.isBoolean) walk(e, path :+ k :+ i.toString)
+        }
+      }
+      mapSchemaKw.foreach { k =>
+        val c = n.get(k)
+        if (c != null && c.isObject) c.fieldNames().asScala.foreach { fn =>
+          val e = c.get(fn)
+          if (e.isObject || e.isBoolean) walk(e, path :+ k :+ fn)
+        }
+      }
+    }
+    if (root.isObject) {
+      Seq("$defs", "columns").foreach { k =>
+        Option(root.get(k)).filter(_.isObject).foreach { m =>
+          m.fieldNames().asScala.foreach { fn =>
+            val e = m.get(fn)
+            if (e.isObject || e.isBoolean) walk(e, Vector(k, fn))
+          }
+        }
+      }
+      Option(root.get("row")).filter(_.isArray).foreach(_.asScala.zipWithIndex
+        .foreach { case (e, i) =>
+          if (e.isObject || e.isBoolean) walk(e, Vector("row", i.toString))
+        })
+    }
+  }
+
   private val anchorName = "^[A-Za-z_][A-Za-z0-9._-]*$".r
 
-  /** Index every `$anchor` in the document (name → node + path); duplicate
-    * or malformed anchor names are typed spec errors, as in the reference's
-    * resource loader (/root/reference/root.go:96-120).
+  /** Index every `$anchor` at a SCHEMA position (name → node + path);
+    * duplicate or malformed anchor names are typed spec errors, as in the
+    * reference's resource loader (/root/reference/root.go:96-120). `$anchor`
+    * appearing as data (a property name, an enum value) is never collected.
     */
   private[spec] def collectAnchors(root: JsonNode)
       : Map[String, (JsonNode, Vector[String])] = {
     val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
-    def walk(n: JsonNode, path: Vector[String]): Unit = {
-      if (n.isObject) {
-        Option(n.get("$anchor")).foreach { a =>
-          val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
-          if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
-            throw SpecError(s"$at/$$anchor", s"invalid anchor name $a")
-          val name = a.asText()
-          if (out.contains(name))
-            throw SpecError(s"$at/$$anchor", s"duplicate anchor '$name'")
-          out(name) = (n, path)
-        }
-        n.fieldNames().asScala.foreach(k => walk(n.get(k), path :+ k))
-      } else if (n.isArray) {
-        n.asScala.zipWithIndex.foreach { case (c, i) => walk(c, path :+ i.toString) }
+    walkSchemaNodes(root) { (n, path) =>
+      if (n.isObject) Option(n.get("$anchor")).foreach { a =>
+        val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
+        if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
+          throw SpecError(s"$at/$$anchor", s"invalid anchor name $a")
+        val name = a.asText()
+        if (out.contains(name))
+          throw SpecError(s"$at/$$anchor", s"duplicate anchor '$name'")
+        out(name) = (n, path)
       }
     }
-    walk(root, Vector.empty)
     out.toMap
   }
 

@@ -151,9 +151,9 @@ class DynamicJsonSpec extends SparkTestBase {
 
   test("every unimplemented dynamic keyword throws (no silent drops)") {
     val df = Seq((1, "{}")).toDF("k", "j")
-    Seq("contentMediaType" -> """{"contentMediaType":"application/json"}""",
-        "contentSchema" -> """{"contentSchema":{"type":"object"}}""",
-        "unevaluatedItems" -> """{"unevaluatedItems":false}""").foreach {
+    Seq("unevaluatedProperties" -> """{"unevaluatedProperties":false}""",
+        "unevaluatedItems" -> """{"unevaluatedItems":false}""",
+        "json" -> """{"properties":{"x":{"json":{"type":"object"}}}}""").foreach {
       case (name, frag) =>
         val e = intercept[SpecError] {
           SuiteCompiler.compile(Spec.fromJson(
@@ -161,6 +161,17 @@ class DynamicJsonSpec extends SparkTestBase {
         }
         assert(e.getMessage.contains("not supported in dynamic"), s"$name: ${e.getMessage}")
     }
+    // content* keywords are IMPLEMENTED in dynamic mode (validator.go:468-510)
+    // — they must compile, and unknown registry names stay typed errors
+    SuiteCompiler.compile(Spec.fromJson(
+      """{"columns":{"j":{"json":{
+           "contentEncoding":"base64","contentMediaType":"application/json",
+           "contentSchema":{"type":"object"}}}}}"""), df.schema)
+    val e = intercept[SpecError] {
+      SuiteCompiler.compile(Spec.fromJson(
+        """{"columns":{"j":{"json":{"contentEncoding":"base32"}}}}"""), df.schema)
+    }
+    assert(e.getMessage.contains("unknown encoding"))
   }
 
   test("json keyword on a non-string, non-variant column is a typed error") {
