@@ -104,11 +104,23 @@ object Bench {
         .agg(sum(col("id").cast("decimal(18,2)")), count(lit(1)))
         .count()
     }
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min-of-N per query with the spread reported: single-shot numbers on
+    // this VM swing ±30% with hypervisor steal, so round-over-round
+    // comparisons need the min to isolate plan changes from noise. The cache
+    // is cleared between reps so every rep does identical work (operators
+    // that persist intermediates must not turn rep 2 into a cache read).
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val localSpark = spark
+    val queryStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to queryReps).map { _ =>
+        localSpark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(localSpark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> ts
     }
+    val queryTimes = queryStats.map { case (n, ts) => n -> ts.min }
 
     // headline: clips/sec at the driver-provided parallelism
     val tHead = fullSuiteTimed(spark, corpus, deep = false)
@@ -127,12 +139,14 @@ object Bench {
     def eff(t: Map[Int, Double], a: Int, b: Int): Double = t(a) / ((b / a) * t(b))
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val spreads = queryStats.map { case (k, ts) =>
+      "\"" + k + f"\":${ts.max - ts.min}%.3f" }.mkString("{", ",", "}")
     val queriesTotal = queryTimes.map(_._2).sum
     def block(t: Map[Int, Double]): String =
       f""""t_local2_sec":${t(2)}%.3f,"t_local8_sec":${t(8)}%.3f,"t_local32_sec":${t(32)}%.3f,""" +
         f""""throughput_local8":${nClips / t(8)}%.1f,"throughput_local32":${nClips / t(32)}%.1f,""" +
         f""""efficiency_2_to_8":${eff(t, 2, 8)}%.3f,"efficiency_8_to_32":${eff(t, 8, 32)}%.3f"""
     println(
-      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"queries_total_sec":$queriesTotal%.3f,"queries":$qs,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
+      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"queries":$qs,"queries_spread":$spreads,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
   }
 }

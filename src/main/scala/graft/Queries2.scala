@@ -230,6 +230,54 @@ object Queries2 {
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""
 
+  // ---- IVF top-k (the ANN scale path), oracle-checked ----
+  // Fixed deterministic ±1 centroids so the model is a data-independent
+  // literal reproducible in SQL; k-means TRAINING quality is covered by the
+  // recall test in PipelineSpec — this query gates the IVF plan semantics
+  // (cell argmax, nProbe probing, equi-join, in-cell exact rank).
+  private val ivfCentroids = SimSearch.hyperplanes(numPlanes = 8, dim = 64, seed = 7L)
+  private val ivfModel = SimSearch.IvfModel(ivfCentroids)
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, ivfModel, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val sqlAnnIvf: String = {
+    // per-row (cell score, index) structs — EXACT same fp expression as
+    // Spark's cosine(vec, centroid) fold; ties resolve to the larger index
+    // (Spark's array_max over struct(s, i))
+    val structs = ivfCentroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"{'i': $i, 's': ${duckCos("embedding", arr)}}"
+    }.mkString(",\n             ")
+    s"""WITH scores AS (
+          SELECT vec_id, embedding, u.i AS i, u.s AS s
+          FROM embeddings, UNNEST([$structs]) AS t(u)),
+        corpus_cells AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv, i AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY s DESC, i DESC) AS rn FROM scores) WHERE rn = 1),
+        probe_cells AS (
+          SELECT vec_id AS query_id, embedding AS qv, i AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY s DESC, i DESC) AS rn FROM scores WHERE vec_id < 10)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT p.query_id, c.neighbor_id, ${duckCos("p.qv", "c.cv")} AS sim
+          FROM corpus_cells c JOIN probe_cells p ON c.cell = p.cell
+          WHERE c.neighbor_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""
+  }
+
   // ---- text analysis battery ----
   def qTextBattery(spark: SparkSession, dir: String): DataFrame =
     TextStats.battery(t(spark, dir, "documents"), "doc_id", "text")
@@ -267,6 +315,7 @@ object Queries2 {
     "q_dedup_simhash64" -> ((qDedupSimhash64 _, sqlDedupSimhash64)),
     "q_embed_neardup_lsh" -> ((qEmbedNearDupLsh _, sqlEmbedNearDupLsh)),
     "q_ann_topk" -> ((qAnnTopK _, sqlAnnTopK)),
+    "q_ann_ivf" -> ((qAnnIvf _, sqlAnnIvf)),
     "q_text_battery" -> ((qTextBattery _, sqlTextBattery))
   )
 }

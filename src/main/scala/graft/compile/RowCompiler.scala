@@ -597,7 +597,11 @@ object RowCompiler {
         // unevaluatedItems — static lowering: with a statically-known
         // evaluated prefix this is exactly items-after-prefix semantics
         // (/root/reference/validator.go:633-641)
-        node.unevaluatedItems.foreach { ui =>
+        // `unevaluatedItems: true` can never fail — skip BEFORE the static
+        // evaluated-set precompute, which rejects runtime-dependent
+        // applicators (a no-op keyword must not make a valid spec
+        // uncompilable)
+        node.unevaluatedItems.filter(_ != Left(true)).foreach { ui =>
           val (maxPrefix, allEval) =
             staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack)
           if (!allEval) ui match {
@@ -695,14 +699,19 @@ object RowCompiler {
         }
         // unevaluatedProperties — static lowering over the struct's known
         // field set: a statically-unevaluated field must be absent (NULL)
-        // under `false`, or match the subschema otherwise
-        node.unevaluatedProperties.foreach { up =>
+        // under `false`, or match the subschema otherwise; `true` is a no-op
+        // and must skip the (rejecting) static precompute entirely
+        node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
           val (evalKeys, evalPats, allEval) =
             staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
           if (!allEval) {
-            val pats = evalPats.map(java.util.regex.Pattern.compile)
+            // static field-name test goes through the engine-paired hook
+            // (Formats.staticPatternMatch), NOT raw java.util.regex — with a
+            // custom engine registered, struct and map columns must agree on
+            // which fields count as evaluated
             val uneval = st.fields.filterNot(f =>
-              evalKeys.contains(f.name) || pats.exists(_.matcher(f.name).find()))
+              evalKeys.contains(f.name) ||
+                evalPats.exists(Formats.staticPatternMatch(f.name, _)))
             up match {
               case Left(true) =>
               case Left(false) =>
@@ -755,8 +764,9 @@ object RowCompiler {
         }
         // unevaluatedProperties over map columns: residual key algebra
         // against the statically-merged evaluated set (keys ∪ patterns from
-        // this node + allOf/$ref closure)
-        node.unevaluatedProperties.foreach { up =>
+        // this node + allOf/$ref closure); `true` is a no-op and skips the
+        // (rejecting) static precompute
+        node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
           val (evalKeys, evalPats, allEval) =
             staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
           if (!allEval) {

@@ -33,9 +33,20 @@ object Validator {
   /** Materialize the suite's shared subexpressions (JSON parses) as named
     * columns in a child Project, so each is computed once per row no matter
     * how many checks reference it (see [[graft.compile.Binder]]).
+    *
+    * Binding names (`__graft_bind_N`) are RESERVED: withColumn would
+    * silently replace a same-named input column (corrupting any check that
+    * reads it) and dropBindings would then remove it from the output — so a
+    * collision fails fast, mirroring the `__graft_vio` reserved-alias note
+    * in [[violations]].
     */
-  private def withBindings(df: DataFrame, suite: CompiledSuite): DataFrame =
+  private def withBindings(df: DataFrame, suite: CompiledSuite): DataFrame = {
+    val clash = suite.bindings.map(_._1).toSet.intersect(df.columns.toSet)
+    if (clash.nonEmpty)
+      throw graft.spec.SpecError("#",
+        s"input columns collide with reserved binding aliases: ${clash.mkString(", ")}")
     suite.bindings.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  }
 
   private def dropBindings(df: DataFrame, suite: CompiledSuite): DataFrame =
     if (suite.bindings.isEmpty) df else df.drop(suite.bindings.map(_._1): _*)

@@ -214,4 +214,20 @@ object Formats {
     synchronized { specRegexCheck = check }
 
   def checkSpecRegex(pattern: String): Option[String] = specRegexCheck(pattern)
+
+  /** Compile-time (driver-side) pattern test, paired with the runtime
+    * engine — used where instance names are known statically (struct-column
+    * unevaluatedProperties tests field names against patternProperties at
+    * compile). Swap together with [[setPatternEngine]] so static and runtime
+    * matching cannot disagree on which fields count as evaluated; default is
+    * java.util.regex with search semantics, matching the default engine.
+    */
+  @volatile private var staticMatch: (String, String) => Boolean =
+    (s, p) => java.util.regex.Pattern.compile(p).matcher(s).find()
+
+  def setStaticPatternMatch(m: (String, String) => Boolean): Unit =
+    synchronized { staticMatch = m }
+
+  def staticPatternMatch(s: String, pattern: String): Boolean =
+    staticMatch(s, pattern)
 }

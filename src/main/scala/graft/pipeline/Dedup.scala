@@ -309,10 +309,13 @@ object Dedup {
     *
     * Algorithm: distributed min-label propagation — per round, every vertex
     * takes the min label among itself and its neighbors (one equi-join +
-    * one partial-agg groupBy, both shuffling O(edges) small rows). Rounds
-    * needed = graph diameter; near-dup graphs are unions of near-cliques
-    * (LSH buckets), so 2-4 rounds in practice. The loop is driver-bounded
-    * with an exact convergence check per round; hitting `maxIter` without
+    * one partial-agg groupBy, both shuffling O(edges) small rows; the
+    * convergence test is folded into the same aggregation — old and new
+    * labels come out of one groupBy, so each round pays exactly one join +
+    * one agg). Rounds needed = graph diameter; near-dup graphs are unions of
+    * near-cliques (LSH buckets), so 2-4 rounds in practice. The loop is
+    * driver-bounded with an exact convergence check per round; hitting
+    * `maxIter` without
     * convergence THROWS rather than silently returning partial components
     * (no-silent-caps). For adversarial long-chain graphs prefer a
     * large-star/small-star variant (O(log n) rounds) — out of scope here.
@@ -331,17 +334,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; keep own label in the pool
+      // neighbor labels flow along edges; keep own label in the pool,
+      // TAGGED, so the same aggregation that computes the new label also
+      // carries the old one — the convergence test then reads the aggregated
+      // frame directly instead of paying a second join per round
       val msgs = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("u").as("id"), col("comp"))
+        .select(col("u").as("id"), col("comp"), lit(false).as("self"))
       val next = maybePersist(
-        labels.unionByName(msgs).groupBy("id").agg(min("comp").as("comp")),
+        labels.select(col("id"), col("comp"), lit(true).as("self"))
+          .unionByName(msgs)
+          .groupBy("id")
+          .agg(min("comp").as("comp"),
+            min(when(col("self"), col("comp"))).as("__old")),
         storage)
-      val changed = next.withColumnRenamed("comp", "nc")
-        .join(labels, Seq("id"))
-        .filter(col("nc") =!= col("comp")).count()
+      val changed = next.filter(col("comp") =!= col("__old")).count()
       if (storage != StorageLevel.NONE) labels.unpersist()
-      labels = next
+      labels = next.drop("__old")
       converged = changed == 0
       iter += 1
     }

@@ -28,17 +28,34 @@ trait CustomConstraint extends TableConstraint {
 
 /** Registry of custom constraint families, keyed by the `#/table/<name>`
   * keyword (mirrors Compiler.RegisterVocabulary,
-  * /root/reference/compiler.go:102-114).
+  * /root/reference/compiler.go:102-114). A family may declare the SHAPE of
+  * its own spec fragment — a schema in the engine's spec language, checked
+  * before the parse callback runs (the `Vocabulary.Schema` contract,
+  * /root/reference/vocab.go:19-35): malformed family specs then fail as
+  * typed [[SpecError]]s naming the family instead of opaque callback
+  * exceptions.
   */
 object ConstraintFamilies {
-  @volatile private var registry
-      : Map[String, com.fasterxml.jackson.databind.JsonNode => CustomConstraint] = Map.empty
+  final case class Family(
+      compile: com.fasterxml.jackson.databind.JsonNode => CustomConstraint,
+      shape: Option[SchemaNode])
+
+  @volatile private var registry: Map[String, Family] = Map.empty
+
   def register(keyword: String,
                compile: com.fasterxml.jackson.databind.JsonNode => CustomConstraint): Unit =
-    synchronized { registry = registry + (keyword -> compile) }
-  def get(keyword: String)
-      : Option[com.fasterxml.jackson.databind.JsonNode => CustomConstraint] =
-    registry.get(keyword)
+    synchronized { registry = registry + (keyword -> Family(compile, None)) }
+
+  /** Register with a declared spec-shape schema (JSON, spec language). */
+  def register(keyword: String, shapeJson: String,
+               compile: com.fasterxml.jackson.databind.JsonNode => CustomConstraint): Unit = {
+    val shape = SpecShape.parseShape(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(shapeJson),
+      s"family '$keyword' shape")
+    synchronized { registry = registry + (keyword -> Family(compile, Some(shape))) }
+  }
+
+  def get(keyword: String): Option[Family] = registry.get(keyword)
 }
 
 /** No two rows share the same value tuple for `columns`. */
@@ -390,7 +407,16 @@ object Spec {
     val out = Vector.newBuilder[TableConstraint]
     t.fieldNames().asScala.foreach { k =>
       if (!known.contains(k)) ConstraintFamilies.get(k) match {
-        case Some(compile) => out += compile(t.get(k))
+        case Some(fam) =>
+          // shape gate before the parse callback (vocab.go:19-35 analogue)
+          fam.shape.foreach { sh =>
+            val vs = SpecShape.violations(t.get(k), sh, s"#/table/$k")
+            if (vs.nonEmpty)
+              throw SpecError(s"#/table/$k",
+                s"constraint family '$k': spec shape invalid — ${vs.head}" +
+                  (if (vs.size > 1) s" (+${vs.size - 1} more)" else ""))
+          }
+          out += fam.compile(t.get(k))
         case None => throw SpecError("#/table", s"unknown table constraint '$k'")
       }
     }

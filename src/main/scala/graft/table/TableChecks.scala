@@ -171,7 +171,18 @@ object TableChecks {
     * columns the old global `Window.orderBy(v)` moved every distinct value to
     * ONE task — at 100× scale, one executor sorting 10^8+ rows.
     */
-  def ksTwoSampleDf(a: DataFrame, aCol: String, b: DataFrame, bCol: String): DataFrame = {
+  def ksTwoSampleDf(a: DataFrame, aCol: String, b: DataFrame, bCol: String): DataFrame =
+    ksTwoSampleInternal(a, aCol, b, bCol)._1
+
+  /** Returns (lazy 1-row result, the correctness-required persisted
+    * intermediate). The CACHE LIFETIME contract (cf. Dedup.maybePersist):
+    * [[ksTwoSampleDf]] leaves the intermediate pinned until session end —
+    * callers running many KS checks in a long-lived driver should prefer the
+    * eager [[ksTwoSample]], which unpersists after its action, or unpersist
+    * via this variant themselves.
+    */
+  def ksTwoSampleInternal(a: DataFrame, aCol: String, b: DataFrame, bCol: String)
+      : (DataFrame, DataFrame) = {
     val av = a.select(col(aCol).cast("double").as("v")).filter(col("v").isNotNull)
     val bv = b.select(col(bCol).cast("double").as("v")).filter(col("v").isNotNull)
     val union = av.withColumn("src", lit("a")).union(bv.withColumn("src", lit("b")))
@@ -206,7 +217,7 @@ object TableChecks {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged
+    val result = ranged
       .withColumn("cuma", sum("ca").over(w))
       .withColumn("cumb", sum("cb").over(w))
       .join(broadcast(offsets), Seq("pid"))
@@ -214,10 +225,17 @@ object TableChecks {
       .withColumn("fa", (col("cuma") + col("offa")) / col("ta"))
       .withColumn("fb", (col("cumb") + col("offb")) / col("tb"))
       .agg(max(abs(col("fa") - col("fb"))).as("ks"))
+    (result, ranged)
   }
 
-  def ksTwoSample(a: DataFrame, aCol: String, b: DataFrame, bCol: String): Double =
-    ksTwoSampleDf(a, aCol, b, bCol).collect()(0).getDouble(0)
+  /** Eager two-sample KS: runs the action and releases the intermediate
+    * cache — the right call in long-lived drivers issuing many KS checks.
+    */
+  def ksTwoSample(a: DataFrame, aCol: String, b: DataFrame, bCol: String): Double = {
+    val (res, cache) = ksTwoSampleInternal(a, aCol, b, bCol)
+    try res.collect()(0).getDouble(0)
+    finally cache.unpersist()
+  }
 
   /** Drift violations — LAZY: empty when within threshold, one violation row
     * otherwise. The metric is computed in-plan ([[psiDf]]/[[ksDf]]) so drift

@@ -135,6 +135,47 @@ class ExtensionSpec extends SparkTestBase {
     assert(vios(0).getAs[String]("detail").contains("got 2, want >= 10"))
   }
 
+  test("constraint family with a declared spec-shape schema rejects " +
+      "malformed family specs with a typed error naming the family") {
+    // vocab.go:19-35 analogue: Vocabulary.Schema checked before Compile
+    final case class Budget(max: Long) extends CustomConstraint {
+      def name = s"rowBudget($max)"
+      def violations(df: SDF, refs: Map[String, SDF]): SDF =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > max)
+          .select(lit("table/rowBudget").as("keyword"),
+            lit("<table>").as("instance_path"),
+            concat(lit("rowBudget: got "), col("n").cast("string"),
+              lit(s", want <= $max")).as("detail"))
+    }
+    ConstraintFamilies.register("rowBudget",
+      """{"type":"object","required":["max"],
+          "properties":{"max":{"type":"integer","minimum":1},
+                        "note":{"type":"string"}},
+          "additionalProperties":false}""",
+      node => Budget(node.get("max").asLong()))
+    // well-shaped spec compiles
+    val df = Seq((1, "a")).toDF("k", "v")
+    SuiteCompiler.compile(Spec.fromJson(
+      """{"columns":{},"table":{"rowBudget":{"max":5}}}"""), df.schema)
+    // shape violations: wrong type, missing required, negative bound, extra key
+    Seq(
+      """{"table":{"rowBudget": 10}}""" -> "type",
+      """{"table":{"rowBudget": {}}}""" -> "required",
+      """{"table":{"rowBudget": {"max": 0}}}""" -> "minimum",
+      """{"table":{"rowBudget": {"max": 2, "oops": 1}}}""" -> "additionalProperties"
+    ).foreach { case (specJson, frag) =>
+      val e = intercept[graft.spec.SpecError](Spec.fromJson(specJson))
+      assert(e.getMessage.contains("rowBudget") && e.getMessage.contains(frag),
+        s"$specJson → ${e.getMessage}")
+    }
+    // a shape schema may not use runtime-registry keywords
+    val bad = intercept[graft.spec.SpecError] {
+      ConstraintFamilies.register("badShape",
+        """{"format":"uuid"}""", node => Budget(1))
+    }
+    assert(bad.getMessage.contains("not usable in a spec-shape schema"))
+  }
+
   test("salted two-phase duplicate counting ≡ naive on skewed keys") {
     // 80% of rows share one hot key — the codec/sr_hz skew shape
     val rows = (1 to 2000).map(i => if (i % 5 != 0) "hot" else s"key_$i")

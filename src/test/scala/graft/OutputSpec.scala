@@ -59,6 +59,63 @@ class OutputSpec extends SparkTestBase {
     assert(txt.contains("- at abc/sr_hz [#/columns/sr_hz/maximum]: maximum: got 96000"))
   }
 
+  test("self-conformance: the engine validates its own rendered outputs " +
+      "(output_test.go:15-141 analogue)") {
+    import graft.output.OutputSchema
+    // flag
+    assert(OutputSchema.violations(spark, Output.flagJson(true), "flag").isEmpty)
+    assert(OutputSchema.violations(spark, Output.flagJson(false), "flag").isEmpty)
+    // basic — with units, empty, and nasty escaping
+    assert(OutputSchema.violations(spark, Output.basicJson(units), "basic").isEmpty)
+    assert(OutputSchema.violations(spark, Output.basicJson(Nil), "basic").isEmpty)
+    val nasty = Seq(Unit("""a"b\c""", "p\nq", "d\te"))
+    assert(OutputSchema.violations(spark, Output.basicJson(nasty), "basic").isEmpty)
+    // detailed — hierarchical with elided chains, and the valid-only form
+    assert(OutputSchema.violations(spark, Output.detailedJson(units), "detailed").isEmpty)
+    assert(OutputSchema.violations(spark, Output.detailedJson(Nil), "detailed").isEmpty)
+    // units rendered from a REAL engine run round-trip too
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", 96000), org.apache.spark.sql.Row("b", 100)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sr",
+          org.apache.spark.sql.types.IntegerType))))
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson("""{"columns":{"sr":{"minimum":8000,"maximum":48000}}}"""),
+      df.schema)
+    val real = Output.collect(graft.exec.Validator.violations(df, suite, Seq("id")))
+    assert(real.nonEmpty)
+    assert(OutputSchema.violations(spark, Output.basicJson(real), "basic").isEmpty)
+    assert(OutputSchema.violations(spark, Output.detailedJson(real), "detailed").isEmpty)
+  }
+
+  test("self-conformance: renderer drift is CAUGHT (negative cases)") {
+    import graft.output.OutputSchema
+    // missing required 'errors' in basic
+    assert(OutputSchema.violations(spark, """{"valid":false}""", "basic")
+      .exists(_._1.contains("required")))
+    // unit with valid:true (must be const false) — unit-level breakage
+    // surfaces as the containing array's items check
+    assert(OutputSchema.violations(spark,
+      """{"valid":false,"errors":[{"valid":true,"keywordLocation":"/x",
+         "instanceLocation":"/y","error":"e"}]}""".replace("\n", ""), "basic")
+      .exists(_._1.contains("errors/items")))
+    // keywordLocation not a JSON pointer
+    assert(OutputSchema.violations(spark,
+      """{"valid":false,"errors":[{"valid":false,"keywordLocation":"x",
+         "instanceLocation":"/y","error":"e"}]}""".replace("\n", ""), "basic")
+      .exists(_._1.contains("errors/items")))
+    // unknown field sneaking into a detailed node
+    assert(OutputSchema.violations(spark,
+      """{"valid":false,"keywordLocation":"/a","oops":1}""", "detailed")
+      .exists(_._1.contains("additionalProperties")))
+    // malformed JSON
+    assert(OutputSchema.violations(spark, "{broken", "flag")
+      .exists(_._1.contains("!parse")))
+  }
+
   test("escaping: quotes, backslashes, control chars survive JSON rendering") {
     val nasty = Seq(Unit("""a"b\c""", "p\nq", "d\te"))
     val json = Output.basicJson(nasty)

@@ -200,6 +200,29 @@ class PipelineSpec extends SparkTestBase {
     assert(full.size > 0.1 * n && full.size < 0.3 * n, s"${full.size} of $n")
   }
 
+  test("stratifiedExactScaled ≡ stratifiedExact (same rows, no full-stratum sort)") {
+    import graft.pipeline.Sampling
+    // plan shape FIRST (before any persisted run seeds the cache manager):
+    // the window's input must be the threshold-FILTERED frame, not the raw
+    // stratum — the full scan must never feed a per-stratum sort
+    val probe = Sampling.stratifiedExactScaled(docs, "lang", "doc_id", 3,
+      storage = org.apache.spark.storage.StorageLevel.NONE)
+    val plan = probe.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val filterIdx = plan.indexOf("< __graft_thr")
+    assert(winIdx >= 0 && filterIdx > winIdx,
+      s"expected the threshold filter BELOW the window:\n$plan")
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    Seq(1, 3, 50, 5000).foreach { n => // n > every stratum exercises keep-all
+      val window = keySet(Sampling.stratifiedExact(docs, "lang", "doc_id", n))
+      val scaled = Sampling.stratifiedExactScaled(docs, "lang", "doc_id", n)
+      assert(keySet(scaled) == window, s"n=$n")
+      scaled.unpersist()
+    }
+  }
+
   test("contamination finds exactly the benchmark rows whose fingerprint is in the corpus") {
     val corpus = docs.filter($"doc_id" >= 100)
     val bench = docs.filter($"doc_id" < 100)
