@@ -53,6 +53,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(schemaWalks <= 2, s"expected <=2 schemaOfVariant (root+child), got $schemaWalks")
   }
 
+  test("dynamic content* plan parses at most 3× per row (doc, media-type, schema)") {
+    // regression guard: the contentSchema recursion must bind its
+    // try_parse_json(decoded) once — unbound it would re-inline per nested
+    // check (the round-2 failure mode). The honest floor is 3 single-use
+    // parses: the outer document, the application/json media-type predicate
+    // (an opaque registry function with its own parse), and the bound
+    // contentSchema parse of the decoded payload.
+    val plan = Queries3.qValidateContentDynamic(spark, dir)
+      .queryExecution.executedPlan.toString
+    val parses = "parseJson".r.findAllIn(plan).size
+    assert(parses <= 3, s"expected <=3 single-use parseJson, got $parses")
+  }
+
   test("static JSON plan evaluates from_json once per row") {
     val plan = Queries.qValidateJson(spark, dir)
       .queryExecution.executedPlan.toString

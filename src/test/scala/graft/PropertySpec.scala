@@ -166,6 +166,50 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("driver-side SpecShape interpreter ≡ engine dynamic compiler on shared keywords") {
+    // the vocab-shape gate (SpecShape) and the dynamic JSON compiler are two
+    // evaluators of the same spec language — they must agree per document,
+    // or a family spec accepted at parse time could fail the same check at
+    // run time (and vice versa)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val shapes = Seq(
+      """{"type":"object","required":["a"],
+          "properties":{"a":{"type":"integer","minimum":0,"maximum":50},
+                        "b":{"type":"array","minItems":1,"items":{"type":"string","minLength":2}},
+                        "c":{"enum":["x","y",3]}},
+          "additionalProperties":false}""",
+      """{"type":"object",
+          "patternProperties":{"^n_":{"type":"number","exclusiveMinimum":0}},
+          "dependentRequired":{"u":["v"]},
+          "minProperties":1}""",
+      """{"anyOf":[{"type":"string","pattern":"^ok"},
+                   {"type":"object","required":["k"]}],
+          "not":{"type":"boolean"}}""")
+    val docs = Seq(
+      """{"a":5}""", """{"a":-1}""", """{"a":5,"b":["hi","yo"]}""",
+      """{"a":5,"b":[]}""", """{"a":5,"b":["x"]}""", """{"a":5,"c":"x"}""",
+      """{"a":5,"c":3}""", """{"a":5,"c":"z"}""", """{"a":5,"zz":1}""",
+      """{"a":3.0}""", """{"a":3.5}""", """{}""", """{"n_x":1.5}""",
+      """{"n_x":0}""", """{"n_x":"s"}""", """{"u":1}""", """{"u":1,"v":2}""",
+      """"ok-yes"""", """"nope"""", """{"k":1}""", """true""", """[1,2]""",
+      """3""", """null""")
+    shapes.foreach { shapeJson =>
+      val shapeNode = graft.spec.SchemaNode.parse(mapper.readTree(shapeJson),
+        Vector("json"))
+      val df = docs.zipWithIndex.map { case (d, i) => (i, d) }.toDF("k", "j")
+      val suite = SuiteCompiler.compile(Spec.fromJson(
+        s"""{"columns":{"j":{"json":$shapeJson}}}"""), df.schema)
+      val engine = graft.exec.Validator.annotate(df, suite)
+        .select("k", "valid").collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      docs.zipWithIndex.foreach { case (d, i) =>
+        val interp = graft.spec.SpecShape
+          .violations(mapper.readTree(d), shapeNode).isEmpty
+        assert(interp == engine(i),
+          s"doc $d vs shape $shapeJson: interpreter=$interp engine=${engine(i)}")
+      }
+    }
+  }
+
   test("distributed two-sample KS equals driver-exact KS over many partitions") {
     // enough distinct values to span several range partitions; deterministic
     // pseudo-random values (no Random: reproducibility)
