@@ -101,4 +101,39 @@ object MetaSpec {
       throw SpecError(v.path, s"meta-spec: ${v.detail}$more")
     }
   }
+
+  /** Per-document enumeration for the catalog arm: (path, root, node) rows.
+    * Malformed JSON yields just the root row — the engine's `!parse` check
+    * then flags it like any other violation (no exceptions in the plan).
+    * Called on executors: the object (and its mapper) loads per-JVM.
+    */
+  def enumerateRows(json: String): Seq[(String, String, String)] =
+    try {
+      val doc = mapper.readTree(json)
+      ("#", json, null) +: schemaNodes(doc).map { case (p, n) => (p, null, n.toString) }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException =>
+        Seq(("#", json, null))
+    }
+
+  /** Meta-validate a CATALOG of stored specs — one DataFrame pass, so a
+    * million spec documents validate like any other table (the point of
+    * hosting the metaschema in the engine). Input: (idCol, specCol:string);
+    * output: (idCol, path, keyword, instance_path, detail) violation rows.
+    * The per-document node enumeration is a UDF over the position map —
+    * genuine per-document imperative logic on small documents, while the
+    * validation itself stays in compiled expressions.
+    */
+  def violationsForCatalog(specs: org.apache.spark.sql.DataFrame,
+                           idCol: String, specCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val enum0 = udf((json: String) =>
+      if (json == null) Seq.empty[(String, String, String)] else enumerateRows(json))
+    val exploded = specs
+      .select(col(idCol), explode(enum0(col(specCol))).as("__r"))
+      .select(col(idCol), col("__r._1").as("path"),
+        col("__r._2").as("root"), col("__r._3").as("node"))
+    Validator.violations(exploded, compiledSuite, Seq(idCol, "path"))
+  }
 }

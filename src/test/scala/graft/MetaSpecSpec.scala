@@ -109,6 +109,29 @@ class MetaSpecSpec extends SparkTestBase {
       .exists(_.contains("minimum")))
   }
 
+  test("catalog arm: a table of stored specs meta-validates in one DataFrame pass") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("ok1", """{"columns":{"v":{"minimum":1}}}"""),
+      ("ok2", """{"$defs":{"a":{"type":"string"}},"columns":{"v":{"$ref":"#/$defs/a"}}}"""),
+      ("badkw", """{"columns":{"v":{"frobnicate":1}}}"""),
+      ("badnested", """{"columns":{"v":{"items":{"minLength":-1}}}}"""),
+      ("malformed", """{not json"""),
+      ("nullspec", null)
+    ).toDF("spec_id", "spec_json")
+    val vios = graft.spec.MetaSpec
+      .violationsForCatalog(catalog, "spec_id", "spec_json")
+      .select("spec_id", "path", "keyword").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byId = vios.groupBy(_._1)
+    assert(!byId.contains("ok1") && !byId.contains("ok2") && !byId.contains("nullspec"))
+    assert(byId("badkw").exists(v => v._2 == "#/columns/v" &&
+      v._3.contains("additionalProperties")))
+    assert(byId("badnested").exists(v => v._2 == "#/columns/v/items" &&
+      v._3.contains("minimum")))
+    assert(byId("malformed").exists(_._3.contains("!parse")))
+  }
+
   test("meta-violation paths point at the offending node") {
     val vs = MetaSpec.violations(spark,
       """{"columns":{"v":{"items":{"minLength":-1}}}}""")
