@@ -105,23 +105,34 @@ object SimSearch {
     * classic IVF layout where only nProbe cells pay the exact distance.
     */
   final case class IvfModel(centroids: Seq[Array[Double]]) {
-    /** Nearest-centroid id for a vector column (argmax of cosine). */
-    def cell(vec: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
+    // per-centroid scores s_i = dot(v,c_i)/(|v|·|c_i|). The vector's norm is
+    // taken as a PRECOMPUTED column (ivfTopK already materializes it per
+    // row) — recomputing it per centroid would fold the vector k extra
+    // times per row in the scan, pure waste at 10^12 rows. |c_i| stays a
+    // Spark expression over the literal array: Catalyst constant-folds it
+    // once, and the DuckDB oracle folds the identical literal in the same
+    // order, keeping scores bit-identical.
+    private def scoredStructs(vec: Column, vecNorm: Column): Seq[Column] =
+      centroids.zipWithIndex.map { case (c, i) =>
         val cLit = array(c.map(lit): _*)
-        struct(cosine(vec, cLit).as("s"), lit(i).as("i"))
+        struct((dot(vec, cLit) / (vecNorm * norm(cLit))).as("s"), lit(i).as("i"))
       }
-      array_max(array(scored: _*)).getField("i")
-    }
+
+    /** Nearest-centroid id for a vector column (argmax of cosine; ties to
+      * the larger index, matching the oracle's ORDER BY s DESC, i DESC).
+      */
+    def cell(vec: Column, vecNorm: Column): Column =
+      array_max(array(scoredStructs(vec, vecNorm): _*)).getField("i")
+
+    def cell(vec: Column): Column = cell(vec, norm(vec))
 
     /** The nProbe nearest cells for a probe vector. */
-    def probeCells(vec: Column, nProbe: Int): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(lit): _*)
-        struct(cosine(vec, cLit).as("s"), lit(i).as("i"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, nProbe).getField("i")
-    }
+    def probeCells(vec: Column, vecNorm: Column, nProbe: Int): Column =
+      slice(reverse(array_sort(array(scoredStructs(vec, vecNorm): _*))),
+        1, nProbe).getField("i")
+
+    def probeCells(vec: Column, nProbe: Int): Column =
+      probeCells(vec, norm(vec), nProbe)
   }
 
   /** Train the coarse quantizer on a deterministic sample (first `sampleN`
@@ -174,10 +185,10 @@ object SimSearch {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
-      .withColumn("cell", model.cell(col("cv")))
+      .withColumn("cell", model.cell(col("cv"), col("cn")))
     val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
-      .withColumn("cell", explode(model.probeCells(col("qv"), nProbe)))
+      .withColumn("cell", explode(model.probeCells(col("qv"), col("qn"), nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
