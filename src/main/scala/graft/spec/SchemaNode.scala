@@ -112,6 +112,7 @@ object SchemaNode {
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     // annotations — accepted and ignored (reference: schema.go:87-94)
     "title", "description", "$comment", "default", "examples", "deprecated",
+    "readOnly", "writeOnly",
     // $anchor names a node for '#name' refs; validated + indexed per
     // document by Spec.collectAnchors (/root/reference/root.go:78-135)
     "$anchor"

@@ -249,8 +249,13 @@ object Spec {
 
   def fromUrl(url: String): Spec = parse(documentFromUrl(url))
 
+  // $schema / $id accepted at the ROOT as annotations (specs are single
+  // documents; there is no multi-resource base-URI resolution to configure).
+  // A NESTED $id stays rejected — accept-and-ignore there would silently
+  // rebase $refs for schemas written against resolvers that honor it.
   private val topKeywords =
-    Set("$defs", "columns", "required", "row", "table", "title", "description", "$comment")
+    Set("$defs", "columns", "required", "row", "table", "title", "description",
+      "$comment", "$schema", "$id")
 
   def parse(root: JsonNode): Spec = {
     if (!root.isObject) throw SpecError("#", "spec root must be an object")
