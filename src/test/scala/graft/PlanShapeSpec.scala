@@ -41,6 +41,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("IVF join broadcasts the exploded probes (corpus never shuffles by cell)") {
+    val plan = Queries2.qAnnIvf(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
   test("dynamic JSON plan parses each row exactly once (binder + explode_outer)") {
     // regression guard for the round-2 plan-shape bugs: filter-before-explode
     // (explicit or inferred) re-inlines the whole check array, and unbound
