@@ -762,6 +762,15 @@ object RowCompiler {
             out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
           }
         }
+        node.dependentRequired.foreach { case (k, reqs) =>
+          val present = array_contains(keys, k)
+          val core = reqs.map(r => array_contains(keys, r))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          add(kw("dependentRequired", k),
+            vac(v, !coalesce(present, lit(false)) || coalesce(core, lit(false))),
+            lstr(s"dependentRequired: '$k' present but ${reqs.mkString(",")} missing"),
+            ErrorKind.DependentRequiredK(k, reqs))
+        }
         // unevaluatedProperties over map columns: residual key algebra
         // against the statically-merged evaluated set (keys ∪ patterns from
         // this node + allOf/$ref closure); `true` is a no-op and skips the

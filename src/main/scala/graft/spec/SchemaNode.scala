@@ -18,12 +18,17 @@ final case class SpecError(path: String, message: String)
 
 /** One node of the constraint-spec tree — the engine's logical IR.
   *
-  * Keyword set is a fixed "2020-12-like" dialect modeled on the reference's
+  * Keyword set is a "2020-12-like" dialect modeled on the reference's
   * compiled `*Schema` struct (/root/reference/schema.go:11-95): one node with
-  * optional keyword slots grouped by applicability. Unlike the reference we
-  * fix a single dialect, and `$ref` only targets named blocks under `$defs`
-  * (compile-time inlined, cycles rejected — see
-  * /root/reference/compiler.go:153-214 for the worklist equivalent).
+  * optional keyword slots grouped by applicability, plus draft≤7 COMPAT
+  * ALIASES normalized at parse (`dependencies`, tuple-form `items` +
+  * `additionalItems`, draft-4 boolean `exclusiveMinimum`/`Maximum`) — the
+  * reference supports those drafts natively (schema.go:30-37); we support
+  * them by rewriting onto the 2020-12 forms, so validator semantics are
+  * identical while keyword paths report the normalized keyword. `$ref`
+  * targets any same-document pointer or `$anchor` (compile-time inlined,
+  * cycles rejected — see /root/reference/compiler.go:153-214 for the
+  * worklist equivalent); `$dynamicRef`/`$recursiveRef` stay out of scope.
   *
   * Null semantics (documented divergence): SQL NULL is treated as an *absent*
   * value — every keyword is vacuous on NULL and only `required` (column- or
@@ -110,6 +115,12 @@ object SchemaNode {
     "dependentRequired", "dependentSchemas",
     "unevaluatedProperties", "unevaluatedItems",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    // draft≤7 COMPAT ALIASES, normalized at parse onto the 2020-12 forms:
+    // dependencies → dependentRequired/dependentSchemas; array-form items →
+    // prefixItems; additionalItems → items-after-prefix; boolean
+    // exclusiveMinimum/Maximum → numeric exclusive bounds (validator
+    // semantics identical; keyword paths report the normalized form)
+    "dependencies", "additionalItems",
     // annotations — accepted and ignored (reference: schema.go:87-94)
     "title", "description", "$comment", "default", "examples", "deprecated",
     "readOnly", "writeOnly",
@@ -227,6 +238,71 @@ object SchemaNode {
       }
     }.getOrElse(Vector.empty)
 
+    // draft≤7 `dependencies`: array entry = dependentRequired, schema entry =
+    // dependentSchemas (the 2020-12 split was exactly this normalization)
+    val (depsReqCompat, depsSchemaCompat) = opt("dependencies").map { d =>
+      if (!d.isObject) throw SpecError(s"$at/dependencies", "expected object")
+      val reqs = Vector.newBuilder[(String, Vector[String])]
+      val schemas = Vector.newBuilder[(String, SchemaNode)]
+      d.fieldNames().asScala.foreach { k =>
+        val v = d.get(k)
+        if (v.isArray) reqs += (k -> v.asScala.map { e =>
+          if (!e.isTextual)
+            throw SpecError(s"$at/dependencies/$k", s"expected string, got $e")
+          e.asText()
+        }.toVector)
+        else schemas += (k -> parse(v, path :+ "dependencies" :+ k))
+      }
+      (reqs.result(), schemas.result())
+    }.getOrElse((Vector.empty, Vector.empty))
+
+    // draft≤2019 tuple form: items as an ARRAY = prefixItems, and
+    // additionalItems = items-after-prefix (false → boolean false schema).
+    // Per draft semantics additionalItems is IGNORED without array-form
+    // items (it "applies only when items is an array of schemas").
+    val itemsRaw = opt("items")
+    val itemsIsArray = itemsRaw.exists(_.isArray)
+    if (itemsIsArray && opt("prefixItems").nonEmpty)
+      throw SpecError(s"$at/items",
+        "array-form items (draft<=2019 tuple syntax) cannot combine with prefixItems")
+    val prefixCompat: Vector[SchemaNode] =
+      if (itemsIsArray) {
+        val arr = itemsRaw.get
+        if (arr.size() == 0)
+          throw SpecError(s"$at/items", "expected non-empty array of schemas")
+        arr.asScala.zipWithIndex.map { case (c, i) =>
+          parse(c, path :+ "items" :+ i.toString)
+        }.toVector
+      } else schemaArray("prefixItems")
+    val itemsCompat: Option[SchemaNode] =
+      if (itemsIsArray)
+        opt("additionalItems").map { a =>
+          if (a.isBoolean) SchemaNode(path = path :+ "additionalItems",
+            boolSchema = Some(a.asBoolean()))
+          else parse(a, path :+ "additionalItems")
+        }
+      else optSchema("items")
+
+    // draft-4 boolean exclusiveMinimum/Maximum: a modifier on minimum/maximum
+    def exclusiveBound(kw: String, base: Option[BigDecimal])
+        : (Option[BigDecimal], Boolean) = opt(kw) match {
+      case None => (None, false)
+      case Some(v) if v.isNumber => (Some(BigDecimal(v.decimalValue())), false)
+      case Some(v) if v.isBoolean =>
+        if (!v.asBoolean()) (None, false)
+        else base match {
+          case Some(b) => (Some(b), true) // consumes the base bound
+          case None => throw SpecError(s"$at/$kw",
+            s"draft-4 boolean $kw requires ${kw.stripPrefix("exclusive").toLowerCase}")
+        }
+      case Some(v) =>
+        throw SpecError(s"$at/$kw", s"expected number (or draft-4 boolean), got $v")
+    }
+    val minBase = optNum("minimum")
+    val maxBase = optNum("maximum")
+    val (exclMin, minConsumed) = exclusiveBound("exclusiveMinimum", minBase)
+    val (exclMax, maxConsumed) = exclusiveBound("exclusiveMaximum", maxBase)
+
     val addProps = opt("additionalProperties").map { a =>
       if (a.isBoolean) Left(a.asBoolean())
       else Right(parse(a, path :+ "additionalProperties"))
@@ -244,10 +320,10 @@ object SchemaNode {
       enumVals = enumVals,
       format = optStr("format"),
       ref = optStr("$ref"),
-      minimum = optNum("minimum"),
-      maximum = optNum("maximum"),
-      exclusiveMinimum = optNum("exclusiveMinimum"),
-      exclusiveMaximum = optNum("exclusiveMaximum"),
+      minimum = if (minConsumed) None else minBase,
+      maximum = if (maxConsumed) None else maxBase,
+      exclusiveMinimum = exclMin,
+      exclusiveMaximum = exclMax,
       multipleOf = optNum("multipleOf").map { m =>
         if (m <= 0) throw SpecError(s"$at/multipleOf", "must be > 0"); m
       },
@@ -263,8 +339,8 @@ object SchemaNode {
       minItems = optInt("minItems"),
       maxItems = optInt("maxItems"),
       uniqueItems = opt("uniqueItems").exists(_.asBoolean(false)),
-      items = optSchema("items"),
-      prefixItems = schemaArray("prefixItems"),
+      items = itemsCompat,
+      prefixItems = prefixCompat,
       contains = optSchema("contains"),
       minContains = optInt("minContains"),
       maxContains = optInt("maxContains"),
@@ -275,8 +351,8 @@ object SchemaNode {
       propertyNames = optSchema("propertyNames"),
       additionalProperties = addProps,
       patternProperties = patProps,
-      dependentRequired = depReq,
-      dependentSchemas = depSchemas,
+      dependentRequired = depReq ++ depsReqCompat,
+      dependentSchemas = depSchemas ++ depsSchemaCompat,
       unevaluatedProperties = optBoolOrSchema("unevaluatedProperties"),
       unevaluatedItems = optBoolOrSchema("unevaluatedItems"),
       allOf = schemaArray("allOf"),

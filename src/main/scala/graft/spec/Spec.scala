@@ -338,9 +338,15 @@ object Spec {
     */
   private[spec] val singleSchemaKw = Seq("items", "contains", "propertyNames",
     "not", "if", "then", "else", "contentSchema", "json",
-    "additionalProperties", "unevaluatedProperties", "unevaluatedItems")
-  private[spec] val arraySchemaKw = Seq("prefixItems", "allOf", "anyOf", "oneOf")
-  private[spec] val mapSchemaKw = Seq("properties", "patternProperties", "dependentSchemas")
+    "additionalProperties", "unevaluatedProperties", "unevaluatedItems",
+    "additionalItems")
+  // "items" appears in BOTH lists: 2020-12 single-schema form and the
+  // draft≤2019 tuple (array) form — each walker guard is type-checked
+  private[spec] val arraySchemaKw = Seq("prefixItems", "allOf", "anyOf", "oneOf",
+    "items")
+  // "dependencies" values: schemas walk, draft-7 string arrays are data
+  private[spec] val mapSchemaKw = Seq("properties", "patternProperties",
+    "dependentSchemas", "dependencies")
 
   /** Visit every schema node of a spec document with its location path. */
   private[spec] def walkSchemaNodes(root: JsonNode)
