@@ -127,10 +127,23 @@ object Bench {
     val tDeep0 = fullSuiteTimed(spark, corpus, deep = true)
 
     // --- scaling: same fused job at 2 / 8 / 32 cores, memory-resident ---
-    def levels(deep: Boolean): Map[Int, Double] = Seq(2, 8, 32).map { c =>
-      spark = freshSession(c)
-      c -> fullSuiteTimed(spark, corpus, deep)
-    }.toMap
+    // INTERLEAVED sweeps with per-level mins: hypervisor-steal windows on
+    // this VM last minutes, so a single sequential 2→8→32 pass can land one
+    // level in a bad window and skew the ratio (observed eff(2→8) swinging
+    // 0.63–0.83 on identical code); running the level cycle twice and
+    // taking each level's min exposes every level to every window
+    def levels(deep: Boolean): Map[Int, Double] = {
+      val sweeps = sys.env.getOrElse("SPARK_GRAFT_SCALING_SWEEPS", "2").toInt
+      val acc = scala.collection.mutable.Map.empty[Int, Double]
+      (1 to sweeps).foreach { _ =>
+        Seq(2, 8, 32).foreach { c =>
+          spark = freshSession(c)
+          val t = fullSuiteTimed(spark, corpus, deep, reps = 4)
+          acc(c) = math.min(acc.getOrElse(c, Double.MaxValue), t)
+        }
+      }
+      acc.toMap
+    }
     val sh = levels(deep = false)
     val dp = levels(deep = true)
     spark.stop()
