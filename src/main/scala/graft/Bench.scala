@@ -138,7 +138,7 @@ object Bench {
       (1 to sweeps).foreach { _ =>
         Seq(2, 8, 32).foreach { c =>
           spark = freshSession(c)
-          val t = fullSuiteTimed(spark, corpus, deep, reps = 4)
+          val t = fullSuiteTimed(spark, corpus, deep, reps = 6)
           acc(c) = math.min(acc.getOrElse(c, Double.MaxValue), t)
         }
       }
