@@ -132,20 +132,22 @@ object Bench {
     // level in a bad window and skew the ratio (observed eff(2→8) swinging
     // 0.63–0.83 on identical code); running the level cycle twice and
     // taking each level's min exposes every level to every window
-    def levels(deep: Boolean): Map[Int, Double] = {
-      val sweeps = sys.env.getOrElse("SPARK_GRAFT_SCALING_SWEEPS", "2").toInt
-      val acc = scala.collection.mutable.Map.empty[Int, Double]
-      (1 to sweeps).foreach { _ =>
-        Seq(2, 8, 32).foreach { c =>
-          spark = freshSession(c)
-          val t = fullSuiteTimed(spark, corpus, deep, reps = 6)
-          acc(c) = math.min(acc.getOrElse(c, Double.MaxValue), t)
-        }
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SCALING_SWEEPS", "2").toInt
+    val shAcc = scala.collection.mutable.Map.empty[Int, Double]
+    val dpAcc = scala.collection.mutable.Map.empty[Int, Double]
+    (1 to sweeps).foreach { _ =>
+      Seq(2, 8, 32).foreach { c =>
+        // one session per level visit times BOTH arms: halves session spins
+        // and measures shallow and deep in the same steal window
+        spark = freshSession(c)
+        val ts = fullSuiteTimed(spark, corpus, deep = false, reps = 5)
+        val td = fullSuiteTimed(spark, corpus, deep = true, reps = 5)
+        shAcc(c) = math.min(shAcc.getOrElse(c, Double.MaxValue), ts)
+        dpAcc(c) = math.min(dpAcc.getOrElse(c, Double.MaxValue), td)
       }
-      acc.toMap
     }
-    val sh = levels(deep = false)
-    val dp = levels(deep = true)
+    val sh = shAcc.toMap
+    val dp = dpAcc.toMap
     spark.stop()
 
     // the scaling pass repeats the IDENTICAL headline workload (same fused
