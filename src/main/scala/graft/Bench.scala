@@ -112,13 +112,17 @@ object Bench {
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val localSpark = spark
     val queryStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = (1 to queryReps).map { _ =>
+      // a crashing rep must not win the min with its fail-fast wall time:
+      // failed reps are excluded, and a query whose reps ALL fail reports
+      // the sentinel -1.0 (visible in the JSON) instead of a fabricated min
+      val ts = (1 to queryReps).flatMap { _ =>
         localSpark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(localSpark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(localSpark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> ts
+      name -> (if (ts.nonEmpty) ts else Seq(-1.0))
     }
     val queryTimes = queryStats.map { case (n, ts) => n -> ts.min }
 

@@ -331,6 +331,10 @@ object Dedup {
       edges.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("id"), least(col("u"), col("mn")).as("comp")),
       storage)
+    // `cached` tracks the frame actually persisted each round: unpersist on
+    // a DERIVED frame (labels = next.drop("__old")) is a silent no-op —
+    // CacheManager only uncaches plans sameResult with the argument
+    var cached = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -348,7 +352,8 @@ object Dedup {
             min(when(col("self"), col("comp"))).as("__old")),
         storage)
       val changed = next.filter(col("comp") =!= col("__old")).count()
-      if (storage != StorageLevel.NONE) labels.unpersist()
+      if (storage != StorageLevel.NONE) cached.unpersist()
+      cached = next
       labels = next.drop("__old")
       converged = changed == 0
       iter += 1

@@ -94,27 +94,36 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__graft_n"))
     // small strata (N_s <= n) keep everything: threshold 2.0 beats any
-    // hashBucket value including the ~2^-53 round-up-to-1.0 edge
-    val thr = counts.select(col(strataCol), col("__graft_n"),
+    // hashBucket value including the ~2^-53 round-up-to-1.0 edge.
+    // thr is O(strata) rows — persisted so the under-fill verification
+    // touches it instead of re-scanning the input for a second count
+    val thr0 = counts.select(col(strataCol).as("__graft_stratum"),
+      col("__graft_n"),
       when(col("__graft_n") <= n, lit(2.0))
         .otherwise((lit(n.toDouble) + lit(margin) * lit(math.sqrt(n.toDouble))
           + lit(10.0)) / col("__graft_n")).as("__graft_thr"))
-    val filtered = df.join(broadcast(thr), Seq(strataCol))
+    val thr = if (storage == StorageLevel.NONE) thr0 else thr0.persist(storage)
+    // NULL-SAFE join: a null stratum is a stratum too (Window.partitionBy
+    // treats null as a partition — the window arm samples it, so must we)
+    val filtered = df.join(broadcast(thr),
+        col(strataCol) <=> col("__graft_stratum"))
       .filter(hashBucket(col(keyCol)) < col("__graft_thr"))
     val w = Window.partitionBy(strataCol)
       .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
     val trimmed = filtered
       .withColumn("__graft_rank", row_number().over(w))
       .filter(col("__graft_rank") <= n)
-    val sample = trimmed.drop("__graft_rank", "__graft_thr", "__graft_n")
+    val sample = trimmed.drop("__graft_rank", "__graft_thr", "__graft_n",
+      "__graft_stratum")
     if (storage == StorageLevel.NONE) return sample
     val persisted = sample.persist(storage) // returned frame — caller unpersists
     val bad = thr.join(
         persisted.groupBy(strataCol).agg(count(lit(1)).as("__graft_got")),
-        Seq(strataCol), "left")
+        col(strataCol) <=> col("__graft_stratum"), "left")
       .filter(coalesce(col("__graft_got"), lit(0L)) <
         least(lit(n.toLong), col("__graft_n")))
       .limit(1).collect()
+    thr.unpersist() // sample + verification materialized; thr no longer needed
     if (bad.nonEmpty) {
       persisted.unpersist()
       throw new IllegalStateException(

@@ -151,8 +151,10 @@ final case class Spec(
       var cur = doc
       segs.zipWithIndex.foreach { case (seg, i) =>
         val next =
-          if (cur.isArray && seg.forall(_.isDigit) && seg.nonEmpty)
-            cur.get(seg.toInt)
+          if (cur.isArray && seg.nonEmpty && seg.forall(_.isDigit))
+            // toIntOption: an overflowing digit string is an unresolved
+            // element (typed error below), not a raw NumberFormatException
+            seg.toIntOption.map(cur.get).orNull
           else if (cur.isObject) cur.get(seg)
           else null
         if (next == null)

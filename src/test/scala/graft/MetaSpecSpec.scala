@@ -109,6 +109,17 @@ class MetaSpecSpec extends SparkTestBase {
       .exists(_.contains("minimum")))
   }
 
+  test("meta gate is never STRICTER than the typed parser (accepted no-op empties)") {
+    Seq(
+      """{"columns":{},"row":[]}""",
+      """{"columns":{},"table":{"unique":[],"foreignKey":[],"drift":[],"stats":[]}}"""
+    ).foreach { s =>
+      Spec.fromJson(s) // the language accepts these as harmless no-ops...
+      assert(MetaSpec.violations(spark, s).isEmpty,
+        s"meta gate rejected a parser-accepted document: $s")
+    }
+  }
+
   test("catalog arm: a table of stored specs meta-validates in one DataFrame pass") {
     import spark.implicits._
     val catalog = Seq(

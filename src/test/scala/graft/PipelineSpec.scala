@@ -221,6 +221,16 @@ class PipelineSpec extends SparkTestBase {
       assert(keySet(scaled) == window, s"n=$n")
       scaled.unpersist()
     }
+    // a NULL stratum is a stratum (the window arm samples it via
+    // partitionBy-null; the scale arm must too — null-safe joins)
+    val withNull = docs.withColumn("lang",
+      org.apache.spark.sql.functions.when($"doc_id" % 7 === 0, null)
+        .otherwise($"lang"))
+    val wN = keySet(Sampling.stratifiedExact(withNull, "lang", "doc_id", 3))
+    val sN = Sampling.stratifiedExactScaled(withNull, "lang", "doc_id", 3)
+    assert(keySet(sN) == wN, "null-stratum rows diverge")
+    assert(wN.exists(_._1 == null), "test corpus must actually have a null stratum")
+    sN.unpersist()
   }
 
   test("contamination finds exactly the benchmark rows whose fingerprint is in the corpus") {
