@@ -71,13 +71,13 @@ object DynamicJson {
     when(v.isNull, lit(true)).otherwise(coalesce(core, lit(false)))
 
   def predicate(spec: Spec, node: SchemaNode, v: Column,
-                stack: List[String] = Nil): Column =
-    compile(spec, node, v, "", stack)
+                stack: List[(String, Int)] = Nil, depth: Int = 0): Column =
+    compile(spec, node, v, "", stack, None, depth)
       .map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
 
   def compile(spec: Spec, node: SchemaNode, v: Column,
-              instPath: String, stack: List[String] = Nil,
-              binder: Option[Binder] = None): Seq[Check] = {
+              instPath: String, stack: List[(String, Int)] = Nil,
+              binder: Option[Binder] = None, depth: Int = 0): Seq[Check] = {
     // bind-once views: every keyword of this node re-reads the runtime type
     // and the typed extraction, so without binding a 3-keyword node walks
     // the variant 6+ times per row (schema_of_variant is a full traversal)
@@ -103,10 +103,27 @@ object DynamicJson {
       case None       =>
     }
 
-    node.ref.foreach { r =>
-      val target = spec.resolve(r, stack)
-      out ++= compile(spec, target, v, instPath,
-        r :: stack, binder)
+    // $ref / $dynamicRef — compile-time inlining with bounded unroll for
+    // recursive descent (see RowCompiler / Refs for the stack discipline)
+    def inlineRef(r: String, key: String, kwName: String,
+                  target: => SchemaNode): Unit = {
+      if (stack.contains((key, depth)))
+        throw SpecError(kw(kwName), s"cyclic $$ref chain: " +
+          (key :: stack.map(_._1)).reverse.mkString(" -> "))
+      val unroll = CompileLimits.maxRefUnroll
+      if (stack.count(_._1 == key) >= unroll)
+        add(kw(kwName), v.isNull,
+          lit(s"$kwName: recursive schema '$r' unrolled $unroll deep; " +
+            "value present beyond the compiled depth"),
+          ErrorKind.DepthExceeded(unroll))
+      else
+        out ++= compile(spec, target, v, instPath,
+          (key, depth) :: stack, binder, depth)
+    }
+    node.ref.foreach { r => inlineRef(r, r, "$ref", spec.resolve(r, Nil)) }
+    node.dynRef.foreach { r =>
+      val (target, key) = Refs.resolveDynamic(spec, r, stack, kw("$dynamicRef"))
+      inlineRef(r, key, "$dynamicRef", target)
     }
 
     // type — runtime dispatch; integer = number with zero fraction
@@ -236,7 +253,7 @@ object DynamicJson {
         ErrorKind.UniqueItemsK)
     }
     node.prefixItems.zipWithIndex.foreach { case (ps, i) =>
-      val p = predicate(spec, ps, element_at(arr, i + 1), stack)
+      val p = predicate(spec, ps, element_at(arr, i + 1), stack, depth + 1)
       arrCheck(s"prefixItems/$i", size(arr) <= i || coalesce(p, lit(false)),
         lit(s"prefixItems/$i: element does not match"),
         ErrorKind.PrefixItemsK(i))
@@ -246,12 +263,12 @@ object DynamicJson {
       // 2020-12: items applies AFTER the prefix
       val rest = if (prefixN == 0) arr
         else slice(arr, lit(prefixN + 1), greatest(size(arr) - prefixN, lit(0)))
-      val p = forall(rest, e => coalesce(predicate(spec, is, e, stack), lit(false)))
+      val p = forall(rest, e => coalesce(predicate(spec, is, e, stack, depth + 1), lit(false)))
       arrCheck("items", p, lit("items: element(s) do not match"),
         ErrorKind.ItemsK)
     }
     node.contains.foreach { cs =>
-      val cnt = size(filter(arr, e => coalesce(predicate(spec, cs, e, stack), lit(false))))
+      val cnt = size(filter(arr, e => coalesce(predicate(spec, cs, e, stack, depth + 1), lit(false))))
       val minC = node.minContains.getOrElse(1)
       val core = node.maxContains match {
         case Some(mx) => cnt >= minC && cnt <= mx
@@ -277,12 +294,12 @@ object DynamicJson {
       // a property value feeds every check of its subschema — extract once
       val child = binder.map(_.bind(child0)).getOrElse(child0)
       out ++= compile(spec, ps, child,
-        if (instPath.isEmpty) k else s"$instPath/$k", stack, binder)
+        if (instPath.isEmpty) k else s"$instPath/$k", stack, binder, depth + 1)
     }
     node.dependentSchemas.foreach { case (k, ds) =>
       val present = (t === "object") &&
         try_variant_get(v, propPath(k), "variant").isNotNull
-      compile(spec, ds, v, instPath, stack, binder).foreach { c =>
+      compile(spec, ds, v, instPath, stack, binder, depth).foreach { c =>
         out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
       }
     }
@@ -320,14 +337,14 @@ object DynamicJson {
       // key names are strings — the STATIC string compiler applies
       val p = forall(map_keys(asMap),
         k => coalesce(RowCompiler.predicate(spec, ps, k,
-          org.apache.spark.sql.types.StringType, stack), lit(false)))
+          org.apache.spark.sql.types.StringType, stack, depth + 1), lit(false)))
       objCheck("propertyNames", p, lit("propertyNames: key does not match"),
         ErrorKind.PropertyNamesK("*"))
     }
     node.patternProperties.foreach { case (re, ps) =>
       val sub = map_filter(asMap, (k, _) => Formats.patternMatch(k, re))
       val p = forall(map_values(sub),
-        x => coalesce(predicate(spec, ps, x, stack), lit(false)))
+        x => coalesce(predicate(spec, ps, x, stack, depth + 1), lit(false)))
       add(kw("patternProperties", re),
         vac(v, (t =!= "object") || coalesce(p, lit(false))),
         lit(s"patternProperties: value(s) for keys matching '$re' do not match"),
@@ -345,7 +362,7 @@ object DynamicJson {
         case Right(as) =>
           val rem = map_filter(asMap, (k, _) => !isKnown(k))
           val p = forall(map_values(rem),
-            x => coalesce(predicate(spec, as, x, stack), lit(false)))
+            x => coalesce(predicate(spec, as, x, stack, depth + 1), lit(false)))
           objCheck("additionalProperties", p,
             lit("additionalProperties: value(s) do not match"),
             ErrorKind.AdditionalPropertiesK)
@@ -391,7 +408,7 @@ object DynamicJson {
       // validator.go:497-510's decode-then-validate)
       node.contentSchema.foreach { cs =>
         val parsed = b(when(t === "string", try_parse_json(contentValue)))
-        out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder)
+        out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder, depth + 1)
       }
     }
 
@@ -404,33 +421,33 @@ object DynamicJson {
     }
 
     // composition — same algebra, dynamic predicates
-    node.allOf.foreach(ch => out ++= compile(spec, ch, v, instPath, stack, binder))
+    node.allOf.foreach(ch => out ++= compile(spec, ch, v, instPath, stack, binder, depth))
     if (node.anyOf.nonEmpty) {
-      val ps = node.anyOf.map(ch => predicate(spec, ch, v, stack))
+      val ps = node.anyOf.map(ch => predicate(spec, ch, v, stack, depth))
       add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lit("anyOf: no subschema matched"),
         ErrorKind.AnyOfK)
     }
     if (node.oneOf.nonEmpty) {
       val cnt = node.oneOf
-        .map(ch => when(coalesce(predicate(spec, ch, v, stack), lit(false)), 1).otherwise(0))
+        .map(ch => when(coalesce(predicate(spec, ch, v, stack, depth), lit(false)), 1).otherwise(0))
         .reduce(_ + _)
       add(kw("oneOf"), vac(v, cnt === 1),
         concat(lit("oneOf: "), cnt.cast(StringType), lit(" matched, want exactly 1")),
         ErrorKind.OneOfK(node.oneOf.size))
     }
     node.not.foreach { ch =>
-      add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, stack), lit(false))),
+      add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, stack, depth), lit(false))),
         lit("not: subschema matched"),
         ErrorKind.NotK)
     }
     node.ifS.foreach { ifn =>
-      val ifPred = coalesce(predicate(spec, ifn, v, stack), lit(false))
+      val ifPred = coalesce(predicate(spec, ifn, v, stack, depth), lit(false))
       node.thenS.foreach { tn =>
-        compile(spec, tn, v, instPath, stack, binder)
+        compile(spec, tn, v, instPath, stack, binder, depth)
           .foreach(c => out += c.copy(pred = !ifPred || c.pred))
       }
       node.elseS.foreach { en =>
-        compile(spec, en, v, instPath, stack, binder)
+        compile(spec, en, v, instPath, stack, binder, depth)
           .foreach(c => out += c.copy(pred = ifPred || c.pred))
       }
     }
@@ -444,7 +461,8 @@ object DynamicJson {
     */
   def checksForJsonColumn(spec: Spec, node: SchemaNode, jsonCol: Column,
                           instPath: String,
-                          binder: Option[Binder] = None): Seq[Check] = {
+                          binder: Option[Binder] = None,
+                          depth: Int = 0): Seq[Check] = {
     val parsed = try_parse_json(jsonCol)
     // the parse feeds EVERY check below — bind it so it runs once per row
     val v = binder.map(_.bind(parsed)).getOrElse(parsed)
@@ -453,6 +471,6 @@ object DynamicJson {
       when(jsonCol.isNull, lit(true)).otherwise(v.isNotNull),
       lit("!parse: value is not valid JSON"),
       ErrorKind.ParseError)
-    parseCheck +: compile(spec, node, v, instPath, Nil, binder)
+    parseCheck +: compile(spec, node, v, instPath, Nil, binder, depth)
   }
 }

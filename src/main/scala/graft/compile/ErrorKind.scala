@@ -64,6 +64,12 @@ object ErrorKind {
   final case class PropertiesK(key: String) extends ErrorKind { val keyword = "properties" }
   case object UnevaluatedPropertiesK extends ErrorKind { val keyword = "unevaluatedProperties" }
 
+  // recursive-$ref unroll cut (engine-specific: the compile-time-inlining
+  // analogue of the reference's runtime infinite-loop guard,
+  // /root/reference/validator.go:84-90): data present beyond the compiled
+  // unroll depth fails with this kind instead of validating silently
+  final case class DepthExceeded(unrollDepth: Int) extends ErrorKind { val keyword = "$ref" }
+
   // table / engine-level constraints (no reference counterpart — north rule)
   final case class TableConstraintK(family: String) extends ErrorKind { val keyword = family }
   final case class CustomK(keyword: String) extends ErrorKind

@@ -64,6 +64,69 @@ final class Binder {
   def bindings: Seq[(String, Column)] = buf.toSeq
 }
 
+/** Engine-wide compile limits. */
+object CompileLimits {
+  /** Max times one `$ref`/`$dynamicRef` may inline along a single compile
+    * path WITH data descent in between (recursive schemas). Beyond it the
+    * compiler emits a typed cut check: any value present deeper than the
+    * unrolled depth fails with [[ErrorKind.DepthExceeded]] — the
+    * compile-time-inlining analogue of the reference's runtime
+    * infinite-loop guard (/root/reference/validator.go:84-90), made sound
+    * for bounded data instead of rejected outright. Refs that repeat with
+    * NO data descent (a→a, a→b→a at the same instance position) stay
+    * compile-time cycles and are rejected.
+    */
+  @volatile var maxRefUnroll: Int = 4
+}
+
+/** `$ref`/`$dynamicRef` stack bookkeeping shared by the static and dynamic
+  * compilers. The compile stack holds (refKey, dataDepth) pairs: the depth
+  * distinguishes a true cycle (same ref, same instance position) from
+  * recursive DESCENT (same ref, deeper data), which is unrolled up to
+  * [[CompileLimits.maxRefUnroll]].
+  */
+private[compile] object Refs {
+  import graft.spec.{SchemaNode, Spec, SpecError}
+
+  /** The document a stack entry entered ("" / None = unchanged). */
+  private def docOf(key: String): Option[String] = {
+    val r = if (key.startsWith("$dynamic:")) key.stripPrefix("$dynamic:") else key
+    val i = r.indexOf('#')
+    if (i > 0) Some(r.take(i)) else None
+  }
+
+  /** Resolve a `$dynamicRef` against the compile-time scope chain — the
+    * outermost `$dynamicAnchor` with the fragment's name among the documents
+    * entered on this compile path (root document first, then cross-document
+    * refs in traversal order), per 2020-12 dynamic-scope semantics
+    * (/root/reference/validator.go:779-811). If the initial target is not a
+    * dynamic anchor, plain `$ref` semantics apply. Returns (target node,
+    * stack key). Unresolvable names raise a typed [[SpecError]] naming the
+    * anchor.
+    */
+  def resolveDynamic(spec: Spec, r: String, stack: List[(String, Int)],
+                     at: String): (SchemaNode, String) = {
+    val h = r.indexOf('#')
+    if (h < 0)
+      throw SpecError(at, s"$$dynamicRef must carry a '#name' fragment, got '$r'")
+    val home = r.substring(0, h)
+    val name = r.substring(h + 1)
+    if (name.isEmpty || name.startsWith("/"))
+      throw SpecError(at, s"$$dynamicRef supports plain-name fragments only, got '$r'")
+    if (spec.dynAnchorsOf(home).contains(name)) {
+      val docs = stack.reverse.iterator.map(_._1).flatMap(docOf).toList
+      val chain = ("" :: docs) :+ home
+      val chosen = chain.find(d => spec.dynAnchorsOf(d).contains(name)).get
+      (spec.dynAnchorTarget(chosen, name), s"$$dynamic:$chosen#$name")
+    } else {
+      // initially-resolved target is a plain $anchor (or absent): $dynamicRef
+      // behaves exactly like $ref (2020-12 §8.2.3.2)
+      val staticRef = if (home.isEmpty) "#" + name else r
+      (spec.resolve(staticRef, Nil), staticRef)
+    }
+  }
+}
+
 /** Compiles a [[SchemaNode]] applied to a typed column into [[Check]]s.
   *
   * This is the engine's analogue of the reference's validator dispatch
@@ -261,6 +324,10 @@ object RowCompiler {
           r :: st))
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Set[String], Vector[String], Boolean) = {
+      if (n.dynRef.nonEmpty)
+        throw SpecError(at,
+          "unevaluatedProperties with $dynamicRef in its closure is " +
+            "runtime-scope-dependent — out of the static-lowering scope")
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesProps(_, st)).foreach { d =>
         throw SpecError(at,
@@ -297,6 +364,10 @@ object RowCompiler {
         n.ref.exists(r => evaluatesItems(spec.resolve(r, st),
           r :: st))
     def walk(n: SchemaNode, st: List[String], isRoot: Boolean): (Int, Boolean) = {
+      if (n.dynRef.nonEmpty)
+        throw SpecError(at,
+          "unevaluatedItems with $dynamicRef in its closure is " +
+            "runtime-scope-dependent — out of the static-lowering scope")
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesItems(_, st)).foreach { d =>
         throw SpecError(at,
@@ -324,17 +395,20 @@ object RowCompiler {
     * error-suppressed probes.
     */
   def predicate(spec: Spec, node: SchemaNode, v: Column, dt: DataType,
-                stack: List[String] = Nil): Column =
-    compile(spec, node, v, dt, "", stack)
+                stack: List[(String, Int)] = Nil, depth: Int = 0): Column =
+    compile(spec, node, v, dt, "", stack, None, depth)
       .map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Compile a schema node applied to value `v` of static type `dt` at
     * instance path `instPath`. Keyword order mirrors the reference's fixed
-    * evaluation order (/root/reference/validator.go:70-196).
+    * evaluation order (/root/reference/validator.go:70-196). `stack` tracks
+    * traversed refs as (refKey, dataDepth); `depth` counts data descents
+    * (property/element navigation) — together they distinguish true ref
+    * cycles from recursive descent (see [[Refs]]).
     */
   def compile(spec: Spec, node: SchemaNode, v: Column, dt: DataType,
-              instPath: String, stack: List[String] = Nil,
-              binder: Option[Binder] = None): Seq[Check] = {
+              instPath: String, stack: List[(String, Int)] = Nil,
+              binder: Option[Binder] = None, depth: Int = 0): Seq[Check] = {
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
@@ -354,12 +428,28 @@ object RowCompiler {
       case None       =>
     }
 
-    // $ref — compile-time inlining with cycle rejection
-    // (/root/reference/objcompiler.go:353-380; cycles: validator.go:84-90)
-    node.ref.foreach { r =>
-      val target = spec.resolve(r, stack)
-      out ++= compile(spec, target, v, dt, instPath,
-        r :: stack, binder)
+    // $ref — compile-time inlining (/root/reference/objcompiler.go:353-380).
+    // Same-position repeats are cycles (rejected); recursive DESCENT unrolls
+    // to CompileLimits.maxRefUnroll with a typed cut check beyond it.
+    def inlineRef(r: String, key: String, kwName: String,
+                  target: => SchemaNode): Unit = {
+      if (stack.contains((key, depth)))
+        throw SpecError(kw(kwName), s"cyclic $$ref chain: " +
+          (key :: stack.map(_._1)).reverse.mkString(" -> "))
+      val unroll = CompileLimits.maxRefUnroll
+      if (stack.count(_._1 == key) >= unroll)
+        add(kw(kwName), v.isNull,
+          lstr(s"$kwName: recursive schema '$r' unrolled $unroll deep; " +
+            "value present beyond the compiled depth"),
+          ErrorKind.DepthExceeded(unroll))
+      else
+        out ++= compile(spec, target, v, dt, instPath,
+          (key, depth) :: stack, binder, depth)
+    }
+    node.ref.foreach { r => inlineRef(r, r, "$ref", spec.resolve(r, Nil)) }
+    node.dynRef.foreach { r =>
+      val (target, key) = Refs.resolveDynamic(spec, r, stack, kw("$dynamicRef"))
+      inlineRef(r, key, "$dynamicRef", target)
     }
 
     // type (/root/reference/validator.go:98-103)
@@ -523,20 +613,20 @@ object RowCompiler {
         val parsed0 = from_json(contentValue, st)
         // parse once per row, not once per emitted check
         val parsed = binder.map(_.bind(parsed0)).getOrElse(parsed0)
-        out ++= compile(spec, cs, parsed, st, instPath + "!json", stack, binder)
+        out ++= compile(spec, cs, parsed, st, instPath + "!json", stack, binder, depth + 1)
       }
       // json: DYNAMIC validation over variant (runtime type dispatch — the
       // reference's dynamically-typed instance model; see DynamicJson)
       node.jsonSchema.foreach { js =>
         out ++= DynamicJson.checksForJsonColumn(spec, js, contentValue,
-          instPath + "!json", binder)
+          instPath + "!json", binder, depth + 1)
       }
     }
     // 'json' on a native VariantType column: dispatch straight to the
     // dynamic compiler (no parse step needed)
     if (dt == VariantType) {
       node.jsonSchema.foreach { js =>
-        out ++= DynamicJson.compile(spec, js, v, instPath + "!json", stack)
+        out ++= DynamicJson.compile(spec, js, v, instPath + "!json", stack, None, depth)
       }
     } else if (dt != StringType) {
       node.jsonSchema.foreach { _ =>
@@ -568,21 +658,21 @@ object RowCompiler {
         val prefixN = node.prefixItems.size
         node.prefixItems.zipWithIndex.foreach { case (ps, i) =>
           val elem = element_at(v, i + 1)
-          val p = predicate(spec, ps, elem, et, stack)
+          val p = predicate(spec, ps, elem, et, stack, depth + 1)
           add(kw("prefixItems", i.toString), vac(v, size(v) <= i || coalesce(p, lit(false))),
             lstr(s"prefixItems/$i: element does not match"),
             ErrorKind.PrefixItemsK(i))
         }
         node.items.foreach { is =>
           val rest = if (prefixN == 0) v else slice(v, lit(prefixN + 1), greatest(size(v) - prefixN, lit(0)))
-          val p = forall(rest, x => coalesce(predicate(spec, is, x, et, stack), lit(false)))
-          val failed = size(filter(rest, x => !coalesce(predicate(spec, is, x, et, stack), lit(false))))
+          val p = forall(rest, x => coalesce(predicate(spec, is, x, et, stack, depth + 1), lit(false)))
+          val failed = size(filter(rest, x => !coalesce(predicate(spec, is, x, et, stack, depth + 1), lit(false))))
           add(kw("items"), vac(v, p),
             concat(lstr("items: "), failed.cast(StringType), lstr(" element(s) do not match")),
             ErrorKind.ItemsK)
         }
         node.contains.foreach { cs =>
-          val cnt = size(filter(v, x => coalesce(predicate(spec, cs, x, et, stack), lit(false))))
+          val cnt = size(filter(v, x => coalesce(predicate(spec, cs, x, et, stack, depth + 1), lit(false))))
           val minC = node.minContains.getOrElse(1)
           val core = node.maxContains match {
             case Some(mx) => cnt >= minC && cnt <= mx
@@ -603,7 +693,7 @@ object RowCompiler {
         // uncompilable)
         node.unevaluatedItems.filter(_ != Left(true)).foreach { ui =>
           val (maxPrefix, allEval) =
-            staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack)
+            staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack.map(_._1))
           if (!allEval) ui match {
             case Left(true) =>
             case Left(false) =>
@@ -614,7 +704,7 @@ object RowCompiler {
             case Right(us) =>
               val rest = if (maxPrefix == 0) v
                 else slice(v, lit(maxPrefix + 1), greatest(size(v) - maxPrefix, lit(0)))
-              val p = forall(rest, x => coalesce(predicate(spec, us, x, et, stack), lit(false)))
+              val p = forall(rest, x => coalesce(predicate(spec, us, x, et, stack, depth + 1), lit(false)))
               add(kw("unevaluatedItems"), vac(v, p),
                 lstr("unevaluatedItems: element(s) do not match"),
                 ErrorKind.UnevaluatedItemsK)
@@ -636,7 +726,7 @@ object RowCompiler {
           if (fields.contains(k)) {
             val ft = st(k).dataType
             out ++= compile(spec, ps, v.getField(k), ft,
-              if (instPath.isEmpty) k else s"$instPath/$k", stack, binder)
+              if (instPath.isEmpty) k else s"$instPath/$k", stack, binder, depth + 1)
           } // absent field: subschema vacuous
         }
         node.dependentRequired.foreach { case (k, reqs) =>
@@ -655,7 +745,7 @@ object RowCompiler {
         node.propertyNames.foreach { ps =>
           st.fields.foreach { f =>
             val nameOk = coalesce(
-              predicate(spec, ps, lit(f.name), StringType, stack), lit(false))
+              predicate(spec, ps, lit(f.name), StringType, stack, depth + 1), lit(false))
             add(kw("propertyNames"),
               vac(v, !v.getField(f.name).isNotNull || nameOk),
               lstr(s"propertyNames: property name '${f.name}' does not match"),
@@ -669,7 +759,7 @@ object RowCompiler {
         node.dependentSchemas.foreach { case (k, ds) =>
           if (fields.contains(k)) {
             val present = v.getField(k).isNotNull
-            compile(spec, ds, v, st, instPath, stack, binder).foreach { c =>
+            compile(spec, ds, v, st, instPath, stack, binder, depth).foreach { c =>
               out += c.copy(pred = !present || c.pred)
             }
           }
@@ -694,7 +784,7 @@ object RowCompiler {
             val known = node.properties.map(_._1).toSet
             st.fields.filterNot(f => known.contains(f.name)).foreach { f =>
               out ++= compile(spec, as, v.getField(f.name), f.dataType,
-                if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder)
+                if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
             }
         }
         // unevaluatedProperties — static lowering over the struct's known
@@ -703,7 +793,7 @@ object RowCompiler {
         // and must skip the (rejecting) static precompute entirely
         node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
           val (evalKeys, evalPats, allEval) =
-            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
+            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
           if (!allEval) {
             // static field-name test goes through the engine-paired hook
             // (Formats.staticPatternMatch), NOT raw java.util.regex — with a
@@ -723,7 +813,7 @@ object RowCompiler {
               case Right(us) =>
                 uneval.foreach { f =>
                   out ++= compile(spec, us, v.getField(f.name), f.dataType,
-                    if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder)
+                    if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
                 }
             }
           }
@@ -736,7 +826,7 @@ object RowCompiler {
             ErrorKind.RequiredK(k))
         }
         node.properties.foreach { case (k, ps) =>
-          val p = predicate(spec, ps, element_at(v, k), vt, stack)
+          val p = predicate(spec, ps, element_at(v, k), vt, stack, depth + 1)
           add(kw("properties", k), vac(v, !array_contains(keys, k) || coalesce(p, lit(false))),
             lstr(s"properties/$k: value does not match"),
             ErrorKind.PropertiesK(k))
@@ -746,19 +836,19 @@ object RowCompiler {
           // `pattern` (the reference's UseRegexpEngine governs both,
           // /root/reference/compiler.go:141-151)
           val sub = map_filter(v, (k, _) => Formats.patternMatch(k, re))
-          val p = forall(map_values(sub), x => coalesce(predicate(spec, ps, x, vt, stack), lit(false)))
+          val p = forall(map_values(sub), x => coalesce(predicate(spec, ps, x, vt, stack, depth + 1), lit(false)))
           add(kw("patternProperties", re), vac(v, p),
             lstr(s"patternProperties: value(s) for keys matching '$re' do not match"),
             ErrorKind.PatternPropertiesK(re))
         }
         node.propertyNames.foreach { ps =>
-          val p = forall(keys, k => coalesce(predicate(spec, ps, k, StringType, stack), lit(false)))
+          val p = forall(keys, k => coalesce(predicate(spec, ps, k, StringType, stack, depth + 1), lit(false)))
           add(kw("propertyNames"), vac(v, p), lstr("propertyNames: key does not match"),
             ErrorKind.PropertyNamesK("*"))
         }
         node.dependentSchemas.foreach { case (k, ds) =>
           val present = array_contains(keys, k)
-          compile(spec, ds, v, dt, instPath, stack, binder).foreach { c =>
+          compile(spec, ds, v, dt, instPath, stack, binder, depth).foreach { c =>
             out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
           }
         }
@@ -777,7 +867,7 @@ object RowCompiler {
         // (rejecting) static precompute
         node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
           val (evalKeys, evalPats, allEval) =
-            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
+            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
           if (!allEval) {
             def isEval(k: Column): Column = nameCovered(k, evalKeys, evalPats)
             up match {
@@ -789,7 +879,7 @@ object RowCompiler {
               case Right(us) =>
                 val rem = map_filter(v, (k, _) => !isEval(k))
                 val p = forall(map_values(rem),
-                  x => coalesce(predicate(spec, us, x, vt, stack), lit(false)))
+                  x => coalesce(predicate(spec, us, x, vt, stack, depth + 1), lit(false)))
                 add(kw("unevaluatedProperties"), vac(v, p),
                   lstr("unevaluatedProperties: unevaluated value(s) do not match"),
                   ErrorKind.UnevaluatedPropertiesK)
@@ -807,7 +897,7 @@ object RowCompiler {
             case Left(true) =>
             case Right(as) =>
               val rem = map_filter(v, (k, _) => !isKnown(k))
-              val p = forall(map_values(rem), x => coalesce(predicate(spec, as, x, vt, stack), lit(false)))
+              val p = forall(map_values(rem), x => coalesce(predicate(spec, as, x, vt, stack, depth + 1), lit(false)))
               add(kw("additionalProperties"), vac(v, p),
                 lstr("additionalProperties: value(s) do not match"),
                 ErrorKind.AdditionalPropertiesK)
@@ -827,22 +917,22 @@ object RowCompiler {
     }
 
     // composition (/root/reference/validator.go:552-631)
-    node.allOf.foreach { ch => out ++= compile(spec, ch, v, dt, instPath, stack, binder) }
+    node.allOf.foreach { ch => out ++= compile(spec, ch, v, dt, instPath, stack, binder, depth) }
     if (node.anyOf.nonEmpty) {
-      val ps = node.anyOf.map(ch => predicate(spec, ch, v, dt, stack))
+      val ps = node.anyOf.map(ch => predicate(spec, ch, v, dt, stack, depth))
       add(kw("anyOf"), vac(v, ps.reduce(_ || _)), lstr("anyOf: no subschema matched"),
         ErrorKind.AnyOfK)
     }
     if (node.oneOf.nonEmpty) {
       val cnt = node.oneOf
-        .map(ch => when(coalesce(predicate(spec, ch, v, dt, stack), lit(false)), 1).otherwise(0))
+        .map(ch => when(coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)), 1).otherwise(0))
         .reduce(_ + _)
       add(kw("oneOf"), vac(v, cnt === 1),
         concat(lstr("oneOf: "), cnt.cast(StringType), lstr(" subschemas matched, want exactly 1")),
         ErrorKind.OneOfK(node.oneOf.size))
     }
     node.not.foreach { ch =>
-      add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, dt, stack), lit(false))),
+      add(kw("not"), vac(v, !coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false))),
         lstr("not: subschema matched"),
         ErrorKind.NotK)
     }
@@ -851,14 +941,14 @@ object RowCompiler {
     // branch at compile time (objcompiler.go:226-237 analogue via Catalyst
     // ConstantFolding)
     node.ifS.foreach { ifn =>
-      val ifPred = coalesce(predicate(spec, ifn, v, dt, stack), lit(false))
+      val ifPred = coalesce(predicate(spec, ifn, v, dt, stack, depth), lit(false))
       node.thenS.foreach { tn =>
-        compile(spec, tn, v, dt, instPath, stack, binder).foreach { c =>
+        compile(spec, tn, v, dt, instPath, stack, binder, depth).foreach { c =>
           out += c.copy(pred = !ifPred || c.pred)
         }
       }
       node.elseS.foreach { en =>
-        compile(spec, en, v, dt, instPath, stack, binder).foreach { c =>
+        compile(spec, en, v, dt, instPath, stack, binder, depth).foreach { c =>
           out += c.copy(pred = ifPred || c.pred)
         }
       }

@@ -45,7 +45,37 @@ object Validator {
     if (clash.nonEmpty)
       throw graft.spec.SpecError("#",
         s"input columns collide with reserved binding aliases: ${clash.mkString(", ")}")
-    suite.bindings.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    if (suite.bindings.isEmpty) return df
+    // ONE Project per dependency layer, not one per binding: a foldLeft of
+    // withColumn builds a Project PER BINDING — a 250-binding suite then
+    // stacks 250 Projects, which costs ~250 incremental analyses at plan
+    // build and defeats the optimizer's fixed-point batches (ConvertToLocal-
+    // Relation folds one layer per iteration → "Max iterations (100)"
+    // warnings and multi-second optimizes on LOCAL relations). Bindings may
+    // reference earlier bindings, so group them into topological layers
+    // (depth = longest bind chain, measured ≤3) and select each layer at
+    // once.
+    val bindNames = suite.bindings.map(_._1).toSet
+    val levelOf = scala.collection.mutable.Map.empty[String, Int]
+    val layers = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(String, Column)]]
+    suite.bindings.foreach { case (name, c) =>
+      val expr = org.apache.spark.sql.GraftColumnBridge.expression(c)
+      val deps = expr.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.size == 1 && bindNames.contains(a.nameParts.head) =>
+          a.nameParts.head
+      }
+      // insertion order guarantees every referenced binding is already placed
+      val lvl = if (deps.isEmpty) 0 else deps.map(levelOf).max + 1
+      levelOf(name) = lvl
+      while (layers.size <= lvl)
+        layers += scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      layers(lvl) += (name -> c)
+    }
+    layers.foldLeft(df) { (d, layer) =>
+      d.select(col("*") +: layer.map { case (n, c) => c.as(n) }.toSeq: _*)
+    }
   }
 
   private def dropBindings(df: DataFrame, suite: CompiledSuite): DataFrame =

@@ -58,6 +58,9 @@ object MetaSpec {
 
   private lazy val compiledSuite = SuiteCompiler.compile(spec, inputSchema)
 
+  /** Probe access to the compiled suite (diagnostics only). */
+  private[graft] def compiledSuiteForProbe = compiledSuite
+
   /** Enumerate every schema node in a spec document with its location, via
     * the shared keyword-position map ([[Spec.walkSchemaNodes]]). Non-object,
     * non-boolean children are not descended into — the parent's meta-check
@@ -90,6 +93,15 @@ object MetaSpec {
 
   def violations(spark: SparkSession, json: String): Vector[MetaViolation] =
     violations(spark, mapper.readTree(json))
+
+  /** The raw violations frame for one document (diagnostics/probing). */
+  def violationsFrame(spark: SparkSession, json: String): org.apache.spark.sql.DataFrame = {
+    val doc = mapper.readTree(json)
+    val rows: Seq[Row] = Row("#", doc.toString, null) +:
+      schemaNodes(doc).map { case (p, n) => Row(p, null, n.toString) }
+    val df = spark.createDataFrame(rows.asJava, inputSchema)
+    Validator.violations(df, compiledSuite, Seq("path"))
+  }
 
   /** Gate: throw a typed [[SpecError]] on the first meta-violation (CLI exit
     * 2), mirroring the reference's compile-time metaschema rejection.

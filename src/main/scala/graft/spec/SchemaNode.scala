@@ -46,6 +46,11 @@ final case class SchemaNode(
     enumVals: Option[Vector[JsonNode]] = None,
     format: Option[String] = None,
     ref: Option[String] = None,
+    // $dynamicRef — resolved at compile time to the outermost $dynamicAnchor
+    // on the compile-time scope chain (the statically-resolvable subset of
+    // /root/reference/validator.go:779-811); '#name' in the root document,
+    // '<url>#name' once rebased into an external document
+    dynRef: Option[String] = None,
     // number keywords (/root/reference/schema.go:78-82)
     minimum: Option[BigDecimal] = None,
     maximum: Option[BigDecimal] = None,
@@ -125,8 +130,13 @@ object SchemaNode {
     "title", "description", "$comment", "default", "examples", "deprecated",
     "readOnly", "writeOnly",
     // $anchor names a node for '#name' refs; validated + indexed per
-    // document by Spec.collectAnchors (/root/reference/root.go:78-135)
-    "$anchor"
+    // document by Spec.collectAnchorsDoc (/root/reference/root.go:78-135);
+    // $dynamicAnchor additionally participates in dynamic-scope resolution
+    "$anchor", "$dynamicAnchor", "$dynamicRef",
+    // $defs: navigation-only schema container (2020-12 allows it in any
+    // schema; refs address its entries by raw JSON pointer) — entries are
+    // walked for anchors + meta-validation, not parsed into the node
+    "$defs"
   )
 
   /** Parse one schema node. Rejects unknown keywords and ill-typed keyword
@@ -140,6 +150,14 @@ object SchemaNode {
 
     n.fieldNames().asScala.foreach { k =>
       if (!knownKeywords.contains(k)) throw SpecError(at, s"unknown keyword '$k'")
+    }
+    // navigation-only / anchor keywords: shape-checked here, handled at the
+    // Spec level (anchor collection, pointer navigation)
+    Option(n.get("$defs")).foreach { d =>
+      if (!d.isObject) throw SpecError(s"$at/$$defs", "expected object")
+    }
+    Option(n.get("$dynamicAnchor")).foreach { a =>
+      if (!a.isTextual) throw SpecError(s"$at/$$dynamicAnchor", s"expected string, got $a")
     }
 
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
@@ -320,6 +338,7 @@ object SchemaNode {
       enumVals = enumVals,
       format = optStr("format"),
       ref = optStr("$ref"),
+      dynRef = optStr("$dynamicRef"),
       minimum = if (minConsumed) None else minBase,
       maximum = if (maxConsumed) None else maxBase,
       exclusiveMinimum = exclMin,
@@ -363,5 +382,41 @@ object SchemaNode {
       thenS = optSchema("then"),
       elseS = optSchema("else")
     )
+  }
+
+  /** Rebase every relative reference (`#...`) of a node parsed from an
+    * EXTERNAL document onto that document's URL, recursively — so a `#/...`
+    * ref inside `file://common.json` keeps resolving against common.json
+    * after the node is inlined into the root compile (the single-pass
+    * analogue of the reference's per-resource base-URI resolution,
+    * /root/reference/roots.go:103-150). Absolute refs pass through.
+    */
+  def rebase(n: SchemaNode, url: String): SchemaNode = {
+    def rb(s: Option[String]): Option[String] =
+      s.map(r => if (r.startsWith("#")) url + r else r)
+    def rs(x: SchemaNode): SchemaNode = rebase(x, url)
+    def re(e: Either[Boolean, SchemaNode]): Either[Boolean, SchemaNode] = e.map(rs)
+    n.copy(
+      ref = rb(n.ref),
+      dynRef = rb(n.dynRef),
+      contentSchema = n.contentSchema.map(rs),
+      jsonSchema = n.jsonSchema.map(rs),
+      items = n.items.map(rs),
+      prefixItems = n.prefixItems.map(rs),
+      contains = n.contains.map(rs),
+      properties = n.properties.map { case (k, s) => (k, rs(s)) },
+      propertyNames = n.propertyNames.map(rs),
+      additionalProperties = n.additionalProperties.map(re),
+      patternProperties = n.patternProperties.map { case (k, s) => (k, rs(s)) },
+      dependentSchemas = n.dependentSchemas.map { case (k, s) => (k, rs(s)) },
+      unevaluatedProperties = n.unevaluatedProperties.map(re),
+      unevaluatedItems = n.unevaluatedItems.map(re),
+      allOf = n.allOf.map(rs),
+      anyOf = n.anyOf.map(rs),
+      oneOf = n.oneOf.map(rs),
+      not = n.not.map(rs),
+      ifS = n.ifS.map(rs),
+      thenS = n.thenS.map(rs),
+      elseS = n.elseS.map(rs))
   }
 }

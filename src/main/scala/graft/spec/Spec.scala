@@ -119,49 +119,103 @@ final case class Spec(
     raw: Option[JsonNode] = None,
     // $anchor name -> (raw node, spec path) index, built once per document
     // (mirrors the reference's per-resource anchor map,
-    // /root/reference/root.go:78-135)
-    anchors: Map[String, (JsonNode, Vector[String])] = Map.empty
+    // /root/reference/root.go:78-135); $dynamicAnchor names are included
+    // here too (2020-12: a dynamic anchor is also a plain anchor)
+    anchors: Map[String, (JsonNode, Vector[String])] = Map.empty,
+    // $dynamicAnchor name -> (raw node, spec path) — the subset of `anchors`
+    // that participates in dynamic-scope resolution
+    // (/root/reference/objcompiler.go:318-336)
+    dynAnchors: Map[String, (JsonNode, Vector[String])] = Map.empty
 ) {
 
-  /** Resolve a same-document `$ref`: either a JSON pointer (`#/<path>`, any
-    * node — `#/$defs/<name>`, `#/columns/x/properties/y`, …) or a named
-    * anchor (`#myAnchor`). Cycle detection mirrors the reference's
-    * compile-time memoization + runtime cycle guard
-    * (/root/reference/compiler.go:153-164, validator.go:84-90) — except our
-    * flat columnar model lets us reject cycles outright at compile: the
-    * caller pushes each traversed ref string onto `stack`, and any repeat is
-    * a cycle (a finite document has finitely many ref strings, so every
-    * infinite chain must repeat one).
+  /** Memoized external-document cache: url -> (document, anchors,
+    * dynAnchors). Per-Spec (so one compile re-reads each referenced document
+    * exactly once — the reference's per-compiler resource cache,
+    * /root/reference/roots.go:62-68); loaded through the scheme loader
+    * registry. Transient mutable state outside the case-class equality.
+    */
+  @transient private lazy val extDocs =
+    scala.collection.concurrent.TrieMap
+      .empty[String, (JsonNode, Map[String, (JsonNode, Vector[String])],
+        Map[String, (JsonNode, Vector[String])])]
+
+  private[graft] def externalDoc(url: String)
+      : (JsonNode, Map[String, (JsonNode, Vector[String])],
+         Map[String, (JsonNode, Vector[String])]) =
+    extDocs.getOrElseUpdate(url, {
+      val d = Spec.documentFromUrl(url)
+      val (a, da) = Spec.collectAnchorsDoc(d)
+      (d, a, da)
+    })
+
+  /** Dynamic anchors of a document on the compile-time scope chain
+    * ("" = the root spec document itself).
+    */
+  private[graft] def dynAnchorsOf(url: String): Map[String, (JsonNode, Vector[String])] =
+    if (url.isEmpty) dynAnchors else externalDoc(url)._3
+
+  /** Parse the `$dynamicAnchor` target named `name` in document `url`
+    * ("" = root). Nodes from external documents are ref-rebased so their
+    * relative refs stay addressed to their home document.
+    */
+  private[graft] def dynAnchorTarget(url: String, name: String): SchemaNode = {
+    val (node, path) = dynAnchorsOf(url)(name)
+    if (url.isEmpty) SchemaNode.parse(node, path)
+    else SchemaNode.rebase(
+      SchemaNode.parse(node, (url + "#") +: path), url)
+  }
+
+  private def navigate(doc: JsonNode, ptr: String, ref: String): (JsonNode, Vector[String]) = {
+    val segs = Spec.pointerSegments(ptr)
+    var cur = doc
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      val next =
+        if (cur.isArray && seg.nonEmpty && seg.forall(_.isDigit))
+          // toIntOption: an overflowing digit string is an unresolved
+          // element (typed error below), not a raw NumberFormatException
+          seg.toIntOption.map(cur.get).orNull
+        else if (cur.isObject) cur.get(seg)
+        else null
+      if (next == null)
+        throw SpecError(ref,
+          s"unresolved $$ref: no element at '/${segs.take(i + 1).mkString("/")}'")
+      cur = next
+    }
+    (cur, segs)
+  }
+
+  /** Resolve a `$ref`: a same-document JSON pointer (`#/<path>`, any node —
+    * `#/$defs/<name>`, `#/columns/x/properties/y`, …), a named anchor
+    * (`#myAnchor`), or a CROSS-DOCUMENT reference through the scheme loader
+    * registry (`<scheme>:<doc>#/<ptr>`, `<scheme>:<doc>#anchor`, or bare
+    * `<scheme>:<doc>` for the document root) — the analogue of the
+    * reference's remote-ref resolution (/root/reference/roots.go:62-68,
+    * 103-150). External documents are loaded once per compile (memoized) and
+    * their nodes are ref-REBASED on parse, so a `#/...` ref inside
+    * `file://common.json` resolves against common.json, not the root spec.
     *
-    * External documents (`$id`-based bases, cross-file refs) stay out of
-    * scope: specs are single documents loaded whole via the loader registry.
+    * Cycle detection mirrors the reference's compile-time memoization +
+    * runtime cycle guard (/root/reference/compiler.go:153-164,
+    * validator.go:84-90): the caller pushes each traversed ref string onto
+    * `stack`, and any repeat is a cycle. (The row compilers manage their own
+    * stack with bounded unrolling for recursive-descent refs and pass Nil
+    * here.)
     */
   def resolve(ref: String, stack: List[String]): SchemaNode = {
     if (stack.contains(ref))
       throw SpecError(ref, s"cyclic $$ref chain: ${(ref :: stack).reverse.mkString(" -> ")}")
     if (ref.startsWith("#/")) {
-      // fast path: a plain $defs name is already parsed
+      // fast path: a plain $defs name is already parsed — but only when the
+      // raw segment needs no RFC 6901 / percent unescaping ('~0' must look
+      // up the def named 'a~b', not 'a~0b')
       val nm = ref.stripPrefix("#/$defs/")
-      if (ref.startsWith("#/$defs/") && !nm.contains('/') && defs.contains(nm))
+      if (ref.startsWith("#/$defs/") && !nm.contains('/') && !nm.contains('~') &&
+          !nm.contains('%') && defs.contains(nm))
         return defs(nm)
       val doc = raw.getOrElse(throw SpecError(ref,
         "only '#/$defs/<name>' references are resolvable on a spec built " +
           "without its raw document"))
-      val segs = Spec.pointerSegments(ref.drop(2))
-      var cur = doc
-      segs.zipWithIndex.foreach { case (seg, i) =>
-        val next =
-          if (cur.isArray && seg.nonEmpty && seg.forall(_.isDigit))
-            // toIntOption: an overflowing digit string is an unresolved
-            // element (typed error below), not a raw NumberFormatException
-            seg.toIntOption.map(cur.get).orNull
-          else if (cur.isObject) cur.get(seg)
-          else null
-        if (next == null)
-          throw SpecError(ref,
-            s"unresolved $$ref: no element at '/${segs.take(i + 1).mkString("/")}'")
-        cur = next
-      }
+      val (cur, segs) = navigate(doc, ref.drop(2), ref)
       SchemaNode.parse(cur, segs)
     } else if (ref.length > 1 && ref.startsWith("#")) {
       val name = ref.drop(1)
@@ -169,9 +223,27 @@ final case class Spec(
         case Some((node, path)) => SchemaNode.parse(node, path)
         case None => throw SpecError(ref, s"unresolved $$ref: no $$anchor '$name'")
       }
+    } else if (ref.indexOf(':') > 0) {
+      // cross-document: split URL / fragment, load via the loader registry
+      val h = ref.indexOf('#')
+      val (url, frag) = if (h >= 0) (ref.substring(0, h), ref.substring(h + 1)) else (ref, "")
+      val (doc, extAnchors, _) = externalDoc(url)
+      val prefix = url + "#"
+      val (node, path) =
+        if (frag.isEmpty) (doc, Vector(prefix))
+        else if (frag.startsWith("/")) {
+          val (n, segs) = navigate(doc, frag.drop(1), ref)
+          (n, prefix +: segs)
+        } else extAnchors.get(frag) match {
+          case Some((n, p)) => (n, prefix +: p)
+          case None =>
+            throw SpecError(ref, s"unresolved $$ref: no $$anchor '$frag' in $url")
+        }
+      SchemaNode.rebase(SchemaNode.parse(node, path), url)
     } else
       throw SpecError(ref,
-        "only same-document references are supported: '#/<json-pointer>' or '#<anchor>'")
+        "expected '#/<json-pointer>', '#<anchor>', or a cross-document " +
+          "'<scheme>:<doc>#<fragment>' reference")
   }
 }
 
@@ -296,8 +368,9 @@ object Spec {
 
     val table = Option(root.get("table")).map(parseTable).getOrElse(Vector.empty)
 
+    val (anchors, dynAnchors) = collectAnchorsDoc(root)
     Spec(columns, required, rowRules, table, defs,
-      raw = Some(root), anchors = collectAnchors(root))
+      raw = Some(root), anchors = anchors, dynAnchors = dynAnchors)
   }
 
   /** Split an RFC 6901 JSON pointer into unescaped segments: `~1` → `/`,
@@ -346,12 +419,15 @@ object Spec {
   // draft≤2019 tuple (array) form — each walker guard is type-checked
   private[spec] val arraySchemaKw = Seq("prefixItems", "allOf", "anyOf", "oneOf",
     "items")
-  // "dependencies" values: schemas walk, draft-7 string arrays are data
+  // "dependencies" values: schemas walk, draft-7 string arrays are data.
+  // "$defs" is a navigation-only container (2020-12 allows it in any schema;
+  // refs address its entries by raw pointer) — its entries are schema
+  // positions for anchor collection and meta-validation.
   private[spec] val mapSchemaKw = Seq("properties", "patternProperties",
-    "dependentSchemas", "dependencies")
+    "dependentSchemas", "dependencies", "$defs")
 
-  /** Visit every schema node of a spec document with its location path. */
-  private[spec] def walkSchemaNodes(root: JsonNode)
+  /** Schema-node walk from an arbitrary starting node. */
+  private[spec] def walkFrom(start: JsonNode, startPath: Vector[String])
       (f: (JsonNode, Vector[String]) => Unit): Unit = {
     def walk(n: JsonNode, path: Vector[String]): Unit = {
       f(n, path)
@@ -374,44 +450,71 @@ object Spec {
         }
       }
     }
+    walk(start, startPath)
+  }
+
+  /** Visit every schema node of a TABLE-SPEC document with its location
+    * path: entries of `$defs`/`columns` and elements of `row`.
+    */
+  private[spec] def walkSchemaNodes(root: JsonNode)
+      (f: (JsonNode, Vector[String]) => Unit): Unit = {
     if (root.isObject) {
       Seq("$defs", "columns").foreach { k =>
         Option(root.get(k)).filter(_.isObject).foreach { m =>
           m.fieldNames().asScala.foreach { fn =>
             val e = m.get(fn)
-            if (e.isObject || e.isBoolean) walk(e, Vector(k, fn))
+            if (e.isObject || e.isBoolean) walkFrom(e, Vector(k, fn))(f)
           }
         }
       }
       Option(root.get("row")).filter(_.isArray).foreach(_.asScala.zipWithIndex
         .foreach { case (e, i) =>
-          if (e.isObject || e.isBoolean) walk(e, Vector("row", i.toString))
+          if (e.isObject || e.isBoolean) walkFrom(e, Vector("row", i.toString))(f)
         })
     }
   }
 
+  /** Walk a DOCUMENT that may be either a table spec (has `columns`/`row`)
+    * or a bare schema-library document (root is itself a schema, possibly
+    * with `$defs`) — the two shapes a cross-document `$ref` can target.
+    */
+  private[spec] def walkDoc(root: JsonNode)
+      (f: (JsonNode, Vector[String]) => Unit): Unit =
+    if (root.isObject && (root.has("columns") || root.has("row")))
+      walkSchemaNodes(root)(f)
+    else if (root.isObject || root.isBoolean)
+      walkFrom(root, Vector.empty)(f)
+
   private val anchorName = "^[A-Za-z_][A-Za-z0-9._-]*$".r
 
-  /** Index every `$anchor` at a SCHEMA position (name → node + path);
-    * duplicate or malformed anchor names are typed spec errors, as in the
-    * reference's resource loader (/root/reference/root.go:96-120). `$anchor`
-    * appearing as data (a property name, an enum value) is never collected.
+  /** Index every `$anchor` and `$dynamicAnchor` at a SCHEMA position of a
+    * document (name → node + path); duplicate or malformed anchor names are
+    * typed spec errors, as in the reference's resource loader
+    * (/root/reference/root.go:96-120). Anchors appearing as data (a property
+    * name, an enum value) are never collected. Returns (all anchors,
+    * dynamic-only anchors): per 2020-12 a `$dynamicAnchor` is also a plain
+    * anchor, so it lands in both maps.
     */
-  private[spec] def collectAnchors(root: JsonNode)
-      : Map[String, (JsonNode, Vector[String])] = {
+  private[spec] def collectAnchorsDoc(root: JsonNode)
+      : (Map[String, (JsonNode, Vector[String])],
+         Map[String, (JsonNode, Vector[String])]) = {
     val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
-    walkSchemaNodes(root) { (n, path) =>
-      if (n.isObject) Option(n.get("$anchor")).foreach { a =>
-        val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
-        if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
-          throw SpecError(s"$at/$$anchor", s"invalid anchor name $a")
-        val name = a.asText()
-        if (out.contains(name))
-          throw SpecError(s"$at/$$anchor", s"duplicate anchor '$name'")
-        out(name) = (n, path)
+    val dyn = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
+    walkDoc(root) { (n, path) =>
+      if (n.isObject) Seq("$anchor", "$dynamicAnchor").foreach { kw =>
+        Option(n.get(kw)).foreach { a =>
+          val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
+          if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
+            throw SpecError(s"$at/$kw", s"invalid anchor name $a")
+          val name = a.asText()
+          if (out.contains(name))
+            throw SpecError(s"$at/$kw", s"duplicate anchor '$name'")
+          out(name) = (n, path)
+          if (kw == "$dynamicAnchor") dyn(name) = (n, path)
+        }
       }
     }
-    out.toMap
+    (out.toMap, dyn.toMap)
   }
 
   private def parseTable(t: JsonNode): Vector[TableConstraint] = {
