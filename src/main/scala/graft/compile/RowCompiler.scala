@@ -88,11 +88,13 @@ object CompileLimits {
 private[compile] object Refs {
   import graft.spec.{SchemaNode, Spec, SpecError}
 
-  /** The document a stack entry entered ("" / None = unchanged). */
+  /** The document a stack entry entered (None = same-document ref). */
   private def docOf(key: String): Option[String] = {
     val r = if (key.startsWith("$dynamic:")) key.stripPrefix("$dynamic:") else key
     val i = r.indexOf('#')
-    if (i > 0) Some(r.take(i)) else None
+    if (i > 0) Some(r.take(i))
+    else if (i < 0 && r.indexOf(':') > 0) Some(r) // bare-URL ref: document root
+    else None
   }
 
   /** Resolve a `$dynamicRef` against the compile-time scope chain — the

@@ -294,9 +294,27 @@ object Spec {
         yamlMapper.readTree(new java.io.File(path))
       else mapper.readTree(new java.io.File(path))
     },
-    "inline+json" -> (s => mapper.readTree(s.stripPrefix("inline+json:"))),
-    "inline+yaml" -> (s => yamlMapper.readTree(s.stripPrefix("inline+yaml:")))
+    // inline payloads must percent-encode '#' as %23 (and '%' as %25) per
+    // RFC 3986 — a raw '#' would start the URL's fragment. Decoded here.
+    "inline+json" -> (s => mapper.readTree(pctDecodeHash(s.stripPrefix("inline+json:")))),
+    "inline+yaml" -> (s => yamlMapper.readTree(pctDecodeHash(s.stripPrefix("inline+yaml:"))))
   )
+
+  /** Single-pass %23/%25 decode for inline document payloads (only the two
+    * escapes that MUST be encoded to keep URL fragment syntax unambiguous —
+    * full percent-decoding would corrupt literal '%' sequences in JSON).
+    */
+  private def pctDecodeHash(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("%23", i)) { sb.append('#'); i += 3 }
+      else if (s.startsWith("%25", i)) { sb.append('%'); i += 3 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   def registerLoader(scheme: String, load: String => JsonNode): Unit =
     synchronized { loaders = loaders + (scheme -> load) }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.compile.SuiteCompiler
+import graft.exec.Validator
+import graft.spec.{Spec, SpecError}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Cross-document `$ref` through the FILE loader: a spec split across
+  * multiple documents (json + yaml), per-compile document memoization,
+  * cross-document cycle rejection, and recursion across files — the
+  * engine's analogue of the reference's remote-ref suite
+  * (/root/reference/suite_test.go:153-165, roots.go:103-150).
+  */
+class CrossDocSpec extends SparkTestBase {
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crossdoc")
+    val p = dir.resolve(name)
+    java.nio.file.Files.writeString(p, content)
+    p.toString
+  }
+
+  private def validate(specJson: String, schema: StructType, rows: Seq[Row]) = {
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val suite = SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
+    Validator.annotate(df, suite).orderBy("__row")
+      .select("valid", "violations.keyword").collect()
+      .map(r => (r.getBoolean(0), r.getSeq[String](1).toVector))
+  }
+
+  private val intRowSchema = StructType(Seq(
+    StructField("__row", IntegerType), StructField("sr_hz", IntegerType)))
+
+  test("spec split across a JSON file and a YAML file (file:// refs + anchors)") {
+    // common.json: shared $defs library with an internal relative ref
+    val commonPath = tmpFile("common.json",
+      """{"$defs": {
+        |  "rate": {"minimum": 8000, "maximum": 48000},
+        |  "rateByRef": {"$ref": "#/$defs/rate"},
+        |  "anchored": {"$anchor": "loud", "exclusiveMinimum": 0}
+        |}}""".stripMargin)
+    // extra.yaml: a YAML document whose node chains BACK into common.json
+    val yamlPath = tmpFile("extra.yaml",
+      s"""strict:
+         |  allOf:
+         |    - $$ref: "file://$commonPath#/$$defs/rateByRef"
+         |    - multipleOf: 100
+         |""".stripMargin)
+    val spec =
+      s"""{"columns": {"sr_hz": {"$$ref": "file://$yamlPath#/strict"}}}"""
+    val out = validate(spec, intRowSchema, Seq(
+      Row(0, 16000), // valid
+      Row(1, 16050), // fails multipleOf (yaml side)
+      Row(2, 4000))) // fails minimum (json side, two hops away)
+    assert(out(0)._1)
+    assert(!out(1)._1 && out(1)._2.exists(_.endsWith("/strict/allOf/1/multipleOf")))
+    assert(!out(2)._1 && out(2)._2.exists(_.endsWith("/rate/minimum")))
+
+    // anchor form across a file boundary
+    val spec2 =
+      s"""{"columns": {"sr_hz": {"$$ref": "file://$commonPath#loud"}}}"""
+    val out2 = validate(spec2, intRowSchema, Seq(Row(0, 1), Row(1, -5)))
+    assert(out2(0)._1 && !out2(1)._1)
+  }
+
+  test("cross-document cycle with no data descent is a typed compile error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cycle")
+    val a = dir.resolve("a.json"); val b = dir.resolve("b.json")
+    java.nio.file.Files.writeString(a,
+      s"""{"$$defs": {"x": {"$$ref": "file://$b#/$$defs/y"}}}""")
+    java.nio.file.Files.writeString(b,
+      s"""{"$$defs": {"y": {"$$ref": "file://$a#/$$defs/x"}}}""")
+    val err = intercept[SpecError] {
+      SuiteCompiler.compile(
+        Spec.fromJson(s"""{"columns": {"sr_hz": {"$$ref": "file://$a#/$$defs/x"}}}"""),
+        StructType(Seq(StructField("sr_hz", IntegerType))))
+    }
+    assert(err.getMessage.contains("cyclic"))
+  }
+
+  test("recursive descent ACROSS files unrolls with a typed depth cut") {
+    // a.json's node descends into b.json's node and vice versa (mutual
+    // recursion with data descent) — compiles via bounded unroll
+    val dir = java.nio.file.Files.createTempDirectory("graft_mutual")
+    val a = dir.resolve("a.json"); val b = dir.resolve("b.json")
+    java.nio.file.Files.writeString(a,
+      s"""{"type": "object", "properties": {
+         |  "v": {"type": "integer"},
+         |  "next": {"$$ref": "file://$b"}}}""".stripMargin)
+    java.nio.file.Files.writeString(b,
+      s"""{"type": "object", "properties": {
+         |  "v": {"type": "string"},
+         |  "next": {"$$ref": "file://$a"}}}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("__row", IntegerType), StructField("j", StringType)))
+    val spec = s"""{"columns": {"j": {"json": {"$$ref": "file://$a"}}}}"""
+    val out = validate(spec, schema, Seq(
+      Row(0, """{"v": 1, "next": {"v": "s", "next": {"v": 2}}}"""), // alternating types ok
+      Row(1, """{"v": 1, "next": {"v": 2}}""")))                    // wrong type at level 2
+    assert(out(0)._1, out(0).toString)
+    assert(!out(1)._1 && out(1)._2.exists(_.endsWith("/properties/v/type")))
+  }
+
+  test("external documents are loaded once per compile (memoized)") {
+    var loads = 0
+    Spec.registerLoader("counting", { url =>
+      loads += 1
+      Spec.documentFromJson("""{"$defs": {"r": {"minimum": 5}}}""")
+    })
+    val spec = Spec.fromJson(
+      """{"columns": {
+        |  "sr_hz": {"allOf": [
+        |    {"$ref": "counting://doc#/$defs/r"},
+        |    {"$ref": "counting://doc#/$defs/r"},
+        |    {"$ref": "counting://doc#/$defs/r"}]}}}""".stripMargin)
+    SuiteCompiler.compile(spec, StructType(Seq(StructField("sr_hz", IntegerType))))
+    assert(loads == 1, s"expected 1 memoized load, got $loads")
+  }
+}
