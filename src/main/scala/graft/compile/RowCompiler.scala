@@ -315,15 +315,25 @@ object RowCompiler {
     * if-then-else/dependentSchemas) that evaluate properties make the set
     * dynamic → typed compile rejection, the documented residual limit.
     */
+  /** Does this schema closure evaluate any properties? (probe shared by the
+    * static precompute and the runtime-contribution walker)
+    */
+  private def evaluatesProps(spec: Spec, n: SchemaNode, st: List[String]): Boolean =
+    n.properties.nonEmpty || n.patternProperties.nonEmpty ||
+      n.additionalProperties.nonEmpty || n.unevaluatedProperties.nonEmpty ||
+      (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
+        n.dependentSchemas.map(_._2)).exists(evaluatesProps(spec, _, st)) ||
+      n.ref.exists(r => evaluatesProps(spec, spec.resolve(r, st), r :: st))
+
+  /** Internal signal: the evaluated set depends on runtime branches — the
+    * caller falls back to the per-row column-algebra lowering
+    * ([[evaluatedPropsContributions]]).
+    */
+  private final case class RuntimeEvalSet(detail: String)
+      extends RuntimeException(detail)
+
   private def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String,
       stack: List[String]): (Set[String], Vector[String], Boolean) = {
-    def evaluatesProps(n: SchemaNode, st: List[String]): Boolean =
-      n.properties.nonEmpty || n.patternProperties.nonEmpty ||
-        n.additionalProperties.nonEmpty || n.unevaluatedProperties.nonEmpty ||
-        (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
-          n.dependentSchemas.map(_._2)).exists(evaluatesProps(_, st)) ||
-        n.ref.exists(r => evaluatesProps(spec.resolve(r, st),
-          r :: st))
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Set[String], Vector[String], Boolean) = {
       if (n.dynRef.nonEmpty)
@@ -331,10 +341,10 @@ object RowCompiler {
           "unevaluatedProperties with $dynamicRef in its closure is " +
             "runtime-scope-dependent — out of the static-lowering scope")
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
-        n.dependentSchemas.map(_._2)).find(evaluatesProps(_, st)).foreach { d =>
-        throw SpecError(at,
-          "unevaluatedProperties needs a statically-known evaluated set, but " +
-            s"the runtime-dependent applicator at '${d.path.mkString("/")}' evaluates properties")
+        n.dependentSchemas.map(_._2)).find(evaluatesProps(spec, _, st)).foreach { d =>
+        throw RuntimeEvalSet(
+          "evaluated set depends on the runtime applicator at " +
+            s"'${d.path.mkString("/")}'")
       }
       val parts = n.ref.map(r => walk(spec.resolve(r, st),
         r :: st, isRoot = false)).toVector ++
@@ -350,6 +360,75 @@ object RowCompiler {
           parts.exists(_._3))
     }
     walk(node, stack, isRoot = true)
+  }
+
+  /** One per-row contribution to the evaluated-property set: the keys /
+    * key-patterns a branch evaluates, gated by the condition under which the
+    * branch both APPLIES and VALIDATES — annotations from failed subschemas
+    * are dropped, matching the reference's annotation-collection semantics
+    * (/root/reference/validator.go:913-954). `unconditional` marks the
+    * always-applied closure (this node, allOf, $ref), whose cond is
+    * literally true.
+    */
+  private final case class EvalContribution(cond: Column, unconditional: Boolean,
+      keys: Set[String], patterns: Vector[String], allEval: Boolean)
+
+  /** RUNTIME evaluated-property set for `unevaluatedProperties` whose
+    * closure contains runtime-dependent applicators (anyOf / oneOf /
+    * if-then-else / dependentSchemas that evaluate properties): each branch
+    * contributes its evaluated keys under a `when(branchValidates, …)`
+    * condition, and the residual check ORs the conditions per key — pure
+    * column algebra over the same branch predicates the compiler already
+    * emits, no runtime recursion (closes the static-lowering residual for
+    * the dominant real-world shape, see round-3 verdict / validator.go
+    * annotation flow).
+    */
+  private def evaluatedPropsContributions(spec: Spec, node: SchemaNode,
+      at: String, v: Column, dt: DataType, keyPresent: String => Column,
+      stack: List[(String, Int)], depth: Int): Vector[EvalContribution] = {
+    def walk(n: SchemaNode, st: List[(String, Int)], cond: Column,
+             uncond: Boolean, isRoot: Boolean): Vector[EvalContribution] = {
+      if (n.dynRef.nonEmpty)
+        throw SpecError(at,
+          "unevaluatedProperties with $dynamicRef in its closure is " +
+            "runtime-scope-dependent — out of the static-lowering scope")
+      def p(ch: SchemaNode): Column =
+        coalesce(predicate(spec, ch, v, dt, st, depth), lit(false))
+      // only branches that actually evaluate properties contribute — the
+      // rest would add empty sets and waste predicate columns
+      def prEval(ch: SchemaNode): Boolean = evaluatesProps(spec, ch, st.map(_._1))
+      val own = EvalContribution(cond, uncond, n.properties.map(_._1).toSet,
+        n.patternProperties.map(_._1),
+        n.additionalProperties.nonEmpty ||
+          (!isRoot && n.unevaluatedProperties.nonEmpty))
+      val fromRef = n.ref.toVector.flatMap { r =>
+        if (st.contains((r, depth)))
+          throw SpecError(at,
+            s"cyclic $$ref chain under unevaluatedProperties: $r")
+        walk(spec.resolve(r, Nil), (r, depth) :: st, cond, uncond, isRoot = false)
+      }
+      val fromIf = n.ifS.toVector.flatMap { ifn =>
+        val needed = prEval(ifn) || n.thenS.exists(prEval) || n.elseS.exists(prEval)
+        if (!needed) Vector.empty else {
+          val ifPred = p(ifn)
+          (if (prEval(ifn)) walk(ifn, st, cond && ifPred, uncond = false, isRoot = false)
+           else Vector.empty) ++
+            n.thenS.toVector.filter(prEval).flatMap(t =>
+              walk(t, st, cond && ifPred && p(t), uncond = false, isRoot = false)) ++
+            n.elseS.toVector.filter(prEval).flatMap(e =>
+              walk(e, st, cond && !ifPred && p(e), uncond = false, isRoot = false))
+        }
+      }
+      own +: (fromRef ++
+        n.allOf.flatMap(walk(_, st, cond, uncond, isRoot = false)) ++
+        (n.anyOf ++ n.oneOf).filter(prEval).flatMap(ch =>
+          walk(ch, st, cond && p(ch), uncond = false, isRoot = false)) ++
+        fromIf ++
+        n.dependentSchemas.filter(kv => prEval(kv._2)).flatMap { case (k, ds) =>
+          walk(ds, st, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
+        })
+    }
+    walk(node, stack, lit(true), uncond = true, isRoot = true)
   }
 
   /** Statically-known evaluated item prefix for `unevaluatedItems`:
@@ -790,33 +869,68 @@ object RowCompiler {
             }
         }
         // unevaluatedProperties — static lowering over the struct's known
-        // field set: a statically-unevaluated field must be absent (NULL)
-        // under `false`, or match the subschema otherwise; `true` is a no-op
-        // and must skip the (rejecting) static precompute entirely
+        // field set when the evaluated set is compile-time-known: a
+        // statically-unevaluated field must be absent (NULL) under `false`,
+        // or match the subschema otherwise; `true` is a no-op and must skip
+        // the precompute entirely. Runtime-dependent evaluated sets
+        // (anyOf/oneOf/if-then-else/dependentSchemas branches evaluating
+        // properties) fall back to per-row branch-set column algebra.
         node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
-          val (evalKeys, evalPats, allEval) =
-            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
-          if (!allEval) {
-            // static field-name test goes through the engine-paired hook
-            // (Formats.staticPatternMatch), NOT raw java.util.regex — with a
-            // custom engine registered, struct and map columns must agree on
-            // which fields count as evaluated
-            val uneval = st.fields.filterNot(f =>
-              evalKeys.contains(f.name) ||
-                evalPats.exists(Formats.staticPatternMatch(f.name, _)))
-            up match {
-              case Left(true) =>
-              case Left(false) =>
-                uneval.foreach { f =>
-                  add(kw("unevaluatedProperties"), vac(v, v.getField(f.name).isNull),
-                    lstr(s"unevaluatedProperties: unexpected property '${f.name}'"),
-                    ErrorKind.UnevaluatedPropertiesK)
+          try {
+            val (evalKeys, evalPats, allEval) =
+              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
+            if (!allEval) {
+              // static field-name test goes through the engine-paired hook
+              // (Formats.staticPatternMatch), NOT raw java.util.regex — with a
+              // custom engine registered, struct and map columns must agree on
+              // which fields count as evaluated
+              val uneval = st.fields.filterNot(f =>
+                evalKeys.contains(f.name) ||
+                  evalPats.exists(Formats.staticPatternMatch(f.name, _)))
+              up match {
+                case Left(true) =>
+                case Left(false) =>
+                  uneval.foreach { f =>
+                    add(kw("unevaluatedProperties"), vac(v, v.getField(f.name).isNull),
+                      lstr(s"unevaluatedProperties: unexpected property '${f.name}'"),
+                      ErrorKind.UnevaluatedPropertiesK)
+                  }
+                case Right(us) =>
+                  uneval.foreach { f =>
+                    out ++= compile(spec, us, v.getField(f.name), f.dataType,
+                      if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
+                  }
+              }
+            }
+          } catch { case _: RuntimeEvalSet =>
+            val contribs = evaluatedPropsContributions(spec, node,
+              kw("unevaluatedProperties"), v, dt,
+              k => if (fields.contains(k)) v.getField(k).isNotNull else lit(false),
+              stack, depth)
+            if (!contribs.exists(c => c.unconditional && c.allEval)) {
+              st.fields.foreach { f =>
+                val covering = contribs.filter(c => c.allEval ||
+                  c.keys.contains(f.name) ||
+                  c.patterns.exists(Formats.staticPatternMatch(f.name, _)))
+                if (!covering.exists(_.unconditional)) {
+                  val evald = coalesce(
+                    covering.map(_.cond).reduceOption(_ || _).getOrElse(lit(false)),
+                    lit(false))
+                  up match {
+                    case Left(true) =>
+                    case Left(false) =>
+                      add(kw("unevaluatedProperties"),
+                        vac(v, v.getField(f.name).isNull || evald),
+                        lstr(s"unevaluatedProperties: unexpected property '${f.name}'"),
+                        ErrorKind.UnevaluatedPropertiesK)
+                    case Right(us) =>
+                      out ++= compile(spec, us, v.getField(f.name), f.dataType,
+                        if (instPath.isEmpty) f.name else s"$instPath/${f.name}",
+                        stack, binder, depth + 1)
+                        .map(c => c.copy(pred = evald || c.pred))
+                  }
                 }
-              case Right(us) =>
-                uneval.foreach { f =>
-                  out ++= compile(spec, us, v.getField(f.name), f.dataType,
-                    if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
-                }
+              }
             }
           }
         }
@@ -866,26 +980,40 @@ object RowCompiler {
         // unevaluatedProperties over map columns: residual key algebra
         // against the statically-merged evaluated set (keys ∪ patterns from
         // this node + allOf/$ref closure); `true` is a no-op and skips the
-        // (rejecting) static precompute
+        // precompute. Runtime-dependent evaluated sets fall back to per-row
+        // branch-set column algebra (see evaluatedPropsContributions).
         node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
-          val (evalKeys, evalPats, allEval) =
-            staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
-          if (!allEval) {
-            def isEval(k: Column): Column = nameCovered(k, evalKeys, evalPats)
-            up match {
-              case Left(true) =>
-              case Left(false) =>
-                add(kw("unevaluatedProperties"), vac(v, forall(keys, isEval)),
-                  lstr("unevaluatedProperties: unexpected key(s)"),
-                  ErrorKind.UnevaluatedPropertiesK)
-              case Right(us) =>
-                val rem = map_filter(v, (k, _) => !isEval(k))
-                val p = forall(map_values(rem),
-                  x => coalesce(predicate(spec, us, x, vt, stack, depth + 1), lit(false)))
-                add(kw("unevaluatedProperties"), vac(v, p),
-                  lstr("unevaluatedProperties: unevaluated value(s) do not match"),
-                  ErrorKind.UnevaluatedPropertiesK)
-            }
+          def lower(isEval: Column => Column): Unit = up match {
+            case Left(true) =>
+            case Left(false) =>
+              add(kw("unevaluatedProperties"),
+                vac(v, forall(keys, k => coalesce(isEval(k), lit(false)))),
+                lstr("unevaluatedProperties: unexpected key(s)"),
+                ErrorKind.UnevaluatedPropertiesK)
+            case Right(us) =>
+              val rem = map_filter(v, (k, _) => !coalesce(isEval(k), lit(false)))
+              val p = forall(map_values(rem),
+                x => coalesce(predicate(spec, us, x, vt, stack, depth + 1), lit(false)))
+              add(kw("unevaluatedProperties"), vac(v, p),
+                lstr("unevaluatedProperties: unevaluated value(s) do not match"),
+                ErrorKind.UnevaluatedPropertiesK)
+          }
+          try {
+            val (evalKeys, evalPats, allEval) =
+              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
+            if (!allEval) lower(k => nameCovered(k, evalKeys, evalPats))
+          } catch { case _: RuntimeEvalSet =>
+            val contribs = evaluatedPropsContributions(spec, node,
+              kw("unevaluatedProperties"), v, dt,
+              k => array_contains(keys, k), stack, depth)
+            if (!contribs.exists(c => c.unconditional && c.allEval))
+              lower { k =>
+                contribs.map { c =>
+                  if (c.allEval) c.cond
+                  else if (c.unconditional) nameCovered(k, c.keys, c.patterns)
+                  else c.cond && nameCovered(k, c.keys, c.patterns)
+                }.reduceOption(_ || _).getOrElse(lit(false))
+              }
           }
         }
         node.additionalProperties.foreach { ap =>

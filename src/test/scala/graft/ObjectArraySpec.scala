@@ -197,14 +197,16 @@ class ObjectArraySpec extends SparkTestBase {
         df.schema)
     }
     assert(e1.getMessage.contains("contains"))
-    val dfm = Seq((1, Map("a" -> "1"))).toDF("k", "m")
-    val e2 = intercept[SpecError] {
-      SuiteCompiler.compile(Spec.fromJson(
-        """{"columns":{"m":{"oneOf":[{"properties":{"a":{}}},{"properties":{"b":{}}}],
-            "unevaluatedProperties":false}}}"""),
-        dfm.schema)
-    }
-    assert(e2.getMessage.contains("statically-known"))
+    // oneOf-dependent evaluated sets now compile via the RUNTIME branch-set
+    // lowering (round-4): keys are evaluated iff their branch validates
+    val dfm = Seq(
+      (1, Map("a" -> "1")),
+      (2, Map("a" -> "1", "c" -> "x"))).toDF("k", "m")
+    val oneOfSpec =
+      """{"columns":{"m":{"oneOf":[{"required":["a"],"properties":{"a":{}}},
+          {"required":["b"],"properties":{"b":{}}}],
+          "unevaluatedProperties":false}}}"""
+    assert(validsOf(oneOfSpec, dfm) == Seq(true, false))
   }
 
   test("object const over struct + map: structural deep equality incl. numeric cross-type") {

@@ -98,4 +98,37 @@ class PlanShapeSpec extends SparkTestBase {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
+  test("flat unevaluatedProperties keeps the STATIC lowering (no branch-set algebra)") {
+    import graft.compile.SuiteCompiler
+    import graft.spec.Spec
+    import org.apache.spark.sql.types._
+    def deepSize(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      1 + e.children.map(deepSize).sum
+    def predSize(specJson: String): Int = {
+      val schema = StructType(Seq(StructField("m", MapType(StringType, StringType))))
+      val suite = SuiteCompiler.compile(Spec.fromJson(specJson), schema)
+      val c = suite.rowChecks.filter(_.keywordPath.endsWith("unevaluatedProperties"))
+      assert(c.nonEmpty)
+      // measure on the ANALYZED plan (the unresolved bridge node is opaque)
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      df.select(c.map(_.pred): _*).queryExecution.analyzed
+        .expressions.map(deepSize).sum
+    }
+    // flat: properties + allOf closure — compile-time evaluated set, tiny tree
+    val flat = predSize(
+      """{"columns": {"m": {
+        |  "properties": {"a": {"minLength": 1}},
+        |  "allOf": [{"properties": {"b": {"minLength": 1}}}],
+        |  "unevaluatedProperties": false}}}""".stripMargin)
+    // runtime: anyOf branches — per-row branch-set algebra, necessarily bigger
+    val runtime = predSize(
+      """{"columns": {"m": {
+        |  "properties": {"a": {"minLength": 1}},
+        |  "anyOf": [{"properties": {"b": {"const": "b"}}, "required": ["b"]},
+        |            {"properties": {"c": {"const": "c"}}, "required": ["c"]}],
+        |  "unevaluatedProperties": false}}}""".stripMargin)
+    assert(flat < 40, s"static lowering regressed to $flat expression nodes")
+    assert(runtime > flat, s"runtime arm ($runtime) should exceed static ($flat)")
+  }
 }
