@@ -110,8 +110,13 @@ object Bench {
     // is cleared between reps so every rep does identical work (operators
     // that persist intermediates must not turn rep 2 into a cache read).
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    // optional comma-separated substring filter for targeted re-timing
+    val queryFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val localSpark = spark
-    val queryStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryStats = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => queryFilter.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       // a crashing rep must not win the min with its fail-fast wall time:
       // failed reps are excluded, and a query whose reps ALL fail reports
       // the sentinel -1.0 (visible in the JSON) instead of a fabricated min
@@ -125,6 +130,14 @@ object Bench {
       name -> (if (ts.nonEmpty) ts else Seq(-1.0))
     }
     val queryTimes = queryStats.map { case (n, ts) => n -> ts.min }
+
+    // battery-only mode for targeted re-timing during development
+    if (sys.env.contains("SPARK_GRAFT_BATTERY_ONLY")) {
+      println("{\"queries\":{" + queryTimes.sortBy(_._1)
+        .map { case (n, t) => f""""$n":$t%.3f""" }.mkString(",") + "}}")
+      spark.stop()
+      return
+    }
 
     // headline: clips/sec at the driver-provided parallelism
     val tHead0 = fullSuiteTimed(spark, corpus, deep = false)

@@ -140,11 +140,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard over candidate pairs found by shingle co-occurrence.
     * `maxDf` removes stop-shingles (appearing in more than maxDf docs) before
-    * the self-join — the skew valve at scale.
+    * the self-join — the skew valve at scale, ON by default (a stop-shingle
+    * in 10^8 documents makes the self-join quadratic in that shingle's
+    * document frequency; the default bounds any one shingle's join
+    * contribution to maxDf² rows). The valve is non-silent: call
+    * [[jaccardStopShingles]] with the same arguments to enumerate what was
+    * dropped (mirrors the minhash mega-bucket companion). Pass
+    * `maxDf = Long.MaxValue` for exact small-corpus runs.
     */
   def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
-                   maxDf: Long = Long.MaxValue,
+                   maxDf: Long = 100000L,
                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val sh = df.select(col(keyCol).as("k"),
       explode(shingles(col(textCol), shingleN)).as("s"))
@@ -171,6 +177,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** Companion to [[jaccardPairs]]'s skew valve: the stop-shingles it drops
+    * — (shingle, df) rows with df > maxDf. Count/inspect these to quantify
+    * what the valve excluded; empty means the valve changed nothing.
+    */
+  def jaccardStopShingles(df: DataFrame, keyCol: String, textCol: String,
+                          shingleN: Int = 3,
+                          maxDf: Long = 100000L): DataFrame =
+    df.select(col(keyCol).as("k"),
+        explode(shingles(col(textCol), shingleN)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
 
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit i is the
     * sign of the token-count-weighted sum of hex digit i of md5(token)

@@ -104,6 +104,68 @@ final case class SchemaNode(
     elseS: Option[SchemaNode] = None
 )
 
+/** JSON Schema dialect selected by a document's root `$schema` URL — the
+  * analogue of the reference's per-resource draft selection
+  * (/root/reference/draft.go:138-163, roots.go:103-150). A recognized URL
+  * switches on keyword-set strictness: keywords a dialect does not define
+  * are typed spec errors instead of silently-honored compat aliases. With
+  * no `$schema` (or an unrecognized URL, kept as an annotation) the engine
+  * stays lenient: every compat form is accepted, which is the pre-dialect
+  * behavior.
+  */
+final case class Dialect(
+    name: String,
+    banned: Set[String],
+    arrayFormItems: Boolean = true,
+    booleanExclusive: Boolean = true,
+    numericExclusive: Boolean = true)
+
+object Dialect {
+  private val kw2019 = Set("dependentRequired", "dependentSchemas",
+    "unevaluatedProperties", "unevaluatedItems", "$anchor",
+    "minContains", "maxContains")
+  private val kw2020 = Set("prefixItems", "$dynamicRef", "$dynamicAnchor")
+  private val kwDraft7 = Set("if", "then", "else")
+  private val kwDraft6 = Set("const", "contains", "propertyNames",
+    "contentEncoding", "contentMediaType")
+
+  /** Lenient default: all compat forms accepted. */
+  val Default: Dialect = Dialect("default", Set.empty)
+  val V2020: Dialect = Dialect("2020-12",
+    Set("dependencies", "additionalItems"),
+    arrayFormItems = false, booleanExclusive = false)
+  val V2019: Dialect = Dialect("2019-09",
+    Set("dependencies") ++ kw2020, booleanExclusive = false)
+  val Draft7: Dialect = Dialect("draft-07",
+    kw2019 ++ kw2020 ++ Set("contentSchema"), booleanExclusive = false)
+  val Draft6: Dialect = Dialect("draft-06",
+    kw2019 ++ kw2020 ++ kwDraft7 ++
+      Set("contentSchema", "contentEncoding", "contentMediaType"),
+    booleanExclusive = false)
+  val Draft4: Dialect = Dialect("draft-04",
+    kw2019 ++ kw2020 ++ kwDraft7 ++ kwDraft6 ++ Set("contentSchema"),
+    numericExclusive = false)
+
+  /** Recognize the five official meta-schema URLs (http/https, optional
+    * trailing '#'); anything else → None (caller keeps the lenient default
+    * and treats `$schema` as an annotation).
+    */
+  def fromUrl(url: String): Option[Dialect] =
+    url.replaceFirst("^http://", "https://").stripSuffix("#") match {
+      case "https://json-schema.org/draft/2020-12/schema" => Some(V2020)
+      case "https://json-schema.org/draft/2019-09/schema" => Some(V2019)
+      case "https://json-schema.org/draft-07/schema"      => Some(Draft7)
+      case "https://json-schema.org/draft-06/schema"      => Some(Draft6)
+      case "https://json-schema.org/draft-04/schema"      => Some(Draft4)
+      case _                                              => None
+    }
+
+  /** Dialect of a document from its root `$schema`, lenient otherwise. */
+  def ofDocument(root: com.fasterxml.jackson.databind.JsonNode): Dialect =
+    Option(root.get("$schema")).filter(_.isTextual)
+      .flatMap(u => fromUrl(u.asText())).getOrElse(Default)
+}
+
 object SchemaNode {
   val jsonTypes: Set[String] =
     Set("null", "boolean", "integer", "number", "string", "array", "object")
@@ -133,6 +195,10 @@ object SchemaNode {
     // document by Spec.collectAnchorsDoc (/root/reference/root.go:78-135);
     // $dynamicAnchor additionally participates in dynamic-scope resolution
     "$anchor", "$dynamicAnchor", "$dynamicRef",
+    // $schema: dialect annotation, honored at DOCUMENT roots (Dialect.ofDocument)
+    // and otherwise ignored; $id stays rejected (documents are addressed by
+    // their loader URL, not self-declared identifiers)
+    "$schema",
     // $defs: navigation-only schema container (2020-12 allows it in any
     // schema; refs address its entries by raw JSON pointer) — entries are
     // walked for anchors + meta-validation, not parsed into the node
@@ -143,13 +209,18 @@ object SchemaNode {
     * values with typed SpecErrors — this *is* our metaschema validation
     * (mirrors /root/reference/roots.go:53-56).
     */
-  def parse(n: JsonNode, path: Vector[String]): SchemaNode = {
+  def parse(n: JsonNode, path: Vector[String],
+            dialect: Dialect = Dialect.Default): SchemaNode = {
     val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
     if (n.isBoolean) return SchemaNode(path = path, boolSchema = Some(n.asBoolean()))
     if (!n.isObject) throw SpecError(at, s"schema must be object or boolean, got ${n.getNodeType}")
 
     n.fieldNames().asScala.foreach { k =>
       if (!knownKeywords.contains(k)) throw SpecError(at, s"unknown keyword '$k'")
+      // $schema-driven dialect strictness (draft.go:138-163 analogue):
+      // keywords outside the declared dialect are typed errors, not aliases
+      if (dialect.banned.contains(k))
+        throw SpecError(at, s"keyword '$k' is not defined in dialect ${dialect.name}")
     }
     // navigation-only / anchor keywords: shape-checked here, handled at the
     // Spec level (anchor collection, pointer navigation)
@@ -158,6 +229,23 @@ object SchemaNode {
     }
     Option(n.get("$dynamicAnchor")).foreach { a =>
       if (!a.isTextual) throw SpecError(s"$at/$$dynamicAnchor", s"expected string, got $a")
+    }
+    // annotation shape checks, ALIGNED with the meta-spec gate so the two
+    // layers agree on what is a valid spec (a spec must not load with
+    // --no-metaspec but fail the default gate): annotations are ignored for
+    // validation but must still be well-typed
+    Seq("title", "description", "$comment").foreach { k =>
+      Option(n.get(k)).foreach { v =>
+        if (!v.isTextual) throw SpecError(s"$at/$k", s"expected string, got $v")
+      }
+    }
+    Seq("deprecated", "readOnly", "writeOnly").foreach { k =>
+      Option(n.get(k)).foreach { v =>
+        if (!v.isBoolean) throw SpecError(s"$at/$k", s"expected boolean, got $v")
+      }
+    }
+    Option(n.get("examples")).foreach { v =>
+      if (!v.isArray) throw SpecError(s"$at/examples", s"expected array, got $v")
     }
 
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
@@ -177,13 +265,13 @@ object SchemaNode {
       v.asText()
     }
     def optSchema(k: String): Option[SchemaNode] =
-      opt(k).map(v => parse(v, path :+ k))
+      opt(k).map(v => parse(v, path :+ k, dialect))
     def schemaArray(k: String): Vector[SchemaNode] = opt(k) match {
       case None => Vector.empty
       case Some(v) =>
         if (!v.isArray || v.size() == 0)
           throw SpecError(s"$at/$k", "expected non-empty array of schemas")
-        v.asScala.zipWithIndex.map { case (c, i) => parse(c, path :+ k :+ i.toString) }.toVector
+        v.asScala.zipWithIndex.map { case (c, i) => parse(c, path :+ k :+ i.toString, dialect) }.toVector
     }
 
     val types = opt("type").map { t =>
@@ -218,7 +306,7 @@ object SchemaNode {
     val props = opt("properties").map { p =>
       if (!p.isObject) throw SpecError(s"$at/properties", "expected object")
       p.fieldNames().asScala.toVector.map { k =>
-        k -> parse(p.get(k), path :+ "properties" :+ k)
+        k -> parse(p.get(k), path :+ "properties" :+ k, dialect)
       }
     }.getOrElse(Vector.empty)
 
@@ -228,7 +316,7 @@ object SchemaNode {
         graft.functions.Formats.checkSpecRegex(k).foreach { msg =>
           throw SpecError(s"$at/patternProperties", s"invalid regex '$k': $msg")
         }
-        k -> parse(p.get(k), path :+ "patternProperties" :+ k)
+        k -> parse(p.get(k), path :+ "patternProperties" :+ k, dialect)
       }
     }.getOrElse(Vector.empty)
 
@@ -252,7 +340,7 @@ object SchemaNode {
     val depSchemas = opt("dependentSchemas").map { d =>
       if (!d.isObject) throw SpecError(s"$at/dependentSchemas", "expected object")
       d.fieldNames().asScala.toVector.map { k =>
-        k -> parse(d.get(k), path :+ "dependentSchemas" :+ k)
+        k -> parse(d.get(k), path :+ "dependentSchemas" :+ k, dialect)
       }
     }.getOrElse(Vector.empty)
 
@@ -269,7 +357,7 @@ object SchemaNode {
             throw SpecError(s"$at/dependencies/$k", s"expected string, got $e")
           e.asText()
         }.toVector)
-        else schemas += (k -> parse(v, path :+ "dependencies" :+ k))
+        else schemas += (k -> parse(v, path :+ "dependencies" :+ k, dialect))
       }
       (reqs.result(), schemas.result())
     }.getOrElse((Vector.empty, Vector.empty))
@@ -280,6 +368,9 @@ object SchemaNode {
     // items (it "applies only when items is an array of schemas").
     val itemsRaw = opt("items")
     val itemsIsArray = itemsRaw.exists(_.isArray)
+    if (itemsIsArray && !dialect.arrayFormItems)
+      throw SpecError(s"$at/items",
+        s"array-form items is not defined in dialect ${dialect.name} (use prefixItems)")
     if (itemsIsArray && opt("prefixItems").nonEmpty)
       throw SpecError(s"$at/items",
         "array-form items (draft<=2019 tuple syntax) cannot combine with prefixItems")
@@ -289,7 +380,7 @@ object SchemaNode {
         if (arr.size() == 0)
           throw SpecError(s"$at/items", "expected non-empty array of schemas")
         arr.asScala.zipWithIndex.map { case (c, i) =>
-          parse(c, path :+ "items" :+ i.toString)
+          parse(c, path :+ "items" :+ i.toString, dialect)
         }.toVector
       } else schemaArray("prefixItems")
     val itemsCompat: Option[SchemaNode] =
@@ -297,7 +388,7 @@ object SchemaNode {
         opt("additionalItems").map { a =>
           if (a.isBoolean) SchemaNode(path = path :+ "additionalItems",
             boolSchema = Some(a.asBoolean()))
-          else parse(a, path :+ "additionalItems")
+          else parse(a, path :+ "additionalItems", dialect)
         }
       else optSchema("items")
 
@@ -305,8 +396,15 @@ object SchemaNode {
     def exclusiveBound(kw: String, base: Option[BigDecimal])
         : (Option[BigDecimal], Boolean) = opt(kw) match {
       case None => (None, false)
-      case Some(v) if v.isNumber => (Some(BigDecimal(v.decimalValue())), false)
+      case Some(v) if v.isNumber =>
+        if (!dialect.numericExclusive)
+          throw SpecError(s"$at/$kw",
+            s"numeric $kw is not defined in dialect ${dialect.name} (draft-4 uses the boolean modifier)")
+        (Some(BigDecimal(v.decimalValue())), false)
       case Some(v) if v.isBoolean =>
+        if (!dialect.booleanExclusive)
+          throw SpecError(s"$at/$kw",
+            s"boolean $kw is not defined in dialect ${dialect.name} (draft-4 form)")
         if (!v.asBoolean()) (None, false)
         else base match {
           case Some(b) => (Some(b), true) // consumes the base bound
@@ -323,12 +421,12 @@ object SchemaNode {
 
     val addProps = opt("additionalProperties").map { a =>
       if (a.isBoolean) Left(a.asBoolean())
-      else Right(parse(a, path :+ "additionalProperties"))
+      else Right(parse(a, path :+ "additionalProperties", dialect))
     }
 
     def optBoolOrSchema(k: String): Option[Either[Boolean, SchemaNode]] =
       opt(k).map { a =>
-        if (a.isBoolean) Left(a.asBoolean()) else Right(parse(a, path :+ k))
+        if (a.isBoolean) Left(a.asBoolean()) else Right(parse(a, path :+ k, dialect))
       }
 
     SchemaNode(
@@ -357,7 +455,11 @@ object SchemaNode {
       jsonSchema = optSchema("json"),
       minItems = optInt("minItems"),
       maxItems = optInt("maxItems"),
-      uniqueItems = opt("uniqueItems").exists(_.asBoolean(false)),
+      uniqueItems = opt("uniqueItems").exists { v =>
+        // strict boolean, aligned with the meta-spec gate (no silent coercion)
+        if (!v.isBoolean) throw SpecError(s"$at/uniqueItems", s"expected boolean, got $v")
+        v.asBoolean()
+      },
       items = itemsCompat,
       prefixItems = prefixCompat,
       contains = optSchema("contains"),

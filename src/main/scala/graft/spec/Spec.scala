@@ -125,7 +125,10 @@ final case class Spec(
     // $dynamicAnchor name -> (raw node, spec path) — the subset of `anchors`
     // that participates in dynamic-scope resolution
     // (/root/reference/objcompiler.go:318-336)
-    dynAnchors: Map[String, (JsonNode, Vector[String])] = Map.empty
+    dynAnchors: Map[String, (JsonNode, Vector[String])] = Map.empty,
+    // dialect selected by the root document's $schema (per-resource:
+    // external documents carry their own, read at load)
+    dialect: Dialect = Dialect.Default
 ) {
 
   /** Memoized external-document cache: url -> (document, anchors,
@@ -137,15 +140,16 @@ final case class Spec(
   @transient private lazy val extDocs =
     scala.collection.concurrent.TrieMap
       .empty[String, (JsonNode, Map[String, (JsonNode, Vector[String])],
-        Map[String, (JsonNode, Vector[String])])]
+        Map[String, (JsonNode, Vector[String])], Dialect)]
 
   private[graft] def externalDoc(url: String)
       : (JsonNode, Map[String, (JsonNode, Vector[String])],
-         Map[String, (JsonNode, Vector[String])]) =
+         Map[String, (JsonNode, Vector[String])], Dialect) =
     extDocs.getOrElseUpdate(url, {
       val d = Spec.documentFromUrl(url)
       val (a, da) = Spec.collectAnchorsDoc(d)
-      (d, a, da)
+      // per-resource dialect from the external document's own $schema
+      (d, a, da, if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
     })
 
   /** Dynamic anchors of a document on the compile-time scope chain
@@ -154,15 +158,18 @@ final case class Spec(
   private[graft] def dynAnchorsOf(url: String): Map[String, (JsonNode, Vector[String])] =
     if (url.isEmpty) dynAnchors else externalDoc(url)._3
 
+  private[graft] def dialectOf(url: String): Dialect =
+    if (url.isEmpty) dialect else externalDoc(url)._4
+
   /** Parse the `$dynamicAnchor` target named `name` in document `url`
     * ("" = root). Nodes from external documents are ref-rebased so their
     * relative refs stay addressed to their home document.
     */
   private[graft] def dynAnchorTarget(url: String, name: String): SchemaNode = {
     val (node, path) = dynAnchorsOf(url)(name)
-    if (url.isEmpty) SchemaNode.parse(node, path)
+    if (url.isEmpty) SchemaNode.parse(node, path, dialect)
     else SchemaNode.rebase(
-      SchemaNode.parse(node, (url + "#") +: path), url)
+      SchemaNode.parse(node, (url + "#") +: path, dialectOf(url)), url)
   }
 
   private def navigate(doc: JsonNode, ptr: String, ref: String): (JsonNode, Vector[String]) = {
@@ -216,18 +223,18 @@ final case class Spec(
         "only '#/$defs/<name>' references are resolvable on a spec built " +
           "without its raw document"))
       val (cur, segs) = navigate(doc, ref.drop(2), ref)
-      SchemaNode.parse(cur, segs)
+      SchemaNode.parse(cur, segs, dialect)
     } else if (ref.length > 1 && ref.startsWith("#")) {
       val name = ref.drop(1)
       anchors.get(name) match {
-        case Some((node, path)) => SchemaNode.parse(node, path)
+        case Some((node, path)) => SchemaNode.parse(node, path, dialect)
         case None => throw SpecError(ref, s"unresolved $$ref: no $$anchor '$name'")
       }
     } else if (ref.indexOf(':') > 0) {
       // cross-document: split URL / fragment, load via the loader registry
       val h = ref.indexOf('#')
       val (url, frag) = if (h >= 0) (ref.substring(0, h), ref.substring(h + 1)) else (ref, "")
-      val (doc, extAnchors, _) = externalDoc(url)
+      val (doc, extAnchors, _, extDialect) = externalDoc(url)
       val prefix = url + "#"
       val (node, path) =
         if (frag.isEmpty) (doc, Vector(prefix))
@@ -239,7 +246,7 @@ final case class Spec(
           case None =>
             throw SpecError(ref, s"unresolved $$ref: no $$anchor '$frag' in $url")
         }
-      SchemaNode.rebase(SchemaNode.parse(node, path), url)
+      SchemaNode.rebase(SchemaNode.parse(node, path, extDialect), url)
     } else
       throw SpecError(ref,
         "expected '#/<json-pointer>', '#<anchor>', or a cross-document " +
@@ -354,18 +361,19 @@ object Spec {
     root.fieldNames().asScala.foreach { k =>
       if (!topKeywords.contains(k)) throw SpecError("#", s"unknown top-level keyword '$k'")
     }
+    val dialect = Dialect.ofDocument(root)
 
     val defs = Option(root.get("$defs")).map { d =>
       if (!d.isObject) throw SpecError("#/$defs", "expected object")
       d.fieldNames().asScala.map { k =>
-        k -> SchemaNode.parse(d.get(k), Vector("$defs", k))
+        k -> SchemaNode.parse(d.get(k), Vector("$defs", k), dialect)
       }.toMap
     }.getOrElse(Map.empty[String, SchemaNode])
 
     val columns = Option(root.get("columns")).map { c =>
       if (!c.isObject) throw SpecError("#/columns", "expected object")
       c.fieldNames().asScala.toVector.map { k =>
-        k -> SchemaNode.parse(c.get(k), Vector("columns", k))
+        k -> SchemaNode.parse(c.get(k), Vector("columns", k), dialect)
       }
     }.getOrElse(Vector.empty)
 
@@ -380,7 +388,7 @@ object Spec {
     val rowRules = Option(root.get("row")).map { r =>
       if (!r.isArray) throw SpecError("#/row", "expected array of schemas")
       r.asScala.zipWithIndex.map { case (s, i) =>
-        SchemaNode.parse(s, Vector("row", i.toString))
+        SchemaNode.parse(s, Vector("row", i.toString), dialect)
       }.toVector
     }.getOrElse(Vector.empty)
 
@@ -388,7 +396,8 @@ object Spec {
 
     val (anchors, dynAnchors) = collectAnchorsDoc(root)
     Spec(columns, required, rowRules, table, defs,
-      raw = Some(root), anchors = anchors, dynAnchors = dynAnchors)
+      raw = Some(root), anchors = anchors, dynAnchors = dynAnchors,
+      dialect = dialect)
   }
 
   /** Split an RFC 6901 JSON pointer into unescaped segments: `~1` → `/`,

@@ -56,8 +56,21 @@ object SpecShape {
     else if (n.isArray) "array"
     else "object"
 
+  /** JSON deep equality: numeric cross-type compare at every depth (1 == 1.0
+    * inside arrays/objects too) and order-insensitive object fields — the
+    * same equality the engine's compilers use (canonicalized), NOT Jackson
+    * node equality (which is type- and key-order-sensitive).
+    */
   private def deepEq(a: JsonNode, b: JsonNode): Boolean =
     if (a.isNumber && b.isNumber) a.decimalValue().compareTo(b.decimalValue()) == 0
+    else if (a.isArray && b.isArray)
+      a.size() == b.size() &&
+        a.asScala.zip(b.asScala).forall { case (x, y) => deepEq(x, y) }
+    else if (a.isObject && b.isObject) {
+      val ka = a.fieldNames().asScala.toSet
+      ka == b.fieldNames().asScala.toSet &&
+        ka.forall(k => deepEq(a.get(k), b.get(k)))
+    }
     else a == b
 
   /** All violations of `n` against shape `s`, as "path: message" strings. */
@@ -105,7 +118,8 @@ object SpecShape {
       val items = n.asScala.toVector
       s.minItems.foreach(m => if (items.size < m) fail(s"minItems: got ${items.size}, want >= $m"))
       s.maxItems.foreach(m => if (items.size > m) fail(s"maxItems: got ${items.size}, want <= $m"))
-      if (s.uniqueItems && items.map(_.toString).distinct.size != items.size)
+      if (s.uniqueItems && items.combinations(2).exists {
+            case Seq(x, y) => deepEq(x, y); case _ => false })
         fail("uniqueItems: duplicate items")
       s.prefixItems.zipWithIndex.foreach { case (ps, i) =>
         if (i < items.size) out ++= violations(items(i), ps, s"$path/$i")
@@ -167,8 +181,10 @@ object SpecShape {
     s.allOf.foreach(ch => out ++= violations(n, ch, path))
     if (s.anyOf.nonEmpty && !s.anyOf.exists(ok(n, _)))
       fail("anyOf: no subschema matched")
-    if (s.oneOf.nonEmpty && s.oneOf.count(ok(n, _)) != 1)
-      fail(s"oneOf: ${s.oneOf.count(ok(n, _))} matched, want exactly 1")
+    if (s.oneOf.nonEmpty) {
+      val matched = s.oneOf.count(ok(n, _))
+      if (matched != 1) fail(s"oneOf: $matched matched, want exactly 1")
+    }
     s.not.foreach(ch => if (ok(n, ch)) fail("not: subschema matched"))
     s.ifS.foreach { ifn =>
       if (ok(n, ifn)) s.thenS.foreach(tn => out ++= violations(n, tn, path))

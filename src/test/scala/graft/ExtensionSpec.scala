@@ -187,4 +187,20 @@ class ExtensionSpec extends SparkTestBase {
     assert(salted == naive)
     assert(naive("hot") == 1600)
   }
+  test("SpecShape deepEq: numeric cross-type + key order inside containers") {
+    import graft.spec.SpecShape
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val shape = SpecShape.parseShape(
+      m.readTree("""{"const": {"a": 1, "b": [2.0, {"c": 3}]}}"""), "t")
+    // numerically equal, different JSON number types, different key order
+    assert(SpecShape.violations(
+      m.readTree("""{"b": [2, {"c": 3.0}], "a": 1.0}"""), shape).isEmpty)
+    assert(SpecShape.violations(
+      m.readTree("""{"a": 1, "b": [2.0, {"c": 4}]}"""), shape).nonEmpty)
+    val uniq = SpecShape.parseShape(m.readTree("""{"uniqueItems": true}"""), "t")
+    // 1 and 1.0 are the same JSON value -> duplicates
+    assert(SpecShape.violations(m.readTree("""[1, 1.0]"""), uniq).nonEmpty)
+    assert(SpecShape.violations(m.readTree("""[{"x":1,"y":2}, {"y":2,"x":1}]"""), uniq).nonEmpty)
+    assert(SpecShape.violations(m.readTree("""[1, 2]"""), uniq).isEmpty)
+  }
 }

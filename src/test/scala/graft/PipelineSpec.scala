@@ -276,4 +276,37 @@ class PipelineSpec extends SparkTestBase {
       col("x.k") + 100000 === col("y.k"))
     assert(joined.filter(col("x.simhash") =!= col("y.simhash")).count() == 0)
   }
+  test("jaccard maxDf valve: non-silent companion + equivalence with manual stop-shingle removal") {
+    import spark.implicits._
+    // every doc shares the same 3-token prefix -> its shingle is a stop
+    // shingle at maxDf=3; distinctive tails drive the real similarity
+    val docs = Seq(
+      ("d1", "the quick brown alpha beta gamma delta"),
+      ("d2", "the quick brown alpha beta gamma epsilon"),
+      ("d3", "the quick brown zeta eta theta iota"),
+      ("d4", "the quick brown zeta eta theta kappa")).toDF("doc_id", "text")
+    val stop = graft.pipeline.Dedup.jaccardStopShingles(docs, "doc_id", "text", 3, maxDf = 3)
+      .collect()
+    assert(stop.map(_.getString(0)).toSet == Set("the quick brown"),
+      stop.mkString(","))
+    assert(stop.head.getLong(1) == 4L)
+    val valved = graft.pipeline.Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDf = 3)
+      .orderBy("a", "b").collect().map(_.toString)
+    // equivalence: the valved result must equal a driver-exact recomputation
+    // over the per-doc shingle sets minus the stop shingle
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet - "the quick brown"
+    val m = Map("d1" -> "the quick brown alpha beta gamma delta",
+      "d2" -> "the quick brown alpha beta gamma epsilon",
+      "d3" -> "the quick brown zeta eta theta iota",
+      "d4" -> "the quick brown zeta eta theta kappa").view.mapValues(shingleSet).toMap
+    val expected = (for {
+      a <- m.keys; b <- m.keys if a < b
+      inter = (m(a) & m(b)).size
+      j = inter.toDouble / (m(a) | m(b)).size if j >= 0.1 && inter > 0
+    } yield s"[$a,$b,${BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble}]")
+      .toSeq.sorted
+    assert(valved.toSeq == expected, s"valved=${valved.toSeq} expected=$expected")
+  }
 }

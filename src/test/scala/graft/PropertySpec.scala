@@ -243,4 +243,31 @@ class PropertySpec extends SparkTestBase {
       .orderBy("k").collect().map(_.toString)
     assert(a.sameElements(b))
   }
+  test("multipleOf double fast path == decimal(38,12) semantics (integer divisor)") {
+    // the guarded fmod fast arm must agree with the decimal-exact arm on
+    // every double: integral, fractional, scale-12-boundary, huge, negative
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1000000L, 1000000L).map(_.toDouble),            // integral
+      Gen.chooseNum(-1000000L, 1000000L).map(_ + 0.5),               // fractional
+      Gen.chooseNum(-1000L, 1000L).map(_ + 4.9999999999996e-1),     // near-boundary
+      Gen.chooseNum(1L, 1000L).map(_ * 9.007199254740992e15),       // > 2^53
+      Gen.const(0.0), Gen.const(-15.0), Gen.const(1e30))
+    val vals = Gen.listOfN(4000, gen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val df = vals.toDF("x")
+    val suite = SuiteCompiler.compile(
+      Spec.fromJson("""{"columns":{"x":{"multipleOf":5}}}"""), df.schema)
+    val got = graft.exec.Validator.flag(df, suite).select("x", "valid").collect()
+      .map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
+    vals.distinct.foreach { v =>
+      // reference semantics: shortest-repr decimal of the double, rounded to
+      // scale 12 HALF_UP (Spark's double->decimal cast), divisible by 5;
+      // out-of-decimal-range magnitudes take the double-fmod arm
+      val bd = BigDecimal.valueOf(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val expected =
+        if (bd.precision - bd.scale <= 26) (bd % 5).signum == 0
+        else (v % 5.0) == 0.0
+      assert(got(v) == expected, s"value $v: got ${got(v)}, want $expected")
+    }
+  }
 }
