@@ -139,6 +139,25 @@ object Bench {
       return
     }
 
+    // --- IVF recall arm: the ANN accuracy/cost tradeoff as a recorded
+    // number — recall@k of the trained-IVF path vs brute-force top-k on the
+    // sf embeddings table, per (k, nProbe) ---
+    val recallJson = {
+      import org.apache.spark.sql.functions.col
+      import graft.pipeline.SimSearch
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      emb.count()
+      val model = SimSearch.trainIvf(emb, "vec_id", "embedding", k = 16)
+      val probes = emb.filter(col("vec_id") < 50)
+      val cells = for (k <- Seq(5, 10); np <- Seq(1, 2, 4, 8)) yield {
+        val r = SimSearch.ivfRecallAtK(emb, probes, "vec_id", "embedding",
+          k, model, np)
+        f"""{"k":$k,"nProbe":$np,"recall":$r%.4f}"""
+      }
+      emb.unpersist()
+      cells.mkString("[", ",", "]")
+    }
+
     // headline: clips/sec at the driver-provided parallelism
     val tHead0 = fullSuiteTimed(spark, corpus, deep = false)
     val tDeep0 = fullSuiteTimed(spark, corpus, deep = true)
@@ -187,6 +206,6 @@ object Bench {
         f""""throughput_local8":${nClips / t(8)}%.1f,"throughput_local32":${nClips / t(32)}%.1f,""" +
         f""""efficiency_2_to_8":${eff(t, 2, 8)}%.3f,"efficiency_8_to_32":${eff(t, 8, 32)}%.3f"""
     println(
-      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"queries":$qs,"queries_spread":$spreads,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
+      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"queries":$qs,"queries_spread":$spreads,"ivf_recall":$recallJson,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
   }
 }

@@ -78,7 +78,11 @@ object CheckpointedRun {
       keyCols: Seq[String],
       ledgerDir: String,
       violationsOut: String,
-      refTables: Map[String, DataFrame] = Map.empty
+      refTables: Map[String, DataFrame] = Map.empty,
+      // test-only failure injection: invoked after each partition's ledger
+      // entry lands (i.e. BETWEEN partition batches) — throwing here
+      // simulates a mid-run kill at the exact recovery boundary
+      afterPartition: String => Unit = _ => ()
   ): RunResult = {
     val all = listPartitions(spark, tableDir, partCol)
     val done = Ledger.completed(ledgerDir)
@@ -112,6 +116,7 @@ object CheckpointedRun {
         bytes = partitionBytes(tableDir, partCol, part),
         wallMs = (System.nanoTime() - t0) / 1000000L,
         finishedAt = java.time.Instant.now().toString))
+      afterPartition(part)
     }
 
     // --- global table-level phase (unique / FK / drift over ALL rows) ---

@@ -199,6 +199,22 @@ object SimSearch {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** recall@k of the IVF path against the brute-force baseline on the same
+    * corpus/probes: |ivf ∩ truth| / |truth|. Records the accuracy/cost
+    * tradeoff per (k, nProbe) — consumed by the bench's recall arm.
+    */
+  def ivfRecallAtK(corpus: DataFrame, probes: DataFrame, keyCol: String,
+                   vecCol: String, k: Int, model: IvfModel,
+                   nProbe: Int): Double = {
+    val truth = bruteTopK(corpus, probes, keyCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val approx = ivfTopK(corpus, probes, keyCol, vecCol, k, model, nProbe)
+      .select("query_id", "neighbor_id")
+    val n = truth.count()
+    if (n == 0L) 1.0
+    else truth.join(approx, Seq("query_id", "neighbor_id")).count().toDouble / n
+  }
+
   /** Brute-force near-dup (all pairs) — the oracle/recall baseline. */
   def bruteNearDup(df: DataFrame, keyCol: String, vecCol: String,
                    threshold: Double): DataFrame = {

@@ -139,4 +139,44 @@ class LedgerSpec extends SparkTestBase {
     assert(entries.filter(_.partition != CheckpointedRun.TablePhase)
       .forall(e => e.bytes > 0 && e.rows == 1))
   }
+  test("MID-RUN KILL between partition batches: resume ≡ fresh on verdicts AND violation rows") {
+    val (data, ledgerA, outA, ledgerB, outB) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    writePartitioned(data)
+    // arm A: uninterrupted control
+    CheckpointedRun.run(spark, data, "codec", fullSpec, Seq("clip_id"), ledgerA, outA)
+    // arm B: the run DIES after the 2nd partition's ledger entry lands —
+    // the failure-injection hook fires at the exact recovery boundary
+    final case class Killed() extends RuntimeException
+    var doneCount = 0
+    intercept[Killed] {
+      CheckpointedRun.run(spark, data, "codec", fullSpec, Seq("clip_id"),
+        ledgerB, outB, afterPartition = { _ =>
+          doneCount += 1
+          if (doneCount == 2) throw Killed()
+        })
+    }
+    assert(Ledger.completed(ledgerB).size == 2)
+    // crash aftermath: one completed partition loses HALF its output files
+    // (torn write survivors) — resume must NOT trust un-ledgered bytes, and
+    // ledgered partitions are skipped with their output intact
+    val completed = Ledger.completed(ledgerB).toSeq.sorted
+    val inFlightDir = new java.io.File(
+      s"$outB/codec=${CheckpointedRun.listPartitions(spark, data, "codec")
+        .filterNot(completed.contains).head}")
+    // fabricate a partial in-flight output dir (no _SUCCESS, half a file)
+    inFlightDir.mkdirs()
+    java.nio.file.Files.writeString(
+      inFlightDir.toPath.resolve("part-00000-torn.parquet"), "not parquet")
+    val resumed = CheckpointedRun.run(spark, data, "codec", fullSpec,
+      Seq("clip_id"), ledgerB, outB)
+    assert(resumed.skipped.toSet == completed.toSet)
+    // violation rows identical to the uninterrupted arm
+    val a = CheckpointedRun.violations(spark, outA).collect().map(_.toString).sorted
+    val b = CheckpointedRun.violations(spark, outB).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // VERDICTS identical too: per-partition (rows, violations) ledger metrics
+    def verdicts(dir: String) = Ledger.read(dir)
+      .map(e => (e.partition, e.rows, e.violations)).sortBy(_._1)
+    assert(verdicts(ledgerA) == verdicts(ledgerB))
+  }
 }
