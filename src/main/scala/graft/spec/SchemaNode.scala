@@ -125,6 +125,7 @@ object Dialect {
     "unevaluatedProperties", "unevaluatedItems", "$anchor",
     "minContains", "maxContains")
   private val kw2020 = Set("prefixItems", "$dynamicRef", "$dynamicAnchor")
+  private val kwRecursive = Set("$recursiveRef", "$recursiveAnchor") // 2019-09 only
   private val kwDraft7 = Set("if", "then", "else")
   private val kwDraft6 = Set("const", "contains", "propertyNames",
     "contentEncoding", "contentMediaType")
@@ -132,18 +133,20 @@ object Dialect {
   /** Lenient default: all compat forms accepted. */
   val Default: Dialect = Dialect("default", Set.empty)
   val V2020: Dialect = Dialect("2020-12",
-    Set("dependencies", "additionalItems"),
+    Set("dependencies", "additionalItems") ++ kwRecursive,
     arrayFormItems = false, booleanExclusive = false)
   val V2019: Dialect = Dialect("2019-09",
     Set("dependencies") ++ kw2020, booleanExclusive = false)
   val Draft7: Dialect = Dialect("draft-07",
-    kw2019 ++ kw2020 ++ Set("contentSchema"), booleanExclusive = false)
+    kw2019 ++ kw2020 ++ kwRecursive ++ Set("contentSchema"),
+    booleanExclusive = false)
   val Draft6: Dialect = Dialect("draft-06",
-    kw2019 ++ kw2020 ++ kwDraft7 ++
+    kw2019 ++ kw2020 ++ kwDraft7 ++ kwRecursive ++
       Set("contentSchema", "contentEncoding", "contentMediaType"),
     booleanExclusive = false)
   val Draft4: Dialect = Dialect("draft-04",
-    kw2019 ++ kw2020 ++ kwDraft7 ++ kwDraft6 ++ Set("contentSchema"),
+    kw2019 ++ kw2020 ++ kwDraft7 ++ kwDraft6 ++ kwRecursive ++
+      Set("contentSchema"),
     numericExclusive = false)
 
   /** Recognize the five official meta-schema URLs (http/https, optional
@@ -167,6 +170,12 @@ object Dialect {
 }
 
 object SchemaNode {
+  /** Reserved dynamic-anchor name that `$recursiveAnchor: true` (2019-09)
+    * maps onto — resolution then rides the `$dynamicRef` scope-chain
+    * machinery (the two coincide for resource-root anchors).
+    */
+  val RecursiveAnchorName = "__graft_recursive__"
+
   val jsonTypes: Set[String] =
     Set("null", "boolean", "integer", "number", "string", "array", "object")
 
@@ -195,6 +204,12 @@ object SchemaNode {
     // document by Spec.collectAnchorsDoc (/root/reference/root.go:78-135);
     // $dynamicAnchor additionally participates in dynamic-scope resolution
     "$anchor", "$dynamicAnchor", "$dynamicRef",
+    // 2019-09 recursive-ref family, normalized onto the dynamic machinery:
+    // `$recursiveAnchor: true` at a DOCUMENT ROOT indexes as the reserved
+    // dynamic anchor name below; `$recursiveRef: "#"` parses as a
+    // $dynamicRef to it (resolution semantics coincide for root anchors:
+    // outermost declaring resource on the scope chain wins)
+    "$recursiveAnchor", "$recursiveRef",
     // $schema: dialect annotation, honored at DOCUMENT roots (Dialect.ofDocument)
     // and otherwise ignored; $id stays rejected (documents are addressed by
     // their loader URL, not self-declared identifiers)
@@ -229,6 +244,14 @@ object SchemaNode {
     }
     Option(n.get("$dynamicAnchor")).foreach { a =>
       if (!a.isTextual) throw SpecError(s"$at/$$dynamicAnchor", s"expected string, got $a")
+    }
+    Option(n.get("$recursiveAnchor")).foreach { a =>
+      if (!a.isBoolean) throw SpecError(s"$at/$$recursiveAnchor", s"expected boolean, got $a")
+    }
+    Option(n.get("$recursiveRef")).foreach { r =>
+      if (!r.isTextual || r.asText() != "#")
+        throw SpecError(s"$at/$$recursiveRef",
+          s"only '#' is supported (2019-09 resource-root recursion), got $r")
     }
     // annotation shape checks, ALIGNED with the meta-spec gate so the two
     // layers agree on what is a valid spec (a spec must not load with
@@ -436,7 +459,9 @@ object SchemaNode {
       enumVals = enumVals,
       format = optStr("format"),
       ref = optStr("$ref"),
-      dynRef = optStr("$dynamicRef"),
+      dynRef = optStr("$dynamicRef").orElse(
+        // $recursiveRef: "#" == $dynamicRef to the reserved root anchor
+        opt("$recursiveRef").map(_ => "#" + RecursiveAnchorName)),
       minimum = if (minConsumed) None else minBase,
       maximum = if (maxConsumed) None else maxBase,
       exclusiveMinimum = exclMin,

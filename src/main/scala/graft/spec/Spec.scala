@@ -528,16 +528,26 @@ object Spec {
     val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
     val dyn = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
     walkDoc(root) { (n, path) =>
-      if (n.isObject) Seq("$anchor", "$dynamicAnchor").foreach { kw =>
-        Option(n.get(kw)).foreach { a =>
-          val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
-          if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
-            throw SpecError(s"$at/$kw", s"invalid anchor name $a")
-          val name = a.asText()
-          if (out.contains(name))
-            throw SpecError(s"$at/$kw", s"duplicate anchor '$name'")
-          out(name) = (n, path)
-          if (kw == "$dynamicAnchor") dyn(name) = (n, path)
+      if (n.isObject) {
+        Seq("$anchor", "$dynamicAnchor").foreach { kw =>
+          Option(n.get(kw)).foreach { a =>
+            val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
+            if (!a.isTextual || anchorName.findFirstIn(a.asText()).isEmpty)
+              throw SpecError(s"$at/$kw", s"invalid anchor name $a")
+            val name = a.asText()
+            if (out.contains(name))
+              throw SpecError(s"$at/$kw", s"duplicate anchor '$name'")
+            out(name) = (n, path)
+            if (kw == "$dynamicAnchor") dyn(name) = (n, path)
+          }
+        }
+        // 2019-09 `$recursiveAnchor: true` at the DOCUMENT ROOT indexes as
+        // the reserved dynamic anchor (resource-root recursion); elsewhere
+        // it is an accepted no-op (resolution only considers resource roots)
+        if (path.isEmpty &&
+            Option(n.get("$recursiveAnchor")).exists(a => a.isBoolean && a.asBoolean())) {
+          out(SchemaNode.RecursiveAnchorName) = (n, path)
+          dyn(SchemaNode.RecursiveAnchorName) = (n, path)
         }
       }
     }

@@ -112,4 +112,46 @@ class FuzzSpec extends SparkTestBase {
       }
     }
   }
+  test("no 'Max iterations' optimizer warnings on the formerly-worst workloads") {
+    // round-3 verdict: 176 such WARN lines per sbt run, clustered around
+    // FuzzSpec/meta validation — fixed by layered binding Projects. Guard it
+    // with a live log capture around the heaviest plans.
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.LogEvent
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+        "graft-maxiter-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("Max iterations")) captured.add(m)
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // meta validation (the worst offender pre-fix) + a deep dynamic spec
+      MetaSpec.violations(spark, MetaSpec.document)
+      val deep = Spec.fromJson(
+        """{"columns":{"j":{"json":{"type":"object","properties":{
+             "a":{"type":"object","properties":{"b":{"type":"object",
+               "properties":{"c":{"type":"array","items":{"type":"object",
+                 "properties":{"d":{"enum":[1,2,3]},"e":{"pattern":"x"}}}}}}}}}}}}}""")
+      import spark.implicits._
+      val df = Seq("""{"a":{"b":{"c":[{"d":1,"e":"xx"}]}}}""").toDF("j")
+      graft.exec.Validator.violations(df,
+        SuiteCompiler.compile(deep, df.schema), Seq("j")).count()
+    } finally {
+      rootCfg.removeAppender("graft-maxiter-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    assert(captured.isEmpty,
+      s"optimizer hit its iteration cap: ${captured.size} warnings, first: ${captured.peek()}")
+  }
 }
