@@ -68,6 +68,42 @@ object Queries2 {
        FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
        ORDER BY a, b"""
 
+  // ---- LSH-candidate + exact-verify Jaccard (the SCALE path: candidate
+  // generation bounded by band buckets instead of quadratic shingle
+  // co-occurrence; every emitted score is the exact n-gram Jaccard) ----
+  def qDedupJaccardLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsLsh(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numBands = 8)
+      .orderBy("a", "b")
+
+  val sqlDedupJaccardLsh: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       shs AS (SELECT doc_id,
+                CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END AS s
+              FROM toks),
+       bands AS (SELECT doc_id, r.band,
+                  list_min(list_transform(s, x -> md5(CAST(r.band AS VARCHAR) || ':' || x))) AS h
+                 FROM shs CROSS JOIN range(0, 8) r(band)),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       sh AS (SELECT doc_id, unnest(s) AS s FROM shs),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.a, c.b, count(*) AS i
+                 FROM cand c
+                 JOIN sh x ON x.doc_id = c.a
+                 JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+                 GROUP BY c.a, c.b),
+       verified AS (SELECT a, b,
+                      round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+                    FROM inter JOIN sizes sa ON a = sa.doc_id
+                               JOIN sizes sb ON b = sb.doc_id)
+       SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+       ORDER BY a, b"""
+
   // ---- SimHash fingerprints ----
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(t(spark, dir, "documents"), "doc_id", "text")
@@ -122,28 +158,40 @@ object Queries2 {
   // ---- dedup clusters: connected components over near-dup pairs ----
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupGroups(
-        Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.5).select("a", "b"))
+        Dedup.jaccardPairsLsh(t(spark, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5, numBands = 8).select("a", "b"))
       .orderBy("canonical")
 
-  // oracle: transitive closure via recursive CTE over the same jaccard
-  // pairs; component id = min reachable id (matches the min-label engine)
+  // oracle: transitive closure via recursive CTE over the same
+  // LSH-candidate + exact-verify jaccard pairs (the scale path feeds the
+  // clustering end-to-end); component id = min reachable id
   val sqlDedupGroups: String =
     """WITH RECURSIVE
        toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-       sh AS (SELECT doc_id, unnest(
+       shs AS (SELECT doc_id,
                 CASE WHEN len(tk) >= 3
                   THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
                        i -> array_to_string(tk[i:i+2], ' ')))
-                  ELSE [array_to_string(tk, ' ')] END) AS s
+                  ELSE [array_to_string(tk, ' ')] END AS s
               FROM toks),
+       bands AS (SELECT doc_id, r.band,
+                  list_min(list_transform(s, x -> md5(CAST(r.band AS VARCHAR) || ':' || x))) AS h
+                 FROM shs CROSS JOIN range(0, 8) r(band)),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       sh AS (SELECT doc_id, unnest(s) AS s FROM shs),
        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-                 GROUP BY 1, 2),
-       prs AS (SELECT a, b
-               FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-               WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+       inter AS (SELECT c.a, c.b, count(*) AS i
+                 FROM cand c
+                 JOIN sh x ON x.doc_id = c.a
+                 JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+                 GROUP BY c.a, c.b),
+       verified AS (SELECT a, b,
+                      round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+                    FROM inter JOIN sizes sa ON a = sa.doc_id
+                               JOIN sizes sb ON b = sb.doc_id),
+       prs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
        und AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
        reach(u, v) AS (
          SELECT u, v FROM und
@@ -311,6 +359,7 @@ object Queries2 {
     "q_sample_stratified" -> ((qSampleStratified _, sqlSampleStratified)),
     "q_contamination" -> ((qContamination _, sqlContamination)),
     "q_dedup_minhash" -> ((qDedupMinhash _, sqlDedupMinhash)),
+    "q_dedup_jaccard_lsh" -> ((qDedupJaccardLsh _, sqlDedupJaccardLsh)),
     "q_dedup_simhash" -> ((qDedupSimhash _, sqlDedupSimhash)),
     "q_dedup_simhash64" -> ((qDedupSimhash64 _, sqlDedupSimhash64)),
     "q_embed_neardup_lsh" -> ((qEmbedNearDupLsh _, sqlEmbedNearDupLsh)),

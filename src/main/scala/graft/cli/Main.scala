@@ -104,6 +104,15 @@ object Main {
           }
           val n = persisted.count()
           val limit = opt("limit").map(_.toInt).getOrElse(20)
+          // --locale: render the CONSTRAINT message from the typed kind in
+          // the requested catalog (reference LocalizedString analogue);
+          // default keeps the engine detail with runtime values
+          val localeIdx = opt("locale")
+            .map(l => graft.output.Messages.forSuite(suite, l))
+          def units(df: org.apache.spark.sql.DataFrame) = {
+            val us = graft.output.Output.collect(df, limit)
+            localeIdx.map(graft.output.Output.localize(us, _)).getOrElse(us)
+          }
           mode match {
             case "basic" =>
               persisted.orderBy("keyword", "instance_path").limit(limit)
@@ -111,14 +120,11 @@ object Main {
                 .foreach(r => println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
               println(s"""{"valid":${n == 0},"violations":$n}""")
             case "detailed" =>
-              println(graft.output.Output.detailedJson(
-                graft.output.Output.collect(persisted, limit)))
+              println(graft.output.Output.detailedJson(units(persisted)))
             case "simple" =>
-              print(graft.output.Output.simpleText(
-                graft.output.Output.collect(persisted, limit), n))
+              print(graft.output.Output.simpleText(units(persisted), n))
             case "alt" =>
-              print(graft.output.Output.altText(
-                graft.output.Output.collect(persisted, limit), n))
+              print(graft.output.Output.altText(units(persisted), n))
             case _ =>
               println(s"""{"valid":${n == 0},"violations":$n}""")
           }

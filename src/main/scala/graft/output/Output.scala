@@ -30,6 +30,13 @@ object Output {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
+  /** Translate units' error text via a (keyword path → message) index —
+    * built by [[Messages.forSuite]]; keyword paths not in the index keep
+    * their engine-rendered detail (runtime values included).
+    */
+  def localize(units: Seq[Unit], index: Map[String, String]): Seq[Unit] =
+    units.map(u => index.get(u.keyword).map(m => u.copy(detail = m)).getOrElse(u))
+
   def flagJson(valid: Boolean): String = s"""{"valid":$valid}"""
 
   /** Flat unit list (BasicOutput shape). */

@@ -178,6 +178,42 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard VERIFICATION over MinHash-LSH candidate pairs —
+    * the SCALE path for near-dup-heavy corpora. [[jaccardPairs]]'s
+    * shingle-co-occurrence candidate generation is quadratic in the size of
+    * each near-dup cluster (a 10-way duplicated page contributes ~45
+    * candidate pairs per shared shingle — measured 1.2 s → >560 s going
+    * sf0.1 → 10×-replicated sf1); banded LSH bounds candidates to
+    * same-bucket pairs (maxBucket valve, non-silent via
+    * [[minhashMegaBuckets]]), and each candidate's EXACT Jaccard is then
+    * computed from the per-doc shingle sets. Pairs missed by every band are
+    * the LSH recall tradeoff (recall rises with numBands); every emitted
+    * score is exact.
+    */
+  def jaccardPairsLsh(df: DataFrame, keyCol: String, textCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.5,
+                      numBands: Int = 8, maxBucket: Long = 1000L,
+                      hashEngine: String = "md5",
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val cand = minhashCandidates(df, keyCol, textCol, numBands, shingleN,
+      maxBucket, hashEngine, storage)
+    val sh = maybePersist(df.select(col(keyCol).as("k"),
+      explode(shingles(col(textCol), shingleN)).as("s")), storage)
+    val sizes = sh.groupBy("k").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("a") === col("x.k"))
+      .join(sh.as("y"), col("b") === col("y.k") && col("x.s") === col("y.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Companion to [[jaccardPairs]]'s skew valve: the stop-shingles it drops
     * — (shingle, df) rows with df > maxDf. Count/inspect these to quantify
     * what the valve excluded; empty means the valve changed nothing.

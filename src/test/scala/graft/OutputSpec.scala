@@ -122,4 +122,46 @@ class OutputSpec extends SparkTestBase {
     val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     assert(tree.get("errors").get(0).get("keywordLocation").asText() == "/a\"b\\c")
   }
+  test("Messages: locale catalogs render typed kinds; partial catalogs fall back per kind") {
+    import graft.output.{Messages, Output}
+    import graft.compile.ErrorKind
+    assert(Messages.render(ErrorKind.Minimum(5)) == "value must be >= 5")
+    // partial German catalog: untranslated kinds fall back to English
+    Messages.register("de", {
+      case ErrorKind.Minimum(b)   => s"Wert muss >= $b sein"
+      case ErrorKind.RequiredK(p) => s"Eigenschaft '$p' ist erforderlich"
+    })
+    assert(Messages.render(ErrorKind.Minimum(5), "de") == "Wert muss >= 5 sein")
+    assert(Messages.render(ErrorKind.MaxLength(3), "de") == "length must be <= 3 characters")
+    assert(Messages.render(ErrorKind.Minimum(5), "xx") == "value must be >= 5")
+    // suite-level index + unit localization
+    import spark.implicits._
+    val df = Seq((1, 4000)).toDF("id", "sr_hz")
+    val suite = graft.compile.SuiteCompiler.compile(
+      graft.spec.Spec.fromJson("""{"columns":{"sr_hz":{"minimum":8000}}}"""),
+      df.schema)
+    val idx2 = Messages.forSuite(suite, "de")
+    assert(idx2("columns/sr_hz/minimum") == "Wert muss >= 8000 sein")
+    val us = Output.collect(
+      graft.exec.Validator.violations(df, suite, Seq("id")))
+    val localized = Output.localize(us, idx2)
+    assert(localized.head.detail == "Wert muss >= 8000 sein")
+    // every ErrorKind case renders something better than the bare keyword
+    val kinds: Seq[ErrorKind] = Seq(ErrorKind.FalseSchema, ErrorKind.NotK,
+      ErrorKind.AnyOfK, ErrorKind.OneOfK(2), ErrorKind.TypeMismatch(Set("string")),
+      ErrorKind.EnumK(Seq("a")), ErrorKind.ConstK("1"), ErrorKind.FormatK("uuid"),
+      ErrorKind.Minimum(1), ErrorKind.Maximum(1), ErrorKind.ExclusiveMinimum(1),
+      ErrorKind.ExclusiveMaximum(1), ErrorKind.MultipleOf(2), ErrorKind.MinLength(1),
+      ErrorKind.MaxLength(1), ErrorKind.PatternK("x"), ErrorKind.ContentEncodingK("base64"),
+      ErrorKind.ContentMediaTypeK("application/json"), ErrorKind.ParseError,
+      ErrorKind.MinItems(1), ErrorKind.MaxItems(1), ErrorKind.UniqueItemsK,
+      ErrorKind.ItemsK, ErrorKind.PrefixItemsK(0), ErrorKind.ContainsK(1, None),
+      ErrorKind.UnevaluatedItemsK, ErrorKind.MinProperties(1), ErrorKind.MaxProperties(1),
+      ErrorKind.RequiredK("p"), ErrorKind.DependentRequiredK("a", Seq("b")),
+      ErrorKind.AdditionalPropertiesK, ErrorKind.PropertyNamesK("p"),
+      ErrorKind.PatternPropertiesK("x"), ErrorKind.PropertiesK("k"),
+      ErrorKind.UnevaluatedPropertiesK, ErrorKind.DepthExceeded(4),
+      ErrorKind.TableConstraintK("unique"), ErrorKind.CustomK("zz"))
+    kinds.foreach(k => assert(Messages.render(k) != k.keyword, k.toString))
+  }
 }

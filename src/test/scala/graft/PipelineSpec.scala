@@ -309,4 +309,18 @@ class PipelineSpec extends SparkTestBase {
       .toSeq.sorted
     assert(valved.toSeq == expected, s"valved=${valved.toSeq} expected=$expected")
   }
+  test("jaccardPairsLsh: subset of the exact arm with identical scores (verification is exact)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.pipeline.Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = graft.pipeline.Dedup
+      .jaccardPairsLsh(docs, "doc_id", "text", 3, 0.5, numBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, score) =>
+      assert(exact.get(pair).contains(score),
+        s"pair $pair: lsh=$score exact=${exact.get(pair)}")
+    }
+  }
 }

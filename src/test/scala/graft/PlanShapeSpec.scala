@@ -131,4 +131,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(flat < 40, s"static lowering regressed to $flat expression nodes")
     assert(runtime > flat, s"runtime arm ($runtime) should exceed static ($flat)")
   }
+  test("crossdoc + recursive validation queries prune to the checked columns") {
+    // CacheManager substitutes any cached full-schema documents relation
+    // into logically-matching subplans, defeating the pruning assertion
+    spark.catalog.clearCache()
+    val rs1 = readSchemas(Queries4.qValidateCrossdoc(spark, dir))
+    assert(rs1.nonEmpty)
+    rs1.foreach { r =>
+      assert(!r.contains("n_chars") && !r.contains("source"), s"unpruned: $r")
+      assert(r.contains("text") && r.contains("lang"), r)
+    }
+    val rs2 = readSchemas(Queries4.qValidateRecursive(spark, dir))
+    assert(rs2.nonEmpty)
+    rs2.foreach { r =>
+      // only doc_id feeds the derived JSON chain — text must not be read
+      assert(!r.contains("text") && !r.contains("lang"), s"unpruned: $r")
+    }
+  }
 }
