@@ -95,6 +95,16 @@ object Bench {
     // --- operator battery timings at the driver-provided parallelism ---
     var spark = session(cpus)
     val corpus = clipCorpus(spark, nClips)
+
+    // headline-only mode: the big-corpus scale-up arm (shallow suite;
+    // deep's cached bytes would not fit memory at 10M+ clips on this box)
+    if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) {
+      val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+      val t = fullSuiteTimed(spark, corpus, deep = false, reps = reps)
+      println(f"""{"n_clips":$nClips,"suite_sec":$t%.3f,"clips_per_sec":${nClips / t}%.1f}""")
+      spark.stop()
+      return
+    }
     // JIT/codegen warmup: without it the alphabetically-first battery query
     // absorbs ~5s of one-time JVM cost that is not the operator's
     locally {

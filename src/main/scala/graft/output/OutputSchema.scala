@@ -66,31 +66,53 @@ object OutputSchema {
     node(depth)
   }
 
-  private def specFor(format: String): Spec = {
-    val schema = format match {
-      case "flag"     => flagSchema
-      case "basic"    => basicSchema
-      case "detailed" => detailedSchema(12)
-      case other => throw graft.spec.SpecError("output",
-        s"no output schema for format '$other' (flag|basic|detailed)")
-    }
-    Spec.fromJson(s"""{"columns":{"out":{"json":$schema}}}""")
+  private def specJsonFor(format: String, depth: Int): String = format match {
+    case "flag"     => flagSchema
+    case "basic"    => basicSchema
+    case "detailed" => detailedSchema(depth)
+    case other => throw graft.spec.SpecError("output",
+      s"no output schema for format '$other' (flag|basic|detailed)")
   }
+
+  private def specFor(format: String, depth: Int = 1): Spec =
+    Spec.fromJson(s"""{"columns":{"out":{"json":${specJsonFor(format, depth)}}}}""")
 
   private val inputSchema =
     StructType(Seq(StructField("out", StringType, nullable = true)))
 
-  // compiled once per format per classloader — the specs are constants
-  private lazy val suites = Map(
+  // flat formats compile once per classloader; the detailed suite compiles
+  // PER OBSERVED NESTING DEPTH (memoized) — the unroll is sized to the
+  // document being validated instead of a fixed magic depth, so shallow
+  // outputs (the common case) get a tiny expression tree and deep ones get
+  // exactly enough levels (no optimizer-straining depth-12 constant)
+  private lazy val flatSuites = Map(
     "flag" -> SuiteCompiler.compile(specFor("flag"), inputSchema),
-    "basic" -> SuiteCompiler.compile(specFor("basic"), inputSchema),
-    "detailed" -> SuiteCompiler.compile(specFor("detailed"), inputSchema))
+    "basic" -> SuiteCompiler.compile(specFor("basic"), inputSchema))
+
+  private val detailedSuites =
+    scala.collection.concurrent.TrieMap.empty[Int, graft.compile.CompiledSuite]
+
+  /** Nesting depth of a detailed-output document's `details` tree. */
+  private def detailsDepth(n: com.fasterxml.jackson.databind.JsonNode): Int =
+    if (n == null || !n.isObject) 0
+    else 1 + Option(n.get("details")).filter(_.isArray)
+      .map(_.elements().asScala.map(detailsDepth).maxOption.getOrElse(0))
+      .getOrElse(0)
 
   /** Engine-validate a rendered output document. Empty = conformant. */
   def violations(spark: SparkSession, outputJson: String, format: String)
       : Vector[(String, String, String)] = {
-    val suite = suites.getOrElse(format,
-      throw graft.spec.SpecError("output", s"no output schema for format '$format'"))
+    val suite = format match {
+      case "detailed" =>
+        val depth = try {
+          math.max(1, detailsDepth(
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(outputJson)))
+        } catch { case scala.util.control.NonFatal(_) => 1 }
+        detailedSuites.getOrElseUpdate(depth,
+          SuiteCompiler.compile(specFor("detailed", depth), inputSchema))
+      case other => flatSuites.getOrElse(other,
+        throw graft.spec.SpecError("output", s"no output schema for format '$format'"))
+    }
     val df = spark.createDataFrame(Seq(Row(outputJson)).asJava, inputSchema)
     Validator.violations(df, suite, Seq.empty)
       .collect()
