@@ -435,30 +435,33 @@ object RowCompiler {
     * (max prefixItems length, allEvaluated). `contains` marks matched items
     * evaluated at runtime → rejected, like runtime-dependent applicators.
     */
+  private def evaluatesItems(spec: Spec, n: SchemaNode, st: List[String]): Boolean =
+    n.items.nonEmpty || n.prefixItems.nonEmpty || n.contains.nonEmpty ||
+      n.unevaluatedItems.nonEmpty ||
+      (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
+        n.dependentSchemas.map(_._2)).exists(evaluatesItems(spec, _, st)) ||
+      n.ref.exists(r => evaluatesItems(spec, spec.resolve(r, st), r :: st))
+
+  private def rejectContainsUnderUneval(n: SchemaNode, at: String): Unit =
+    if (n.contains.nonEmpty)
+      throw SpecError(at,
+        "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
+          "count as evaluated) — out of the static-lowering scope")
+
   private def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String,
       stack: List[String]): (Int, Boolean) = {
-    def evaluatesItems(n: SchemaNode, st: List[String]): Boolean =
-      n.items.nonEmpty || n.prefixItems.nonEmpty || n.contains.nonEmpty ||
-        n.unevaluatedItems.nonEmpty ||
-        (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
-          n.dependentSchemas.map(_._2)).exists(evaluatesItems(_, st)) ||
-        n.ref.exists(r => evaluatesItems(spec.resolve(r, st),
-          r :: st))
     def walk(n: SchemaNode, st: List[String], isRoot: Boolean): (Int, Boolean) = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
           "unevaluatedItems with $dynamicRef in its closure is " +
             "runtime-scope-dependent — out of the static-lowering scope")
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
-        n.dependentSchemas.map(_._2)).find(evaluatesItems(_, st)).foreach { d =>
-        throw SpecError(at,
-          "unevaluatedItems needs a statically-known evaluated set, but " +
-            s"the runtime-dependent applicator at '${d.path.mkString("/")}' evaluates items")
+        n.dependentSchemas.map(_._2)).find(evaluatesItems(spec, _, st)).foreach { d =>
+        throw RuntimeEvalSet(
+          "evaluated item set depends on the runtime applicator at " +
+            s"'${d.path.mkString("/")}'")
       }
-      if (n.contains.nonEmpty)
-        throw SpecError(at,
-          "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
-            "count as evaluated) — out of the static-lowering scope")
+      rejectContainsUnderUneval(n, at)
       val parts = n.ref.map(r => walk(spec.resolve(r, st),
         r :: st, isRoot = false)).toVector ++
         n.allOf.map(walk(_, st, isRoot = false))
@@ -468,6 +471,59 @@ object RowCompiler {
           parts.exists(_._2))
     }
     walk(node, stack, isRoot = true)
+  }
+
+  /** RUNTIME evaluated-item prefix for `unevaluatedItems` under
+    * branch-dependent applicators: each branch contributes its evaluated
+    * prefix length (or all-evaluated) under the condition that it applies
+    * AND validates — the items analogue of [[evaluatedPropsContributions]].
+    * `contains` anywhere in the closure stays a typed rejection (per-element
+    * evaluated flags are genuinely runtime-recursive).
+    */
+  private def evaluatedItemsContributions(spec: Spec, node: SchemaNode,
+      at: String, v: Column, dt: DataType, keyPresent: String => Column,
+      stack: List[(String, Int)], depth: Int)
+      : Vector[(Column, Boolean, Int, Boolean)] = {
+    // (cond, unconditional, prefixLen, allEval)
+    def walk(n: SchemaNode, st: List[(String, Int)], cond: Column,
+             uncond: Boolean, isRoot: Boolean): Vector[(Column, Boolean, Int, Boolean)] = {
+      if (n.dynRef.nonEmpty)
+        throw SpecError(at,
+          "unevaluatedItems with $dynamicRef in its closure is " +
+            "runtime-scope-dependent — out of the static-lowering scope")
+      rejectContainsUnderUneval(n, at)
+      def p(ch: SchemaNode): Column =
+        coalesce(predicate(spec, ch, v, dt, st, depth), lit(false))
+      def itEval(ch: SchemaNode): Boolean = evaluatesItems(spec, ch, st.map(_._1))
+      val own = (cond, uncond, n.prefixItems.size,
+        n.items.nonEmpty || (!isRoot && n.unevaluatedItems.nonEmpty))
+      val fromRef = n.ref.toVector.flatMap { r =>
+        if (st.contains((r, depth)))
+          throw SpecError(at, s"cyclic $$ref chain under unevaluatedItems: $r")
+        walk(spec.resolve(r, Nil), (r, depth) :: st, cond, uncond, isRoot = false)
+      }
+      val fromIf = n.ifS.toVector.flatMap { ifn =>
+        val needed = itEval(ifn) || n.thenS.exists(itEval) || n.elseS.exists(itEval)
+        if (!needed) Vector.empty else {
+          val ifPred = p(ifn)
+          (if (itEval(ifn)) walk(ifn, st, cond && ifPred, uncond = false, isRoot = false)
+           else Vector.empty) ++
+            n.thenS.toVector.filter(itEval).flatMap(t =>
+              walk(t, st, cond && ifPred && p(t), uncond = false, isRoot = false)) ++
+            n.elseS.toVector.filter(itEval).flatMap(e =>
+              walk(e, st, cond && !ifPred && p(e), uncond = false, isRoot = false))
+        }
+      }
+      own +: (fromRef ++
+        n.allOf.flatMap(walk(_, st, cond, uncond, isRoot = false)) ++
+        (n.anyOf ++ n.oneOf).filter(itEval).flatMap(ch =>
+          walk(ch, st, cond && p(ch), uncond = false, isRoot = false)) ++
+        fromIf ++
+        n.dependentSchemas.filter(kv => itEval(kv._2)).flatMap { case (k, ds) =>
+          walk(ds, st, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
+        })
+    }
+    walk(node, stack, lit(true), uncond = true, isRoot = true)
   }
 
   /** boolResult mode (/root/reference/validator.go:66): the conjunction of a
@@ -789,9 +845,7 @@ object RowCompiler {
         // applicators (a no-op keyword must not make a valid spec
         // uncompilable)
         node.unevaluatedItems.filter(_ != Left(true)).foreach { ui =>
-          val (maxPrefix, allEval) =
-            staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack.map(_._1))
-          if (!allEval) ui match {
+          def lowerStatic(maxPrefix: Int): Unit = ui match {
             case Left(true) =>
             case Left(false) =>
               add(kw("unevaluatedItems"), vac(v, size(v) <= maxPrefix),
@@ -805,6 +859,43 @@ object RowCompiler {
               add(kw("unevaluatedItems"), vac(v, p),
                 lstr("unevaluatedItems: element(s) do not match"),
                 ErrorKind.UnevaluatedItemsK)
+          }
+          try {
+            val (maxPrefix, allEval) =
+              staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack.map(_._1))
+            if (!allEval) lowerStatic(maxPrefix)
+          } catch { case _: RuntimeEvalSet =>
+            // RUNTIME arm: branch-dependent evaluated prefix — per-row
+            // greatest of the validating branches' prefix lengths
+            val contribs = evaluatedItemsContributions(spec, node,
+              kw("unevaluatedItems"), v, dt, _ => lit(false), stack, depth)
+            if (!contribs.exists(c => c._2 && c._4)) {
+              val allEvalCond = contribs.filter(_._4).map(_._1)
+                .reduceOption(_ || _).getOrElse(lit(false))
+              val prefixCol = greatest(
+                (lit(0) +: contribs.filter(_._3 > 0).map { c =>
+                  if (c._2) lit(c._3)
+                  else when(c._1, lit(c._3)).otherwise(lit(0))
+                }): _*)
+              ui match {
+                case Left(true) =>
+                case Left(false) =>
+                  add(kw("unevaluatedItems"),
+                    vac(v, coalesce(allEvalCond, lit(false)) || size(v) <= prefixCol),
+                    concat(lstr("unevaluatedItems: got "), size(v).cast(StringType),
+                      lstr(" item(s), more than the evaluated prefix")),
+                    ErrorKind.UnevaluatedItemsK)
+                case Right(us) =>
+                  val rest = slice(v, prefixCol + 1,
+                    greatest(size(v) - prefixCol, lit(0)))
+                  val p = forall(rest,
+                    x => coalesce(predicate(spec, us, x, et, stack, depth + 1), lit(false)))
+                  add(kw("unevaluatedItems"),
+                    vac(v, coalesce(allEvalCond, lit(false)) || coalesce(p, lit(false))),
+                    lstr("unevaluatedItems: element(s) do not match"),
+                    ErrorKind.UnevaluatedItemsK)
+              }
+            }
           }
         }
       case _ =>
