@@ -115,9 +115,15 @@ object Main {
           }
           mode match {
             case "basic" =>
+              // --locale applies here too: swap the engine detail for the
+              // localized constraint message by keyword path
               persisted.orderBy("keyword", "instance_path").limit(limit)
                 .collect()
-                .foreach(r => println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
+                .foreach { r =>
+                  val msg = localeIdx.flatMap(_.get(r.getString(0)))
+                    .getOrElse(r.getString(2))
+                  println(s"""${r.getString(0)}  ${r.getString(1)}  $msg""")
+                }
               println(s"""{"valid":${n == 0},"violations":$n}""")
             case "detailed" =>
               println(graft.output.Output.detailedJson(units(persisted)))

@@ -113,13 +113,23 @@ private[compile] object Refs {
       throw SpecError(at, s"$$dynamicRef must carry a '#name' fragment, got '$r'")
     val home = r.substring(0, h)
     val name = r.substring(h + 1)
-    if (name.isEmpty || name.startsWith("/"))
-      throw SpecError(at, s"$$dynamicRef supports plain-name fragments only, got '$r'")
+    if (name.isEmpty || name.startsWith("/")) {
+      // a JSON-pointer (or empty) fragment can never match a $dynamicAnchor,
+      // so the $dynamicRef behaves exactly like $ref (2020-12 §8.2.3.2)
+      val staticRef =
+        if (home.isEmpty) { if (name.isEmpty) "#" else "#" + name } else r
+      return (spec.resolve(staticRef, Nil), staticRef)
+    }
     if (spec.dynAnchorsOf(home).contains(name)) {
       val docs = stack.reverse.iterator.map(_._1).flatMap(docOf).toList
       val chain = ("" :: docs) :+ home
       val chosen = chain.find(d => spec.dynAnchorsOf(d).contains(name)).get
       (spec.dynAnchorTarget(chosen, name), s"$$dynamic:$chosen#$name")
+    } else if (name == graft.spec.SchemaNode.RecursiveAnchorName) {
+      // $recursiveRef: "#" with NO $recursiveAnchor declared in its resource:
+      // 2019-09 §8.2.4.2 degrades it to a plain $ref to the resource root
+      val staticRef = if (home.isEmpty) "#" else home
+      (spec.resolve(staticRef, Nil), staticRef)
     } else {
       // initially-resolved target is a plain $anchor (or absent): $dynamicRef
       // behaves exactly like $ref (2020-12 §8.2.3.2)
@@ -321,9 +331,16 @@ object RowCompiler {
   private def evaluatesProps(spec: Spec, n: SchemaNode, st: List[String]): Boolean =
     n.properties.nonEmpty || n.patternProperties.nonEmpty ||
       n.additionalProperties.nonEmpty || n.unevaluatedProperties.nonEmpty ||
+      // conservative: a $dynamicRef target MAY evaluate properties, and the
+      // walkers must SEE such a branch so they can issue the typed
+      // dynamic-scope rejection instead of silently dropping its keys
+      n.dynRef.nonEmpty ||
       (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).exists(evaluatesProps(spec, _, st)) ||
-      n.ref.exists(r => evaluatesProps(spec, spec.resolve(r, st), r :: st))
+      // repeated ref on this walk path = fixpoint (its contribution was
+      // already accounted at first visit); cycles are NOT an error here
+      n.ref.exists(r => !st.contains(r) &&
+        evaluatesProps(spec, spec.resolve(r, Nil), r :: st))
 
   /** Internal signal: the evaluated set depends on runtime branches — the
     * caller falls back to the per-row column-algebra lowering
@@ -332,8 +349,13 @@ object RowCompiler {
   private final case class RuntimeEvalSet(detail: String)
       extends RuntimeException(detail)
 
-  private def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String,
-      stack: List[String]): (Set[String], Vector[String], Boolean) = {
+  private def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String)
+      : (Set[String], Vector[String], Boolean) = {
+    // `st` is THIS WALK's visited-ref path only — the compiler's unroll
+    // stack must NOT leak in: an ancestor unroll entry (taken at a
+    // shallower data position) is not a cycle of the evaluated-set walk,
+    // and a repeat on the walk path itself is a FIXPOINT (the ref's keys
+    // were merged at its first visit), not an error.
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Set[String], Vector[String], Boolean) = {
       if (n.dynRef.nonEmpty)
@@ -346,8 +368,8 @@ object RowCompiler {
           "evaluated set depends on the runtime applicator at " +
             s"'${d.path.mkString("/")}'")
       }
-      val parts = n.ref.map(r => walk(spec.resolve(r, st),
-        r :: st, isRoot = false)).toVector ++
+      val parts = n.ref.filterNot(st.contains).map(r =>
+        walk(spec.resolve(r, Nil), r :: st, isRoot = false)).toVector ++
         n.allOf.map(walk(_, st, isRoot = false))
       // a NESTED unevaluatedProperties (in allOf/$ref children) annotates
       // every property the closure leaves unevaluated, so the root's own
@@ -359,7 +381,7 @@ object RowCompiler {
           (!isRoot && n.unevaluatedProperties.nonEmpty) ||
           parts.exists(_._3))
     }
-    walk(node, stack, isRoot = true)
+    walk(node, Nil, isRoot = true)
   }
 
   /** One per-row contribution to the evaluated-property set: the keys /
@@ -386,49 +408,50 @@ object RowCompiler {
   private def evaluatedPropsContributions(spec: Spec, node: SchemaNode,
       at: String, v: Column, dt: DataType, keyPresent: String => Column,
       stack: List[(String, Int)], depth: Int): Vector[EvalContribution] = {
-    def walk(n: SchemaNode, st: List[(String, Int)], cond: Column,
+    // `seen` is this walk's own visited-ref path (fixpoint-skip on repeat —
+    // a repeated ref's keys arrive under a strictly narrower condition, so
+    // the union is unchanged); branch predicates compile against the
+    // compiler's real `stack` so their own ref unrolling stays bounded.
+    def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[EvalContribution] = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
           "unevaluatedProperties with $dynamicRef in its closure is " +
             "runtime-scope-dependent — out of the static-lowering scope")
       def p(ch: SchemaNode): Column =
-        coalesce(predicate(spec, ch, v, dt, st, depth), lit(false))
+        coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false))
       // only branches that actually evaluate properties contribute — the
       // rest would add empty sets and waste predicate columns
-      def prEval(ch: SchemaNode): Boolean = evaluatesProps(spec, ch, st.map(_._1))
+      def prEval(ch: SchemaNode): Boolean = evaluatesProps(spec, ch, seen)
       val own = EvalContribution(cond, uncond, n.properties.map(_._1).toSet,
         n.patternProperties.map(_._1),
         n.additionalProperties.nonEmpty ||
           (!isRoot && n.unevaluatedProperties.nonEmpty))
-      val fromRef = n.ref.toVector.flatMap { r =>
-        if (st.contains((r, depth)))
-          throw SpecError(at,
-            s"cyclic $$ref chain under unevaluatedProperties: $r")
-        walk(spec.resolve(r, Nil), (r, depth) :: st, cond, uncond, isRoot = false)
+      val fromRef = n.ref.toVector.filterNot(seen.contains).flatMap { r =>
+        walk(spec.resolve(r, Nil), r :: seen, cond, uncond, isRoot = false)
       }
       val fromIf = n.ifS.toVector.flatMap { ifn =>
         val needed = prEval(ifn) || n.thenS.exists(prEval) || n.elseS.exists(prEval)
         if (!needed) Vector.empty else {
           val ifPred = p(ifn)
-          (if (prEval(ifn)) walk(ifn, st, cond && ifPred, uncond = false, isRoot = false)
+          (if (prEval(ifn)) walk(ifn, seen, cond && ifPred, uncond = false, isRoot = false)
            else Vector.empty) ++
             n.thenS.toVector.filter(prEval).flatMap(t =>
-              walk(t, st, cond && ifPred && p(t), uncond = false, isRoot = false)) ++
+              walk(t, seen, cond && ifPred && p(t), uncond = false, isRoot = false)) ++
             n.elseS.toVector.filter(prEval).flatMap(e =>
-              walk(e, st, cond && !ifPred && p(e), uncond = false, isRoot = false))
+              walk(e, seen, cond && !ifPred && p(e), uncond = false, isRoot = false))
         }
       }
       own +: (fromRef ++
-        n.allOf.flatMap(walk(_, st, cond, uncond, isRoot = false)) ++
+        n.allOf.flatMap(walk(_, seen, cond, uncond, isRoot = false)) ++
         (n.anyOf ++ n.oneOf).filter(prEval).flatMap(ch =>
-          walk(ch, st, cond && p(ch), uncond = false, isRoot = false)) ++
+          walk(ch, seen, cond && p(ch), uncond = false, isRoot = false)) ++
         fromIf ++
         n.dependentSchemas.filter(kv => prEval(kv._2)).flatMap { case (k, ds) =>
-          walk(ds, st, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
+          walk(ds, seen, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
         })
     }
-    walk(node, stack, lit(true), uncond = true, isRoot = true)
+    walk(node, Nil, lit(true), uncond = true, isRoot = true)
   }
 
   /** Statically-known evaluated item prefix for `unevaluatedItems`:
@@ -438,9 +461,12 @@ object RowCompiler {
   private def evaluatesItems(spec: Spec, n: SchemaNode, st: List[String]): Boolean =
     n.items.nonEmpty || n.prefixItems.nonEmpty || n.contains.nonEmpty ||
       n.unevaluatedItems.nonEmpty ||
+      // see evaluatesProps: dynRef branches must stay visible to the walkers
+      n.dynRef.nonEmpty ||
       (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).exists(evaluatesItems(spec, _, st)) ||
-      n.ref.exists(r => evaluatesItems(spec, spec.resolve(r, st), r :: st))
+      n.ref.exists(r => !st.contains(r) &&
+        evaluatesItems(spec, spec.resolve(r, Nil), r :: st))
 
   private def rejectContainsUnderUneval(n: SchemaNode, at: String): Unit =
     if (n.contains.nonEmpty)
@@ -448,8 +474,10 @@ object RowCompiler {
         "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
           "count as evaluated) — out of the static-lowering scope")
 
-  private def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String,
-      stack: List[String]): (Int, Boolean) = {
+  private def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String)
+      : (Int, Boolean) = {
+    // walk-local visited-ref path with fixpoint-skip on repeats — see
+    // staticEvaluatedProps for why the compiler's unroll stack stays out
     def walk(n: SchemaNode, st: List[String], isRoot: Boolean): (Int, Boolean) = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
@@ -462,15 +490,15 @@ object RowCompiler {
             s"'${d.path.mkString("/")}'")
       }
       rejectContainsUnderUneval(n, at)
-      val parts = n.ref.map(r => walk(spec.resolve(r, st),
-        r :: st, isRoot = false)).toVector ++
+      val parts = n.ref.filterNot(st.contains).map(r =>
+        walk(spec.resolve(r, Nil), r :: st, isRoot = false)).toVector ++
         n.allOf.map(walk(_, st, isRoot = false))
       ((n.prefixItems.size +: parts.map(_._1)).max,
         n.items.nonEmpty ||
           (!isRoot && n.unevaluatedItems.nonEmpty) || // nested = all evaluated
           parts.exists(_._2))
     }
-    walk(node, stack, isRoot = true)
+    walk(node, Nil, isRoot = true)
   }
 
   /** RUNTIME evaluated-item prefix for `unevaluatedItems` under
@@ -485,7 +513,9 @@ object RowCompiler {
       stack: List[(String, Int)], depth: Int)
       : Vector[(Column, Boolean, Int, Boolean)] = {
     // (cond, unconditional, prefixLen, allEval)
-    def walk(n: SchemaNode, st: List[(String, Int)], cond: Column,
+    // walk-local `seen` ref path with fixpoint-skip; predicates compile
+    // against the compiler's real `stack` — see evaluatedPropsContributions
+    def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[(Column, Boolean, Int, Boolean)] = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
@@ -493,37 +523,35 @@ object RowCompiler {
             "runtime-scope-dependent — out of the static-lowering scope")
       rejectContainsUnderUneval(n, at)
       def p(ch: SchemaNode): Column =
-        coalesce(predicate(spec, ch, v, dt, st, depth), lit(false))
-      def itEval(ch: SchemaNode): Boolean = evaluatesItems(spec, ch, st.map(_._1))
+        coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false))
+      def itEval(ch: SchemaNode): Boolean = evaluatesItems(spec, ch, seen)
       val own = (cond, uncond, n.prefixItems.size,
         n.items.nonEmpty || (!isRoot && n.unevaluatedItems.nonEmpty))
-      val fromRef = n.ref.toVector.flatMap { r =>
-        if (st.contains((r, depth)))
-          throw SpecError(at, s"cyclic $$ref chain under unevaluatedItems: $r")
-        walk(spec.resolve(r, Nil), (r, depth) :: st, cond, uncond, isRoot = false)
+      val fromRef = n.ref.toVector.filterNot(seen.contains).flatMap { r =>
+        walk(spec.resolve(r, Nil), r :: seen, cond, uncond, isRoot = false)
       }
       val fromIf = n.ifS.toVector.flatMap { ifn =>
         val needed = itEval(ifn) || n.thenS.exists(itEval) || n.elseS.exists(itEval)
         if (!needed) Vector.empty else {
           val ifPred = p(ifn)
-          (if (itEval(ifn)) walk(ifn, st, cond && ifPred, uncond = false, isRoot = false)
+          (if (itEval(ifn)) walk(ifn, seen, cond && ifPred, uncond = false, isRoot = false)
            else Vector.empty) ++
             n.thenS.toVector.filter(itEval).flatMap(t =>
-              walk(t, st, cond && ifPred && p(t), uncond = false, isRoot = false)) ++
+              walk(t, seen, cond && ifPred && p(t), uncond = false, isRoot = false)) ++
             n.elseS.toVector.filter(itEval).flatMap(e =>
-              walk(e, st, cond && !ifPred && p(e), uncond = false, isRoot = false))
+              walk(e, seen, cond && !ifPred && p(e), uncond = false, isRoot = false))
         }
       }
       own +: (fromRef ++
-        n.allOf.flatMap(walk(_, st, cond, uncond, isRoot = false)) ++
+        n.allOf.flatMap(walk(_, seen, cond, uncond, isRoot = false)) ++
         (n.anyOf ++ n.oneOf).filter(itEval).flatMap(ch =>
-          walk(ch, st, cond && p(ch), uncond = false, isRoot = false)) ++
+          walk(ch, seen, cond && p(ch), uncond = false, isRoot = false)) ++
         fromIf ++
         n.dependentSchemas.filter(kv => itEval(kv._2)).flatMap { case (k, ds) =>
-          walk(ds, st, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
+          walk(ds, seen, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
         })
     }
-    walk(node, stack, lit(true), uncond = true, isRoot = true)
+    walk(node, Nil, lit(true), uncond = true, isRoot = true)
   }
 
   /** boolResult mode (/root/reference/validator.go:66): the conjunction of a
@@ -862,13 +890,19 @@ object RowCompiler {
           }
           try {
             val (maxPrefix, allEval) =
-              staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack.map(_._1))
+              staticEvaluatedItems(spec, node, kw("unevaluatedItems"))
             if (!allEval) lowerStatic(maxPrefix)
           } catch { case _: RuntimeEvalSet =>
             // RUNTIME arm: branch-dependent evaluated prefix — per-row
             // greatest of the validating branches' prefix lengths
-            val contribs = evaluatedItemsContributions(spec, node,
+            val contribs0 = evaluatedItemsContributions(spec, node,
               kw("unevaluatedItems"), v, dt, _ => lit(false), stack, depth)
+            // bind each branch condition ONCE per row — the prefix/allEval
+            // folds below reference every cond, and without binding each
+            // reference re-embeds the branch's full predicate tree
+            val contribs = contribs0.map(c =>
+              if (c._2) c
+              else (binder.fold(c._1)(_.bind(c._1)), c._2, c._3, c._4))
             if (!contribs.exists(c => c._2 && c._4)) {
               val allEvalCond = contribs.filter(_._4).map(_._1)
                 .reduceOption(_ || _).getOrElse(lit(false))
@@ -985,7 +1019,7 @@ object RowCompiler {
         node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
           try {
             val (evalKeys, evalPats, allEval) =
-              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
+              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"))
             if (!allEval) {
               // static field-name test goes through the engine-paired hook
               // (Formats.staticPatternMatch), NOT raw java.util.regex — with a
@@ -1010,10 +1044,16 @@ object RowCompiler {
               }
             }
           } catch { case _: RuntimeEvalSet =>
-            val contribs = evaluatedPropsContributions(spec, node,
+            val contribs0 = evaluatedPropsContributions(spec, node,
               kw("unevaluatedProperties"), v, dt,
               k => if (fields.contains(k)) v.getField(k).isNotNull else lit(false),
               stack, depth)
+            // bind branch conditions once per row: the per-field OR-chains
+            // below would otherwise embed each branch predicate tree O(F)
+            // times (F fields x B branches plan growth)
+            val contribs = contribs0.map(c =>
+              if (c.unconditional) c
+              else c.copy(cond = binder.fold(c.cond)(_.bind(c.cond))))
             if (!contribs.exists(c => c.unconditional && c.allEval)) {
               st.fields.foreach { f =>
                 val covering = contribs.filter(c => c.allEval ||
@@ -1107,12 +1147,15 @@ object RowCompiler {
           }
           try {
             val (evalKeys, evalPats, allEval) =
-              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack.map(_._1))
+              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"))
             if (!allEval) lower(k => nameCovered(k, evalKeys, evalPats))
           } catch { case _: RuntimeEvalSet =>
-            val contribs = evaluatedPropsContributions(spec, node,
+            val contribs0 = evaluatedPropsContributions(spec, node,
               kw("unevaluatedProperties"), v, dt,
               k => array_contains(keys, k), stack, depth)
+            val contribs = contribs0.map(c =>
+              if (c.unconditional) c
+              else c.copy(cond = binder.fold(c.cond)(_.bind(c.cond))))
             if (!contribs.exists(c => c.unconditional && c.allEval))
               lower { k =>
                 contribs.map { c =>

@@ -85,9 +85,20 @@ object Messages {
 
   /** Localized (keyword path → message) index for a compiled suite — lets
     * output renderers translate violation rows (which carry the keyword
-    * path) without re-running anything.
+    * path) without re-running anything. Covers BOTH row-level checks and
+    * table constraints (unique / foreignKey / drift violation rows carry
+    * the constraint's shared `keywordPath`); custom families keep their
+    * engine-rendered detail (their message shape is theirs to define).
     */
   def forSuite(suite: graft.compile.CompiledSuite,
-               locale: String): Map[String, String] =
-    suite.rowChecks.map(c => c.keywordPath -> render(c.kind, locale)).toMap
+               locale: String): Map[String, String] = {
+    import graft.spec.{Unique, ForeignKey, Drift}
+    val tbl = suite.tableConstraints.flatMap {
+      case u: Unique     => Some(u.keywordPath -> render(TableConstraintK("unique"), locale))
+      case fk: ForeignKey => Some(fk.keywordPath -> render(TableConstraintK("foreignKey"), locale))
+      case d: Drift      => Some(d.keywordPath -> render(TableConstraintK("drift"), locale))
+      case _             => None
+    }
+    (suite.rowChecks.map(c => c.keywordPath -> render(c.kind, locale)) ++ tbl).toMap
+  }
 }

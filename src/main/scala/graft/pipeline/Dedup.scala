@@ -143,7 +143,11 @@ object Dedup {
     * the self-join — the skew valve at scale, ON by default (a stop-shingle
     * in 10^8 documents makes the self-join quadratic in that shingle's
     * document frequency; the default bounds any one shingle's join
-    * contribution to maxDf² rows). The valve is non-silent: call
+    * contribution to maxDf² rows). With the valve active, denominators stay
+    * EXACT set sizes (computed pre-filter): emitted scores are exact or
+    * conservative lower bounds (the intersection undercounts only by
+    * dropped stop-shingles), and pairs supported ONLY by stop-shingles are
+    * missed — the same recall shape as the LSH arm. The valve is non-silent: call
     * [[jaccardStopShingles]] with the same arguments to enumerate what was
     * dropped (mirrors the minhash mega-bucket companion). Pass
     * `maxDf = Long.MaxValue` for exact small-corpus runs.
@@ -152,18 +156,22 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 100000L,
                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val sh = df.select(col(keyCol).as("k"),
-      explode(shingles(col(textCol), shingleN)).as("s"))
     // the exploded shingle frame feeds the per-doc sizes AND both sides of
     // the self-join — persist so shingling runs once, not 3×
-    val filtered = maybePersist(
+    val sh = maybePersist(df.select(col(keyCol).as("k"),
+      explode(shingles(col(textCol), shingleN)).as("s")), storage)
+    val filtered =
       if (maxDf == Long.MaxValue) sh
       else {
         val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("s")
         sh.join(broadcast(hot), Seq("s"), "left_anti")
-      }, storage)
-    val sizes = filtered.groupBy("k").agg(count(lit(1)).as("n"))
+      }
+    // sizes come from the UNFILTERED frame: the Jaccard denominator stays
+    // the exact shingle-set size even when the valve drops stop-shingles,
+    // so every emitted score is exact-or-lower-bound (the intersection can
+    // only undercount by dropped shingles) — never inflated
+    val sizes = sh.groupBy("k").agg(count(lit(1)).as("n"))
     val inter = filtered.as("x").join(filtered.as("y"),
         col("x.s") === col("y.s") && col("x.k") < col("y.k"))
       .groupBy(col("x.k").as("a"), col("y.k").as("b"))

@@ -80,28 +80,29 @@ object MetaSpec {
   /** Meta-validate a spec document with the engine itself. Returns all
     * violations (empty = shape-valid).
     */
-  def violations(spark: SparkSession, doc: JsonNode): Vector[MetaViolation] = {
-    val rows: Seq[Row] = Row("#", doc.toString, null) +:
-      schemaNodes(doc).map { case (p, n) => Row(p, null, n.toString) }
-    val df = spark.createDataFrame(rows.asJava, inputSchema)
-    Validator.violations(df, compiledSuite, Seq("path"))
+  def violations(spark: SparkSession, doc: JsonNode): Vector[MetaViolation] =
+    violationsFrame(spark, doc)
       .collect()
       .map(r => MetaViolation(r.getString(0), r.getString(1), r.getString(3)))
       .toVector
       .sortBy(v => (v.path, v.keyword))
-  }
 
   def violations(spark: SparkSession, json: String): Vector[MetaViolation] =
     violations(spark, mapper.readTree(json))
 
-  /** The raw violations frame for one document (diagnostics/probing). */
-  def violationsFrame(spark: SparkSession, json: String): org.apache.spark.sql.DataFrame = {
-    val doc = mapper.readTree(json)
+  /** The raw violations frame for one document — the single definition of
+    * the meta input row shape (the gate and the diagnostics probe both go
+    * through here, so they cannot drift apart).
+    */
+  def violationsFrame(spark: SparkSession, doc: JsonNode): org.apache.spark.sql.DataFrame = {
     val rows: Seq[Row] = Row("#", doc.toString, null) +:
       schemaNodes(doc).map { case (p, n) => Row(p, null, n.toString) }
     val df = spark.createDataFrame(rows.asJava, inputSchema)
     Validator.violations(df, compiledSuite, Seq("path"))
   }
+
+  def violationsFrame(spark: SparkSession, json: String): org.apache.spark.sql.DataFrame =
+    violationsFrame(spark, mapper.readTree(json))
 
   /** Gate: throw a typed [[SpecError]] on the first meta-violation (CLI exit
     * 2), mirroring the reference's compile-time metaschema rejection.

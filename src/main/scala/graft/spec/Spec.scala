@@ -61,6 +61,11 @@ object ConstraintFamilies {
 /** No two rows share the same value tuple for `columns`. */
 final case class Unique(columns: Vector[String]) extends TableConstraint {
   def name = s"unique(${columns.mkString(",")})"
+  /** The keyword path stamped on this constraint's violation rows —
+    * ONE definition shared by the violation emitter and the localization
+    * index so they can never drift apart.
+    */
+  def keywordPath = s"table/unique/${columns.mkString(",")}"
 }
 
 /** Every non-null key tuple in `columns` must exist in `refColumns` of the
@@ -73,6 +78,7 @@ final case class ForeignKey(
     broadcastRef: Boolean = true
 ) extends TableConstraint {
   def name = s"foreignKey(${columns.mkString(",")}->$refTable)"
+  def keywordPath = s"table/foreignKey/${columns.mkString(",")}->$refTable"
 }
 
 /** Distribution-drift gate on one numeric column vs a pinned reference
@@ -90,6 +96,7 @@ final case class Drift(
     refQuantiles: Vector[Double] = Vector.empty
 ) extends TableConstraint {
   def name = s"drift($method:$column)"
+  def keywordPath = s"table/drift/$method/$column"
 }
 
 /** Column-stats collection request (count/nulls/min/max/distinct/quantiles)

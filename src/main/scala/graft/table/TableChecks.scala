@@ -61,7 +61,7 @@ object TableChecks {
   def uniqueViolations(df: DataFrame, u: Unique): DataFrame = {
     val keyStr = concat_ws("|", u.columns.map(c => col(c).cast("string")): _*)
     duplicateKeys(df, u.columns).select(
-      lit(s"table/unique/${u.columns.mkString(",")}").as("keyword"),
+      lit(u.keywordPath).as("keyword"),
       keyStr.as("instance_path"),
       concat(lit("unique: key appears "), col("dup_count").cast("string"), lit(" times")).as("detail"))
   }
@@ -83,7 +83,7 @@ object TableChecks {
       .groupBy(fk.columns.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .select(
-        lit(s"table/foreignKey/${fk.columns.mkString(",")}->${fk.refTable}").as("keyword"),
+        lit(fk.keywordPath).as("keyword"),
         keyStr.as("instance_path"),
         concat(lit("foreignKey: "), col("n").cast("string"),
           lit(s" row(s) reference missing key in ${fk.refTable}")).as("detail"))
@@ -249,7 +249,7 @@ object TableChecks {
     metric
       .filter(col("m") > d.threshold)
       .select(
-        lit(s"table/drift/${d.method}/${d.column}").as("keyword"),
+        lit(d.keywordPath).as("keyword"),
         lit(d.column).as("instance_path"),
         format_string(s"drift: ${d.method} = %.6f exceeds threshold ${d.threshold}",
           col("m")).as("detail"))

@@ -120,4 +120,35 @@ class CrossDocSpec extends SparkTestBase {
     SuiteCompiler.compile(spec, StructType(Seq(StructField("sr_hz", IntegerType))))
     assert(loads == 1, s"expected 1 memoized load, got $loads")
   }
+
+  test("$recursiveRef without $recursiveAnchor degrades to plain $ref to the resource root (2019-09 \u00a78.2.4.2)") {
+    // legal and common: a 2019-09 document using $recursiveRef: "#" with NO
+    // $recursiveAnchor declared — equivalent to $ref: "#"
+    val doc = tmpFile("recur.json",
+      """{"$schema": "https://json-schema.org/draft/2019-09/schema",
+        |  "type": "object", "required": ["data"],
+        |  "properties": {
+        |    "data": {"type": "integer"},
+        |    "next": {"$recursiveRef": "#"}}}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("__row", IntegerType), StructField("j", StringType)))
+    val spec = s"""{"columns": {"j": {"json": {"$$ref": "file://$doc"}}}}"""
+    val out = validate(spec, schema, Seq(
+      Row(0, """{"data": 1, "next": {"data": 2}}"""),  // valid one level down
+      Row(1, """{"data": 1, "next": {"oops": 2}}""")))  // required fails in recursion
+    assert(out(0)._1, out(0).toString)
+    assert(!out(1)._1 && out(1)._2.exists(_.contains("required")), out(1).toString)
+  }
+
+  test("$dynamicRef with a JSON-pointer fragment behaves exactly like $ref (2020-12 \u00a78.2.3.2)") {
+    val spec = Spec.fromJson(
+      """{"$defs": {"item": {"minimum": 5}},
+        |  "columns": {"sr_hz": {"$dynamicRef": "#/$defs/item"}}}""".stripMargin)
+    val df = spark.createDataFrame(
+      Seq(Row(0, 10), Row(1, 3)).asJava, intRowSchema)
+    val suite = SuiteCompiler.compile(spec, df.schema)
+    val out = Validator.annotate(df, suite).orderBy("__row")
+      .select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(out == Seq(true, false))
+  }
 }

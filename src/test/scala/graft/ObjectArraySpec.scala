@@ -332,4 +332,46 @@ class ObjectArraySpec extends SparkTestBase {
     assert(v.getAs[String]("keyword") == "columns/o/properties/a/maximum")
     assert(v.getAs[String]("instance_path") == "o/a")
   }
+
+  test("uneval closure entirely behind $dynamicRef: typed rejection, not a silent key drop") {
+    // the anyOf branch evaluates properties ONLY via its $dynamicRef target;
+    // the walkers must SEE it (conservative evaluatesProps) and reject with
+    // the documented dynamic-scope SpecError instead of computing {a} and
+    // wrongly flagging x as unevaluated
+    val dfm = Seq((1, Map("a" -> "1", "x" -> "2"))).toDF("k", "m")
+    val spec =
+      """{"$defs":{"p":{"$dynamicAnchor":"p","properties":{"x":{}}}},
+          "columns":{"m":{"properties":{"a":{}},
+          "anyOf":[{"$dynamicRef":"#p"}],
+          "unevaluatedProperties":false}}}"""
+    val e = intercept[graft.spec.SpecError] {
+      SuiteCompiler.compile(Spec.fromJson(spec), dfm.schema)
+    }
+    assert(e.getMessage.contains("$dynamicRef"), e.getMessage)
+  }
+
+  test("bounded-unroll recursion WITH an unevaluatedProperties closure compiles (no false cycle)") {
+    // wrap recurses through a data descent (properties/inner) — legal under
+    // bounded unroll — and the recursion loop contains an
+    // unevaluatedProperties check; the evaluated-set walkers must not read
+    // the compiler's unroll stack as a cycle of their own walk
+    val innermost = StructType(Seq(StructField("extra", StringType)))
+    val mid = StructType(Seq(
+      StructField("inner", innermost), StructField("extra", StringType)))
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("o", StructType(Seq(StructField("inner", mid))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, Row(Row(Row(null), null))), // no extras anywhere -> valid
+        Row(2, Row(Row(Row(null), "y"))),  // mid.extra unevaluated -> invalid
+        Row(3, Row(Row(Row("z"), null)))), // innermost.extra unevaluated -> invalid
+      schema)
+    val spec =
+      """{"$defs":{"wrap":{"type":"object","properties":{
+           "inner":{"allOf":[{"$ref":"#/$defs/wrap"}],
+                    "unevaluatedProperties":false}}}},
+          "columns":{"o":{"$ref":"#/$defs/wrap"}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, false))
+  }
 }

@@ -164,4 +164,27 @@ class OutputSpec extends SparkTestBase {
       ErrorKind.TableConstraintK("unique"), ErrorKind.CustomK("zz"))
     kinds.foreach(k => assert(Messages.render(k) != k.keyword, k.toString))
   }
+
+  test("Messages.forSuite indexes table-constraint keyword paths (not just row checks)") {
+    import graft.spec.{Spec, Unique, ForeignKey, Drift}
+    import graft.output.Messages
+    val spec = Spec(
+      columns = Vector.empty, required = Vector.empty,
+      rowRules = Vector.empty,
+      table = Vector(
+        Unique(Vector("clip_id")),
+        ForeignKey(Vector("codec"), "ref_codecs", Vector("codec")),
+        Drift("dur_ms", "psi", 0.2, Vector(0, 1), Vector(0.3, 0.4, 0.3))),
+      defs = Map.empty)
+    val suite = graft.compile.CompiledSuite(spec, Nil, spec.table)
+    Messages.register("xx", { case graft.compile.ErrorKind.TableConstraintK(f) =>
+      s"xx:$f" })
+    val idx = Messages.forSuite(suite, "xx")
+    assert(idx.get("table/unique/clip_id").contains("xx:unique"), idx.toString)
+    assert(idx.get("table/foreignKey/codec->ref_codecs").contains("xx:foreignKey"))
+    assert(idx.get("table/drift/psi/dur_ms").contains("xx:drift"))
+    // the emitter and the index share ONE keywordPath definition
+    assert(spec.table.collect { case u: Unique => u.keywordPath }
+      == Seq("table/unique/clip_id"))
+  }
 }

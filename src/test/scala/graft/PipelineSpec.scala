@@ -293,21 +293,33 @@ class PipelineSpec extends SparkTestBase {
     val valved = graft.pipeline.Dedup
       .jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDf = 3)
       .orderBy("a", "b").collect().map(_.toString)
-    // equivalence: the valved result must equal a driver-exact recomputation
-    // over the per-doc shingle sets minus the stop shingle
-    def shingleSet(t: String): Set[String] =
-      t.split(" ").sliding(3).map(_.mkString(" ")).toSet - "the quick brown"
-    val m = Map("d1" -> "the quick brown alpha beta gamma delta",
+    // equivalence: intersections exclude the stop shingle, but denominators
+    // are the EXACT (unfiltered) set sizes — so every valved score is a
+    // conservative lower bound of the exact Jaccard, never inflated
+    def fullSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map("d1" -> "the quick brown alpha beta gamma delta",
       "d2" -> "the quick brown alpha beta gamma epsilon",
       "d3" -> "the quick brown zeta eta theta iota",
-      "d4" -> "the quick brown zeta eta theta kappa").view.mapValues(shingleSet).toMap
+      "d4" -> "the quick brown zeta eta theta kappa")
+    val full = texts.view.mapValues(fullSet).toMap
+    val filt = full.view.mapValues(_ - "the quick brown").toMap
     val expected = (for {
-      a <- m.keys; b <- m.keys if a < b
-      inter = (m(a) & m(b)).size
-      j = inter.toDouble / (m(a) | m(b)).size if j >= 0.1 && inter > 0
+      a <- full.keys; b <- full.keys if a < b
+      inter = (filt(a) & filt(b)).size
+      j = inter.toDouble / (full(a).size + full(b).size - inter) if j >= 0.1 && inter > 0
     } yield s"[$a,$b,${BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble}]")
       .toSeq.sorted
     assert(valved.toSeq == expected, s"valved=${valved.toSeq} expected=$expected")
+    // conservative bound vs the fully-exact arm on every emitted pair
+    val exactAll = graft.pipeline.Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.0, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    valved.foreach { s =>
+      val Array(a, b, j) = s.stripPrefix("[").stripSuffix("]").split(",")
+      assert(j.toDouble <= exactAll((a, b)) + 1e-9,
+        s"valved score $s exceeds exact ${exactAll((a, b))}")
+    }
   }
   test("jaccardPairsLsh: subset of the exact arm with identical scores (verification is exact)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -109,11 +109,16 @@ class PlanShapeSpec extends SparkTestBase {
       val suite = SuiteCompiler.compile(Spec.fromJson(specJson), schema)
       val c = suite.rowChecks.filter(_.keywordPath.endsWith("unevaluatedProperties"))
       assert(c.nonEmpty)
-      // measure on the ANALYZED plan (the unresolved bridge node is opaque)
+      // measure on the ANALYZED plan (the unresolved bridge node is opaque);
+      // bindings are projected first (as Validator does) and counted — the
+      // runtime arm's branch predicates live there exactly once per row
       val df = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      df.select(c.map(_.pred): _*).queryExecution.analyzed
-        .expressions.map(deepSize).sum
+      val withBindings = suite.bindings.foldLeft(df) {
+        case (d, (name, col)) => d.withColumn(name, col)
+      }
+      withBindings.select(c.map(_.pred): _*).queryExecution.analyzed
+        .collect { case p => p.expressions.map(deepSize).sum }.sum
     }
     // flat: properties + allOf closure — compile-time evaluated set, tiny tree
     val flat = predSize(
