@@ -412,12 +412,116 @@ object DynamicJson {
       }
     }
 
-    Seq(
-      node.unevaluatedProperties.map(_ => "unevaluatedProperties"),
-      node.unevaluatedItems.map(_ => "unevaluatedItems"),
-      node.jsonSchema.map(_ => "json")
-    ).flatten.foreach { k =>
-      throw SpecError(kw(k), s"'$k' is not supported in dynamic (variant) mode")
+    node.jsonSchema.foreach { _ =>
+      throw SpecError(kw("json"), "'json' is not supported in dynamic (variant) mode")
+    }
+
+    // unevaluated* — the SAME static/runtime evaluated-set walkers as the
+    // typed compiler (RowCompiler), with branch predicates compiled by THIS
+    // dynamic compiler; lowering runs over the bound asMap / arr frames
+    def dynBranchPred(ch: SchemaNode): Column =
+      coalesce(predicate(spec, ch, v, stack, depth), lit(false))
+    node.unevaluatedItems.filter(_ != Left(true)).foreach { ui =>
+      def lowerStaticItems(maxPrefix: Int, containsNodes: Vector[SchemaNode]): Unit = {
+        def contained(x: Column): Column = containsNodes
+          .map(cn => coalesce(predicate(spec, cn, x, stack, depth + 1), lit(false)))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        lazy val rest = if (maxPrefix == 0) arr
+          else slice(arr, lit(maxPrefix + 1), greatest(size(arr) - maxPrefix, lit(0)))
+        ui match {
+          case Left(true) =>
+          case Left(false) if containsNodes.isEmpty =>
+            arrCheck("unevaluatedItems", size(arr) <= maxPrefix,
+              concat(lit("unevaluatedItems: got "), size(arr).cast(StringType),
+                lit(s" item(s), want <= $maxPrefix evaluated")),
+              ErrorKind.UnevaluatedItemsK)
+          case Left(false) =>
+            arrCheck("unevaluatedItems", forall(rest, x => contained(x)),
+              lit("unevaluatedItems: item(s) beyond the evaluated prefix " +
+                "match no contains schema"),
+              ErrorKind.UnevaluatedItemsK)
+          case Right(us) =>
+            arrCheck("unevaluatedItems",
+              forall(rest, x => contained(x) ||
+                coalesce(predicate(spec, us, x, stack, depth + 1), lit(false))),
+              lit("unevaluatedItems: element(s) do not match"),
+              ErrorKind.UnevaluatedItemsK)
+        }
+      }
+      try {
+        val (maxPrefix, allEval, containsNodes) =
+          RowCompiler.staticEvaluatedItems(spec, node, kw("unevaluatedItems"))
+        if (!allEval) lowerStaticItems(maxPrefix, containsNodes)
+      } catch { case _: RowCompiler.RuntimeEvalSet =>
+        val contribs0 = RowCompiler.evaluatedItemsContributions(spec, node,
+          kw("unevaluatedItems"), dynBranchPred, _ => lit(false))
+        val contribs = contribs0.map(c =>
+          if (c._2) c else (b(c._1), c._2, c._3, c._4))
+        if (!contribs.exists(c => c._2 && c._4)) {
+          val allEvalCond = contribs.filter(_._4).map(_._1)
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val prefixCol = greatest(
+            (lit(0) +: contribs.filter(_._3 > 0).map { c =>
+              if (c._2) lit(c._3) else when(c._1, lit(c._3)).otherwise(lit(0))
+            }): _*)
+          ui match {
+            case Left(true) =>
+            case Left(false) =>
+              arrCheck("unevaluatedItems",
+                coalesce(allEvalCond, lit(false)) || size(arr) <= prefixCol,
+                concat(lit("unevaluatedItems: got "), size(arr).cast(StringType),
+                  lit(" item(s), more than the evaluated prefix")),
+                ErrorKind.UnevaluatedItemsK)
+            case Right(us) =>
+              val rest = slice(arr, prefixCol + 1,
+                greatest(size(arr) - prefixCol, lit(0)))
+              arrCheck("unevaluatedItems",
+                coalesce(allEvalCond, lit(false)) ||
+                  coalesce(forall(rest, x =>
+                    coalesce(predicate(spec, us, x, stack, depth + 1),
+                      lit(false))), lit(false)),
+                lit("unevaluatedItems: element(s) do not match"),
+                ErrorKind.UnevaluatedItemsK)
+          }
+        }
+      }
+    }
+    node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
+      def lowerProps(isEval: Column => Column): Unit = up match {
+        case Left(true) =>
+        case Left(false) =>
+          objCheck("unevaluatedProperties",
+            forall(map_keys(asMap), k => coalesce(isEval(k), lit(false))),
+            lit("unevaluatedProperties: unexpected key(s)"),
+            ErrorKind.UnevaluatedPropertiesK)
+        case Right(us) =>
+          val rem = map_filter(asMap, (k, _) => !coalesce(isEval(k), lit(false)))
+          objCheck("unevaluatedProperties",
+            forall(map_values(rem), x =>
+              coalesce(predicate(spec, us, x, stack, depth + 1), lit(false))),
+            lit("unevaluatedProperties: unevaluated value(s) do not match"),
+            ErrorKind.UnevaluatedPropertiesK)
+      }
+      try {
+        val (evalKeys, evalPats, allEval) =
+          RowCompiler.staticEvaluatedProps(spec, node, kw("unevaluatedProperties"))
+        if (!allEval) lowerProps(k => RowCompiler.nameCovered(k, evalKeys, evalPats))
+      } catch { case _: RowCompiler.RuntimeEvalSet =>
+        val contribs0 = RowCompiler.evaluatedPropsContributions(spec, node,
+          kw("unevaluatedProperties"), dynBranchPred,
+          k => (t === "object") &&
+            try_variant_get(v, propPath(k), "variant").isNotNull)
+        val contribs = contribs0.map(c =>
+          if (c.unconditional) c else c.copy(cond = b(c.cond)))
+        if (!contribs.exists(c => c.unconditional && c.allEval))
+          lowerProps { k =>
+            contribs.map { c =>
+              if (c.allEval) c.cond
+              else if (c.unconditional) RowCompiler.nameCovered(k, c.keys, c.patterns)
+              else c.cond && RowCompiler.nameCovered(k, c.keys, c.patterns)
+            }.reduceOption(_ || _).getOrElse(lit(false))
+          }
+      }
     }
 
     // composition — same algebra, dynamic predicates

@@ -346,10 +346,10 @@ object RowCompiler {
     * caller falls back to the per-row column-algebra lowering
     * ([[evaluatedPropsContributions]]).
     */
-  private final case class RuntimeEvalSet(detail: String)
+  private[compile] final case class RuntimeEvalSet(detail: String)
       extends RuntimeException(detail)
 
-  private def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String)
+  private[compile] def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String)
       : (Set[String], Vector[String], Boolean) = {
     // `st` is THIS WALK's visited-ref path only — the compiler's unroll
     // stack must NOT leak in: an ancestor unroll entry (taken at a
@@ -392,7 +392,7 @@ object RowCompiler {
     * always-applied closure (this node, allOf, $ref), whose cond is
     * literally true.
     */
-  private final case class EvalContribution(cond: Column, unconditional: Boolean,
+  private[compile] final case class EvalContribution(cond: Column, unconditional: Boolean,
       keys: Set[String], patterns: Vector[String], allEval: Boolean)
 
   /** RUNTIME evaluated-property set for `unevaluatedProperties` whose
@@ -405,21 +405,21 @@ object RowCompiler {
     * the dominant real-world shape, see round-3 verdict / validator.go
     * annotation flow).
     */
-  private def evaluatedPropsContributions(spec: Spec, node: SchemaNode,
-      at: String, v: Column, dt: DataType, keyPresent: String => Column,
-      stack: List[(String, Int)], depth: Int): Vector[EvalContribution] = {
+  private[compile] def evaluatedPropsContributions(spec: Spec, node: SchemaNode,
+      at: String, branchPred: SchemaNode => Column,
+      keyPresent: String => Column): Vector[EvalContribution] = {
     // `seen` is this walk's own visited-ref path (fixpoint-skip on repeat —
     // a repeated ref's keys arrive under a strictly narrower condition, so
-    // the union is unchanged); branch predicates compile against the
-    // compiler's real `stack` so their own ref unrolling stays bounded.
+    // the union is unchanged); `branchPred` compiles a branch's validity
+    // predicate in the CALLER's compiler (typed or dynamic) against the
+    // caller's real compile stack, so ref unrolling stays bounded there.
     def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[EvalContribution] = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
           "unevaluatedProperties with $dynamicRef in its closure is " +
             "runtime-scope-dependent — out of the static-lowering scope")
-      def p(ch: SchemaNode): Column =
-        coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false))
+      def p(ch: SchemaNode): Column = branchPred(ch)
       // only branches that actually evaluate properties contribute — the
       // rest would add empty sets and waste predicate columns
       def prEval(ch: SchemaNode): Boolean = evaluatesProps(spec, ch, seen)
@@ -468,17 +468,27 @@ object RowCompiler {
       n.ref.exists(r => !st.contains(r) &&
         evaluatesItems(spec, spec.resolve(r, Nil), r :: st))
 
+  /** Only fires on the RUNTIME (branch-dependent) walk: `contains` in the
+    * UNCONDITIONAL closure lowers to a per-element predicate (see
+    * [[staticEvaluatedItems]]); combined with branch-dependent applicators
+    * the per-element × per-branch evaluated flags stay a typed rejection.
+    */
   private def rejectContainsUnderUneval(n: SchemaNode, at: String): Unit =
     if (n.contains.nonEmpty)
       throw SpecError(at,
-        "unevaluatedItems with 'contains' is runtime-dependent (matched items " +
-          "count as evaluated) — out of the static-lowering scope")
+        "unevaluatedItems with 'contains' alongside runtime-dependent " +
+          "applicators is out of the static-lowering scope")
 
-  private def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String)
-      : (Int, Boolean) = {
+  private[compile] def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String)
+      : (Int, Boolean, Vector[SchemaNode]) = {
     // walk-local visited-ref path with fixpoint-skip on repeats — see
-    // staticEvaluatedProps for why the compiler's unroll stack stays out
-    def walk(n: SchemaNode, st: List[String], isRoot: Boolean): (Int, Boolean) = {
+    // staticEvaluatedProps for why the compiler's unroll stack stays out.
+    // `contains` in the UNCONDITIONAL closure (this node / allOf / $ref) is
+    // collected: matched elements count evaluated (2020-12 annotation
+    // flow), expressible as a per-element predicate — only contains inside
+    // runtime branches stays a typed rejection (runtime walker).
+    def walk(n: SchemaNode, st: List[String],
+             isRoot: Boolean): (Int, Boolean, Vector[SchemaNode]) = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
           "unevaluatedItems with $dynamicRef in its closure is " +
@@ -489,14 +499,14 @@ object RowCompiler {
           "evaluated item set depends on the runtime applicator at " +
             s"'${d.path.mkString("/")}'")
       }
-      rejectContainsUnderUneval(n, at)
       val parts = n.ref.filterNot(st.contains).map(r =>
         walk(spec.resolve(r, Nil), r :: st, isRoot = false)).toVector ++
         n.allOf.map(walk(_, st, isRoot = false))
       ((n.prefixItems.size +: parts.map(_._1)).max,
         n.items.nonEmpty ||
           (!isRoot && n.unevaluatedItems.nonEmpty) || // nested = all evaluated
-          parts.exists(_._2))
+          parts.exists(_._2),
+        n.contains.toVector ++ parts.flatMap(_._3))
     }
     walk(node, Nil, isRoot = true)
   }
@@ -508,13 +518,13 @@ object RowCompiler {
     * `contains` anywhere in the closure stays a typed rejection (per-element
     * evaluated flags are genuinely runtime-recursive).
     */
-  private def evaluatedItemsContributions(spec: Spec, node: SchemaNode,
-      at: String, v: Column, dt: DataType, keyPresent: String => Column,
-      stack: List[(String, Int)], depth: Int)
+  private[compile] def evaluatedItemsContributions(spec: Spec, node: SchemaNode,
+      at: String, branchPred: SchemaNode => Column,
+      keyPresent: String => Column)
       : Vector[(Column, Boolean, Int, Boolean)] = {
     // (cond, unconditional, prefixLen, allEval)
-    // walk-local `seen` ref path with fixpoint-skip; predicates compile
-    // against the compiler's real `stack` — see evaluatedPropsContributions
+    // walk-local `seen` ref path with fixpoint-skip; `branchPred` compiles
+    // in the caller's compiler — see evaluatedPropsContributions
     def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[(Column, Boolean, Int, Boolean)] = {
       if (n.dynRef.nonEmpty)
@@ -522,8 +532,7 @@ object RowCompiler {
           "unevaluatedItems with $dynamicRef in its closure is " +
             "runtime-scope-dependent — out of the static-lowering scope")
       rejectContainsUnderUneval(n, at)
-      def p(ch: SchemaNode): Column =
-        coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false))
+      def p(ch: SchemaNode): Column = branchPred(ch)
       def itEval(ch: SchemaNode): Boolean = evaluatesItems(spec, ch, seen)
       val own = (cond, uncond, n.prefixItems.size,
         n.items.nonEmpty || (!isRoot && n.unevaluatedItems.nonEmpty))
@@ -873,30 +882,48 @@ object RowCompiler {
         // applicators (a no-op keyword must not make a valid spec
         // uncompilable)
         node.unevaluatedItems.filter(_ != Left(true)).foreach { ui =>
-          def lowerStatic(maxPrefix: Int): Unit = ui match {
-            case Left(true) =>
-            case Left(false) =>
-              add(kw("unevaluatedItems"), vac(v, size(v) <= maxPrefix),
-                concat(lstr("unevaluatedItems: got "), size(v).cast(StringType),
-                  lstr(s" item(s), want <= $maxPrefix evaluated")),
-                ErrorKind.UnevaluatedItemsK)
-            case Right(us) =>
-              val rest = if (maxPrefix == 0) v
-                else slice(v, lit(maxPrefix + 1), greatest(size(v) - maxPrefix, lit(0)))
-              val p = forall(rest, x => coalesce(predicate(spec, us, x, et, stack, depth + 1), lit(false)))
-              add(kw("unevaluatedItems"), vac(v, p),
-                lstr("unevaluatedItems: element(s) do not match"),
-                ErrorKind.UnevaluatedItemsK)
+          def lowerStatic(maxPrefix: Int, containsNodes: Vector[SchemaNode]): Unit = {
+            // contains-matched elements beyond the prefix count EVALUATED.
+            // (When the contains keyword itself fails min/maxContains the
+            // row is already invalid; treating its matches as evaluated can
+            // only suppress a redundant second violation row, never flip a
+            // verdict.)
+            def contained(x: Column): Column = containsNodes
+              .map(cn => coalesce(predicate(spec, cn, x, et, stack, depth + 1), lit(false)))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            lazy val rest = if (maxPrefix == 0) v
+              else slice(v, lit(maxPrefix + 1), greatest(size(v) - maxPrefix, lit(0)))
+            ui match {
+              case Left(true) =>
+              case Left(false) if containsNodes.isEmpty =>
+                add(kw("unevaluatedItems"), vac(v, size(v) <= maxPrefix),
+                  concat(lstr("unevaluatedItems: got "), size(v).cast(StringType),
+                    lstr(s" item(s), want <= $maxPrefix evaluated")),
+                  ErrorKind.UnevaluatedItemsK)
+              case Left(false) =>
+                add(kw("unevaluatedItems"), vac(v, forall(rest, x => contained(x))),
+                  lstr("unevaluatedItems: item(s) beyond the evaluated prefix " +
+                    "match no contains schema"),
+                  ErrorKind.UnevaluatedItemsK)
+              case Right(us) =>
+                val p = forall(rest, x => contained(x) ||
+                  coalesce(predicate(spec, us, x, et, stack, depth + 1), lit(false)))
+                add(kw("unevaluatedItems"), vac(v, p),
+                  lstr("unevaluatedItems: element(s) do not match"),
+                  ErrorKind.UnevaluatedItemsK)
+            }
           }
           try {
-            val (maxPrefix, allEval) =
+            val (maxPrefix, allEval, containsNodes) =
               staticEvaluatedItems(spec, node, kw("unevaluatedItems"))
-            if (!allEval) lowerStatic(maxPrefix)
+            if (!allEval) lowerStatic(maxPrefix, containsNodes)
           } catch { case _: RuntimeEvalSet =>
             // RUNTIME arm: branch-dependent evaluated prefix — per-row
             // greatest of the validating branches' prefix lengths
             val contribs0 = evaluatedItemsContributions(spec, node,
-              kw("unevaluatedItems"), v, dt, _ => lit(false), stack, depth)
+              kw("unevaluatedItems"),
+              ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
+              _ => lit(false))
             // bind each branch condition ONCE per row — the prefix/allEval
             // folds below reference every cond, and without binding each
             // reference re-embeds the branch's full predicate tree
@@ -1045,9 +1072,9 @@ object RowCompiler {
             }
           } catch { case _: RuntimeEvalSet =>
             val contribs0 = evaluatedPropsContributions(spec, node,
-              kw("unevaluatedProperties"), v, dt,
-              k => if (fields.contains(k)) v.getField(k).isNotNull else lit(false),
-              stack, depth)
+              kw("unevaluatedProperties"),
+              ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
+              k => if (fields.contains(k)) v.getField(k).isNotNull else lit(false))
             // bind branch conditions once per row: the per-field OR-chains
             // below would otherwise embed each branch predicate tree O(F)
             // times (F fields x B branches plan growth)
@@ -1151,8 +1178,9 @@ object RowCompiler {
             if (!allEval) lower(k => nameCovered(k, evalKeys, evalPats))
           } catch { case _: RuntimeEvalSet =>
             val contribs0 = evaluatedPropsContributions(spec, node,
-              kw("unevaluatedProperties"), v, dt,
-              k => array_contains(keys, k), stack, depth)
+              kw("unevaluatedProperties"),
+              ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
+              k => array_contains(keys, k))
             val contribs = contribs0.map(c =>
               if (c.unconditional) c
               else c.copy(cond = binder.fold(c.cond)(_.bind(c.cond))))

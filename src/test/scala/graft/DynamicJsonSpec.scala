@@ -151,9 +151,7 @@ class DynamicJsonSpec extends SparkTestBase {
 
   test("every unimplemented dynamic keyword throws (no silent drops)") {
     val df = Seq((1, "{}")).toDF("k", "j")
-    Seq("unevaluatedProperties" -> """{"unevaluatedProperties":false}""",
-        "unevaluatedItems" -> """{"unevaluatedItems":false}""",
-        "json" -> """{"properties":{"x":{"json":{"type":"object"}}}}""").foreach {
+    Seq("json" -> """{"properties":{"x":{"json":{"type":"object"}}}}""").foreach {
       case (name, frag) =>
         val e = intercept[SpecError] {
           SuiteCompiler.compile(Spec.fromJson(
@@ -194,13 +192,59 @@ class DynamicJsonSpec extends SparkTestBase {
     assert(valids == Seq(true, false, false))
   }
 
-  test("unsupported dynamic keywords fail at compile with typed errors") {
-    val df = Seq((1, "{}")).toDF("k", "j")
-    val e = intercept[SpecError] {
-      SuiteCompiler.compile(Spec.fromJson(
-        """{"columns":{"j":{"json":{"unevaluatedProperties":false}}}}"""), df.schema)
-    }
-    assert(e.getMessage.contains("not supported in dynamic"))
+  test("dynamic unevaluatedProperties: static closure, schema form, runtime branches") {
+    // static closure: properties + allOf-merged evaluations over runtime keys
+    val spec =
+      """{"columns":{"j":{"json":{
+           "properties":{"a":{}},
+           "allOf":[{"patternProperties":{"^x_":{}}}],
+           "unevaluatedProperties":false}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"a":1,"x_b":2}""", """{"a":1,"zzz":2}""", "5", "null"
+    )) == Seq(true, false, true, true)) // non-objects vacuous
+    // schema form: unevaluated values must match
+    val schemaForm =
+      """{"columns":{"j":{"json":{
+           "properties":{"a":{}},
+           "unevaluatedProperties":{"type":"string"}}}}}"""
+    assert(validsOf(schemaForm, Seq(
+      """{"a":1,"b":"ok"}""", """{"a":1,"b":7}"""
+    )) == Seq(true, false))
+    // runtime branches: keys evaluated iff their anyOf branch VALIDATES
+    val runtime =
+      """{"columns":{"j":{"json":{
+           "anyOf":[{"required":["a"],"properties":{"a":{"type":"number"}}},
+                    {"required":["b"],"properties":{"b":{"type":"string"}}}],
+           "unevaluatedProperties":false}}}}"""
+    assert(validsOf(runtime, Seq(
+      """{"a":1}""", """{"b":"x"}""", """{"a":1,"b":"x"}""",
+      """{"a":1,"c":2}"""
+    )) == Seq(true, true, true, false))
+  }
+
+  test("dynamic unevaluatedItems: prefix closure, contains lowering, runtime branches") {
+    val closed =
+      """{"columns":{"j":{"json":{
+           "prefixItems":[{"type":"number"}],"unevaluatedItems":false}}}}"""
+    assert(validsOf(closed, Seq(
+      "[1]", "[1,2]", "[]", "5"
+    )) == Seq(true, false, true, true))
+    // contains in the unconditional closure: matched items count evaluated
+    val withContains =
+      """{"columns":{"j":{"json":{
+           "contains":{"type":"number"},"unevaluatedItems":false}}}}"""
+    assert(validsOf(withContains, Seq(
+      "[1,2]", """[1,"x"]""", "[]"
+    )) == Seq(true, false, false))
+    // runtime: evaluated prefix depends on which oneOf branch validates
+    val runtime =
+      """{"columns":{"j":{"json":{
+           "oneOf":[{"prefixItems":[{"type":"number"},{"type":"number"}]},
+                    {"prefixItems":[{"type":"string"}]}],
+           "unevaluatedItems":false}}}}"""
+    assert(validsOf(runtime, Seq(
+      "[1,2]", """["x"]""", """["x",1]"""
+    )) == Seq(true, true, false))
   }
 
   test("dynamic object keywords via variant key enumeration (min/maxProperties, propertyNames, additionalProperties, patternProperties)") {

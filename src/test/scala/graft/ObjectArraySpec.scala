@@ -189,11 +189,28 @@ class ObjectArraySpec extends SparkTestBase {
     val allEval =
       """{"columns":{"a":{"items":{"maximum":1000},"unevaluatedItems":false}}}"""
     assert(validsOf(allEval, df) == Seq(true, true, true))
-    // runtime-dependent evaluated sets are typed compile-time rejections
+    // contains in the UNCONDITIONAL closure now lowers (matched items count
+    // evaluated, per-element predicate); rows are [10], [10,99], []
+    // every element contained -> uneval:false vacuous; [] fails contains itself
+    val allContained =
+      """{"columns":{"a":{"contains":{"minimum":10},"unevaluatedItems":false}}}"""
+    assert(validsOf(allContained, df) == Seq(true, true, false))
+    // [10,99]: contains ok (99) but 10 is NOT contained -> uneval:false bites
+    val closedContains =
+      """{"columns":{"a":{"contains":{"minimum":99},"unevaluatedItems":false}}}"""
+    assert(validsOf(closedContains, df) == Seq(false, false, false))
+    // schema form: element must match contains OR the uneval schema —
+    // [10,99] valid (99 contained, 10 <= 10); [10] fails contains itself
+    val mixed =
+      """{"columns":{"a":{"contains":{"minimum":50},
+           "unevaluatedItems":{"maximum":10}}}}"""
+    assert(validsOf(mixed, df) == Seq(false, true, false))
+    // contains INSIDE a runtime branch stays a typed rejection
     import graft.spec.SpecError
     val e1 = intercept[SpecError] {
       SuiteCompiler.compile(Spec.fromJson(
-        """{"columns":{"a":{"contains":{"minimum":1},"unevaluatedItems":false}}}"""),
+        """{"columns":{"a":{"anyOf":[{"contains":{"minimum":1}}],
+            "unevaluatedItems":false}}}"""),
         df.schema)
     }
     assert(e1.getMessage.contains("contains"))
@@ -373,5 +390,31 @@ class ObjectArraySpec extends SparkTestBase {
                     "unevaluatedProperties":false}}}},
           "columns":{"o":{"$ref":"#/$defs/wrap"}}}"""
     assert(validsOf(spec, df) == Seq(true, false, false))
+  }
+
+  test("runtime uneval arm with a recursive $ref branch: contributions compile, no false cycle") {
+    // the anyOf branch recurses into wrap (a data-descent recursion); the
+    // runtime branch-set walker must fold its evaluated keys instead of
+    // reading the unroll as a cycle
+    val innermost = StructType(Seq(StructField("alt", StringType)))
+    val mid = StructType(Seq(
+      StructField("inner", innermost), StructField("alt", StringType),
+      StructField("extra", StringType)))
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("o", StructType(Seq(StructField("inner", mid))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, Row(Row(Row(null), "x", null))),    // alt evaluated by branch2
+        Row(2, Row(Row(Row(null), "x", "boom"))),  // extra never evaluated
+        Row(3, Row(Row(Row("y"), null, null)))),   // inner evaluated by branch1
+      schema)
+    val spec =
+      """{"$defs":{"wrap":{"type":"object","properties":{
+           "inner":{"anyOf":[{"$ref":"#/$defs/wrap"},
+                             {"required":["alt"],"properties":{"alt":{}}}],
+                    "unevaluatedProperties":false}}}},
+          "columns":{"o":{"$ref":"#/$defs/wrap"}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, true))
   }
 }
