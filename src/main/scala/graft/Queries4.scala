@@ -113,9 +113,56 @@ object Queries4 {
          FROM d WHERE depth > 4)
        ORDER BY doc_id, keyword"""
 
+  // ---- unevaluated* in DYNAMIC (variant) mode: runtime anyOf evaluated-key
+  // sets on variant objects + contains-aware unevaluatedItems on variant
+  // arrays (the r4 closure of the dynamic-mode residual) ----
+
+  def qValidateUnevalDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5))
+    val df = t(spark, dir, "documents").select(col("doc_id"),
+      when(m === 0, lit("""{"a":1}"""))        // branch1 validates -> a evaluated
+        .when(m === 1, lit("""{"b":"x"}"""))   // branch2 validates -> b evaluated
+        .when(m === 2, lit("""{"a":1,"c":2}""")) // c unevaluated
+        .when(m === 3, lit("""{"a":"s"}"""))   // both branches fail: anyOf + a unevaluated
+        .otherwise(lit("not json")).as("j"),
+      when(m === 0, lit("""[1,2]"""))          // all contained
+        .when(m === 1, lit("""[1,"x"]"""))     // "x" not contained -> unevaluated
+        .when(m === 2, lit("""[]"""))          // contains itself fails
+        .when(m === 3, lit("""[2]"""))
+        .otherwise(lit("not json")).as("ja"))
+    vios(df,
+      """{"columns":{
+           "j":{"json":{
+             "anyOf":[{"required":["a"],"properties":{"a":{"type":"number"}}},
+                      {"required":["b"],"properties":{"b":{"type":"string"}}}],
+             "unevaluatedProperties":false}},
+           "ja":{"json":{"contains":{"type":"number"},
+             "unevaluatedItems":false}}}}""",
+      Seq("doc_id"))
+  }
+
+  val sqlValidateUnevalDynamic: String =
+    """WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+       SELECT doc_id, keyword, instance_path FROM (
+         SELECT doc_id, 'columns/j/json/unevaluatedProperties' AS keyword,
+                'j!json' AS instance_path FROM d WHERE m IN (2, 3)
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/anyOf', 'j!json' FROM d WHERE m = 3
+         UNION ALL
+         SELECT doc_id, 'columns/j/json/!parse', 'j!json' FROM d WHERE m = 4
+         UNION ALL
+         SELECT doc_id, 'columns/ja/json/unevaluatedItems', 'ja!json'
+           FROM d WHERE m = 1
+         UNION ALL
+         SELECT doc_id, 'columns/ja/json/contains', 'ja!json' FROM d WHERE m = 2
+         UNION ALL
+         SELECT doc_id, 'columns/ja/json/!parse', 'ja!json' FROM d WHERE m = 4)
+       ORDER BY doc_id, keyword"""
+
   /** (query, oracle) registry for this batch. */
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_validate_crossdoc" -> ((qValidateCrossdoc _, sqlValidateCrossdoc)),
-    "q_validate_recursive" -> ((qValidateRecursive _, sqlValidateRecursive))
+    "q_validate_recursive" -> ((qValidateRecursive _, sqlValidateRecursive)),
+    "q_validate_uneval_dynamic" -> ((qValidateUnevalDynamic _, sqlValidateUnevalDynamic))
   )
 }
