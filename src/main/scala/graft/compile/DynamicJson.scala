@@ -246,8 +246,14 @@ object DynamicJson {
       concat(lit("maxItems: got "), size(arr).cast(StringType), lit(s", want <= $n")),
       ErrorKind.MaxItems(n)))
     if (node.uniqueItems) {
-      // canonical-JSON dedup = deep equality incl. sorted object keys
-      val canonArr = transform(arr, e => canon(e))
+      // canonical-JSON dedup = deep equality incl. sorted object keys;
+      // NUMBERS canonicalize through decimal so 2 and 2.0 are the same
+      // element (the reference's numeric equality, exercised by
+      // Extra-Test-Suite uniqueItems.json "zero fraction")
+      val canonArr = transform(arr, e =>
+        when(jsonTypeOf(e) === lit("number"),
+          coalesce(asDec(e).cast(org.apache.spark.sql.types.StringType), canon(e)))
+          .otherwise(canon(e)))
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
         lit("uniqueItems: duplicate items found"),
         ErrorKind.UniqueItemsK)
@@ -405,8 +411,10 @@ object DynamicJson {
       // contentSchema recurses DYNAMICALLY: the decoded payload is itself
       // schema-unknown JSON, so it parses to variant and re-enters this
       // compiler (static mode instead derives a struct type — both mirror
-      // validator.go:497-510's decode-then-validate)
-      node.contentSchema.foreach { cs =>
+      // validator.go:497-510's decode-then-validate). Per 2020-12 (and the
+      // reference, Extra-Test-Suite contentSchema.json group 2) it MUST be
+      // ignored when contentMediaType is absent.
+      node.contentSchema.filter(_ => node.contentMediaType.nonEmpty).foreach { cs =>
         val parsed = b(when(t === "string", try_parse_json(contentValue)))
         out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder, depth + 1)
       }
@@ -545,14 +553,27 @@ object DynamicJson {
         ErrorKind.NotK)
     }
     node.ifS.foreach { ifn =>
-      val ifPred = coalesce(predicate(spec, ifn, v, stack, depth), lit(false))
-      node.thenS.foreach { tn =>
-        compile(spec, tn, v, instPath, stack, binder, depth)
-          .foreach(c => out += c.copy(pred = !ifPred || c.pred))
-      }
-      node.elseS.foreach { en =>
-        compile(spec, en, v, instPath, stack, binder, depth)
-          .foreach(c => out += c.copy(pred = ifPred || c.pred))
+      ifn.boolSchema match {
+        // literal-if pruning: the dead branch is never compiled, so an
+        // unresolvable $ref inside it is never touched (the reference skips
+        // the dead branch the same way — Extra-Test-Suite
+        // draft7/if-then-else.json refs 'blah/blah.json' in skipped branches)
+        case Some(true) => node.thenS.foreach { tn =>
+          out ++= compile(spec, tn, v, instPath, stack, binder, depth)
+        }
+        case Some(false) => node.elseS.foreach { en =>
+          out ++= compile(spec, en, v, instPath, stack, binder, depth)
+        }
+        case None =>
+          val ifPred = coalesce(predicate(spec, ifn, v, stack, depth), lit(false))
+          node.thenS.foreach { tn =>
+            compile(spec, tn, v, instPath, stack, binder, depth)
+              .foreach(c => out += c.copy(pred = !ifPred || c.pred))
+          }
+          node.elseS.foreach { en =>
+            compile(spec, en, v, instPath, stack, binder, depth)
+              .foreach(c => out += c.copy(pred = ifPred || c.pred))
+          }
       }
     }
 

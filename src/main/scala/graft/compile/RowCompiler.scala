@@ -797,8 +797,9 @@ object RowCompiler {
           ErrorKind.ContentMediaTypeK(mt))
       }
       // contentSchema: recursive compile over from_json
-      // (/root/reference/validator.go:497-510)
-      node.contentSchema.foreach { cs =>
+      // (/root/reference/validator.go:497-510). Per 2020-12 (and the
+      // reference) it is IGNORED when contentMediaType is absent
+      node.contentSchema.filter(_ => node.contentMediaType.nonEmpty).foreach { cs =>
         val st = sparkTypeOf(cs, kw("contentSchema"))
         val parsed0 = from_json(contentValue, st)
         // parse once per row, not once per emitted check
@@ -1245,20 +1246,30 @@ object RowCompiler {
         ErrorKind.NotK)
     }
     // if/then/else — conditional gating of the branch checks
-    // (/root/reference/validator.go:622-630); a literal-false `if` prunes the
-    // branch at compile time (objcompiler.go:226-237 analogue via Catalyst
-    // ConstantFolding)
+    // (/root/reference/validator.go:622-630); a LITERAL boolean `if` prunes
+    // the dead branch before compilation, so an unresolvable $ref inside it
+    // is never resolved (objcompiler.go:226-237 analogue, but at OUR compile
+    // time rather than Catalyst's — ref resolution happens here)
     node.ifS.foreach { ifn =>
-      val ifPred = coalesce(predicate(spec, ifn, v, dt, stack, depth), lit(false))
-      node.thenS.foreach { tn =>
-        compile(spec, tn, v, dt, instPath, stack, binder, depth).foreach { c =>
-          out += c.copy(pred = !ifPred || c.pred)
+      ifn.boolSchema match {
+        case Some(true) => node.thenS.foreach { tn =>
+          out ++= compile(spec, tn, v, dt, instPath, stack, binder, depth)
         }
-      }
-      node.elseS.foreach { en =>
-        compile(spec, en, v, dt, instPath, stack, binder, depth).foreach { c =>
-          out += c.copy(pred = ifPred || c.pred)
+        case Some(false) => node.elseS.foreach { en =>
+          out ++= compile(spec, en, v, dt, instPath, stack, binder, depth)
         }
+        case None =>
+          val ifPred = coalesce(predicate(spec, ifn, v, dt, stack, depth), lit(false))
+          node.thenS.foreach { tn =>
+            compile(spec, tn, v, dt, instPath, stack, binder, depth).foreach { c =>
+              out += c.copy(pred = !ifPred || c.pred)
+            }
+          }
+          node.elseS.foreach { en =>
+            compile(spec, en, v, dt, instPath, stack, binder, depth).foreach { c =>
+              out += c.copy(pred = ifPred || c.pred)
+            }
+          }
       }
     }
 

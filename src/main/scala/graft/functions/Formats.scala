@@ -77,10 +77,13 @@ object Formats {
 
   /** email — pragmatic RFC 5321 subset mirroring
     * /root/reference/format.go:299-375: dot-separated atoms or quoted local
-    * part, domain = hostname or bracketed IP.
+    * part (backslash and quote are NOT allowed inside quotes — the
+    * reference's rule, exercised by Extra-Test-Suite
+    * draft2020-12/optional/format/email.json), domain = hostname or
+    * bracketed IP.
     */
   private def emailOk(v: Column): Column = {
-    val local = "(?:[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*|\"(?:[^\"\\\\]|\\\\.)*\")"
+    val local = "(?:[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*|\"[^\"\\\\]*\")"
     val domRe = "(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*|\\[[0-9A-Fa-f:.]+\\])"
     v.rlike(s"^$local@$domRe$$")
   }

@@ -118,7 +118,21 @@ final case class Dialect(
     banned: Set[String],
     arrayFormItems: Boolean = true,
     booleanExclusive: Boolean = true,
-    numericExclusive: Boolean = true)
+    numericExclusive: Boolean = true,
+    // strict (default): unknown / out-of-dialect keywords are typed spec
+    // errors — the engine's lint-grade hardening. strict = false is
+    // REFERENCE-COMPAT mode: such keywords are ignored annotations, which is
+    // JSON Schema's open-keyword semantics and what the reference does on
+    // its own test suite (a draft-4 resource carrying `unevaluatedProperties`
+    // simply ignores it, /root/reference/testdata/Extra-Test-Suite/tests/
+    // draft2020-12/mixed-dialects.json)
+    strict: Boolean = true,
+    // keywords disabled by the active meta-schema's `$vocabulary` — ALWAYS
+    // ignored regardless of strictness (that is the 2020-12 vocabulary
+    // contract, /root/reference/vocab.go + metaschemas/draft/2020-12)
+    vocabDisabled: Set[String] = Set.empty) {
+  def compat: Dialect = copy(strict = false)
+}
 
 object Dialect {
   private val kw2019 = Set("dependentRequired", "dependentSchemas",
@@ -133,20 +147,21 @@ object Dialect {
   /** Lenient default: all compat forms accepted. */
   val Default: Dialect = Dialect("default", Set.empty)
   val V2020: Dialect = Dialect("2020-12",
-    Set("dependencies", "additionalItems") ++ kwRecursive,
+    Set("dependencies", "additionalItems", "id") ++ kwRecursive,
     arrayFormItems = false, booleanExclusive = false)
   val V2019: Dialect = Dialect("2019-09",
-    Set("dependencies") ++ kw2020, booleanExclusive = false)
+    Set("dependencies", "id") ++ kw2020, booleanExclusive = false)
   val Draft7: Dialect = Dialect("draft-07",
-    kw2019 ++ kw2020 ++ kwRecursive ++ Set("contentSchema"),
+    kw2019 ++ kw2020 ++ kwRecursive ++ Set("contentSchema", "id"),
     booleanExclusive = false)
   val Draft6: Dialect = Dialect("draft-06",
     kw2019 ++ kw2020 ++ kwDraft7 ++ kwRecursive ++
-      Set("contentSchema", "contentEncoding", "contentMediaType"),
+      Set("contentSchema", "contentEncoding", "contentMediaType", "id"),
     booleanExclusive = false)
+  // draft-4 spells the resource id `id`; `$id` arrived in draft-6
   val Draft4: Dialect = Dialect("draft-04",
     kw2019 ++ kw2020 ++ kwDraft7 ++ kwDraft6 ++ kwRecursive ++
-      Set("contentSchema"),
+      Set("contentSchema", "$id"),
     numericExclusive = false)
 
   /** Recognize the five official meta-schema URLs (http/https, optional
@@ -163,10 +178,148 @@ object Dialect {
       case _                                              => None
     }
 
+  /** 2020-12 / 2019-09 vocabulary URI → the keywords that vocabulary
+    * defines. A meta-schema's `$vocabulary` object lists the vocabularies in
+    * use; keywords of UNLISTED vocabularies are not keywords under that
+    * meta-schema and are ignored (the reference's vocabulary gating,
+    * /root/reference/vocab.go, exercised by Extra-Test-Suite
+    * vocabulary.json / mixed-dialects.json). Core is never disableable.
+    */
+  private val applicatorKw = Set("allOf", "anyOf", "oneOf", "not", "if",
+    "then", "else", "dependentSchemas", "prefixItems", "items",
+    "additionalItems", "contains", "properties", "patternProperties",
+    "additionalProperties", "propertyNames", "dependencies")
+  private val unevaluatedKw = Set("unevaluatedItems", "unevaluatedProperties")
+  private val validationKw = Set("type", "enum", "const", "multipleOf",
+    "maximum", "exclusiveMaximum", "minimum", "exclusiveMinimum",
+    "maxLength", "minLength", "pattern", "maxItems", "minItems",
+    "uniqueItems", "maxContains", "minContains", "maxProperties",
+    "minProperties", "required", "dependentRequired")
+  private val contentKw = Set("contentEncoding", "contentMediaType",
+    "contentSchema")
+  private val metaDataKw = Set("title", "description", "default",
+    "deprecated", "readOnly", "writeOnly", "examples")
+
+  private def vocabUris(draft: String, name: String, kws: Set[String]) =
+    Map(s"https://json-schema.org/draft/$draft/vocab/$name" -> kws)
+
+  private val knownVocabs: Map[String, Set[String]] =
+    Seq("2020-12", "2019-09").flatMap { d =>
+      vocabUris(d, "core", Set.empty) ++
+        vocabUris(d, "applicator",
+          // 2019-09 folds unevaluated* into applicator; 2020-12 splits them
+          if (d == "2019-09") applicatorKw ++ unevaluatedKw else applicatorKw) ++
+        vocabUris(d, "unevaluated", unevaluatedKw) ++
+        vocabUris(d, "validation", validationKw) ++
+        vocabUris(d, "format", Set("format")) ++
+        vocabUris(d, "format-annotation", Set("format")) ++
+        vocabUris(d, "format-assertion", Set("format")) ++
+        vocabUris(d, "content", contentKw) ++
+        vocabUris(d, "meta-data", metaDataKw)
+    }.toMap
+
+  private val allVocabKw: Set[String] =
+    applicatorKw ++ unevaluatedKw ++ validationKw ++ contentKw ++
+      metaDataKw + "format"
+
+  // meta-schema URL → derived dialect, memoized per JVM (meta-schemas are
+  // immutable documents; the reference memoizes compiled meta-schemas the
+  // same way, /root/reference/roots.go:62-68)
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Dialect]]
+
+  /** Test hook: loaders are swappable in tests (per-case remote maps), so
+    * the memoized meta-schema dialects must be clearable with them.
+    */
+  def clearMetaCache(): Unit = metaCache.clear()
+
+  /** The vocabulary URIs a draft defines — `$vocabulary` entries marked
+    * must-understand (`true`) outside this set are typed errors, mirroring
+    * the reference's UnsupportedVocabularyError
+    * (/root/reference/testdata/invalid_schemas.json UnsupportedVocabulary-*:
+    * a 2019-09 vocabulary under a 2020-12 meta-schema is unsupported even
+    * though the URI 'exists').
+    */
+  private def draftVocabs(d: Dialect): Map[String, Set[String]] = d.name match {
+    case n if n.startsWith("2020-12") =>
+      knownVocabs.view.filterKeys(_.contains("/draft/2020-12/")).toMap
+    case n if n.startsWith("2019-09") =>
+      knownVocabs.view.filterKeys(_.contains("/draft/2019-09/")).toMap
+    case _ => knownVocabs // pre-vocabulary drafts: accept any known URI
+  }
+
+  /** Dialect from a CUSTOM meta-schema document fetched through the loader
+    * registry, walking the META-SCHEMA CHAIN like the reference's
+    * draftFromURL (/root/reference/draft.go:138-163 + roots.go:103-150):
+    * an unknown `$schema` URL loads its document and recurses on THAT
+    * document's `$schema` until an official draft is found. A chain cycle
+    * and a self-declared non-official meta-schema are typed errors
+    * (MetaSchemaCycleError / UnsupportedDraftError analogues). Then the
+    * document's `$vocabulary` gates keywords: keywords of unlisted
+    * vocabularies are disabled (ignored at parse); a must-understand
+    * vocabulary outside the draft's vocabulary set is a typed error.
+    * Returns None when the URL's scheme has no registered loader or the
+    * document fails to load (the `$schema` then stays an annotation, the
+    * engine's lenient default).
+    */
+  def fromMetaSchema(url: String): Option[Dialect] =
+    metaCache.getOrElseUpdate(url, metaDialect(url, Nil))
+
+  private def metaDialect(url0: String, visiting: List[String]): Option[Dialect] = {
+    val url = url0.stripSuffix("#")
+    fromUrl(url).orElse {
+      val scheme = url.takeWhile(_ != ':')
+      if (scheme.isEmpty || scheme == url || !Spec.knownSchemes.contains(scheme))
+        None
+      else if (visiting.contains(url))
+        throw SpecError(url,
+          s"meta-schema cycle: ${(url :: visiting).reverse.mkString(" -> ")}")
+      else {
+        val loaded =
+          try Some(Spec.documentFromUrl(url))
+          catch { case _: SpecError => None } // unloadable → stays annotation
+        loaded.filter(_.isObject).flatMap { doc =>
+          val selfSchema = Option(doc.get("$schema")).filter(_.isTextual)
+            .map(_.asText().stripSuffix("#"))
+          val base = selfSchema match {
+            case Some(s) if s == url =>
+              throw SpecError(url,
+                "unsupported draft: self-declared meta-schema is not an " +
+                  "official dialect")
+            case Some(s) =>
+              metaDialect(s, url :: visiting).getOrElse(Default)
+            case None => Default
+          }
+          val allowed = draftVocabs(base)
+          Option(doc.get("$vocabulary")).filter(_.isObject).map { v =>
+            val fields = v.fieldNames().asScala.toVector.map(k => k -> v.get(k))
+            fields.foreach { case (uri, req) =>
+              if (req.isBoolean && req.asBoolean() && !allowed.contains(uri) &&
+                  !uri.contains("/vocab/core"))
+                throw SpecError(url,
+                  s"meta-schema requires unsupported vocabulary '$uri'")
+            }
+            val enabledKw = fields.map(_._1)
+              .flatMap(u => allowed.getOrElse(u, Set.empty[String])).toSet
+            base.copy(name = s"${base.name}+vocab($url)",
+              vocabDisabled = allVocabKw -- enabledKw)
+          }.orElse(Some(base))
+        }
+      }
+    }
+  }
+
+  /** Resolve a `$schema` URL: one of the five official meta-schemas, or a
+    * custom meta-schema reachable through the loader registry (vocabulary
+    * gating); None → the URL stays an annotation.
+    */
+  def resolve(url: String): Option[Dialect] =
+    fromUrl(url).orElse(fromMetaSchema(url))
+
   /** Dialect of a document from its root `$schema`, lenient otherwise. */
   def ofDocument(root: com.fasterxml.jackson.databind.JsonNode): Dialect =
     Option(root.get("$schema")).filter(_.isTextual)
-      .flatMap(u => fromUrl(u.asText())).getOrElse(Default)
+      .flatMap(u => resolve(u.asText())).getOrElse(Default)
 }
 
 object SchemaNode {
@@ -210,25 +363,66 @@ object SchemaNode {
     // $dynamicRef to it (resolution semantics coincide for root anchors:
     // outermost declaring resource on the scope chain wins)
     "$recursiveAnchor", "$recursiveRef",
-    // $schema: dialect annotation, honored at DOCUMENT roots (Dialect.ofDocument)
-    // and otherwise ignored; $id stays rejected (documents are addressed by
-    // their loader URL, not self-declared identifiers)
+    // $schema: dialect annotation, honored at DOCUMENT roots
+    // (Dialect.ofDocument) and at EMBEDDED-RESOURCE roots (a node carrying
+    // $id / draft-4 id switches dialect for its subtree — the reference's
+    // per-resource draft selection, /root/reference/roots.go:103-150)
     "$schema",
-    // $defs: navigation-only schema container (2020-12 allows it in any
-    // schema; refs address its entries by raw JSON pointer) — entries are
-    // walked for anchors + meta-validation, not parsed into the node
-    "$defs"
+    // $id / draft-4 id: an ABSOLUTE URI names this node as an embedded
+    // resource, indexed doc-wide so `$ref: "<that-uri>"` resolves to it
+    // (/root/reference/root.go:33-76). A RELATIVE $id is rejected: it would
+    // demand base-URI rebasing of every inner ref, which this engine does
+    // not do (documents are addressed by their loader URL).
+    "$id", "id",
+    // $vocabulary: meaningful only in meta-schema documents (read by
+    // Dialect.fromMetaSchema); accepted as an annotation elsewhere
+    "$vocabulary",
+    // $defs / draft≤7 definitions: navigation-only schema containers
+    // (2020-12 allows them in any schema; refs address entries by raw JSON
+    // pointer) — entries are walked for anchors + meta-validation, not
+    // parsed into the node
+    "$defs", "definitions"
   )
 
   /** Parse one schema node. Rejects unknown keywords and ill-typed keyword
     * values with typed SpecErrors — this *is* our metaschema validation
     * (mirrors /root/reference/roots.go:53-56).
     */
-  def parse(n: JsonNode, path: Vector[String],
-            dialect: Dialect = Dialect.Default): SchemaNode = {
+  def parse(n0: JsonNode, path: Vector[String],
+            dialect0: Dialect = Dialect.Default): SchemaNode = {
     val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
-    if (n.isBoolean) return SchemaNode(path = path, boolSchema = Some(n.asBoolean()))
-    if (!n.isObject) throw SpecError(at, s"schema must be object or boolean, got ${n.getNodeType}")
+    if (n0.isBoolean) return SchemaNode(path = path, boolSchema = Some(n0.asBoolean()))
+    if (!n0.isObject) throw SpecError(at, s"schema must be object or boolean, got ${n0.getNodeType}")
+
+    // per-resource dialect: a node that IS a resource root (document root,
+    // or carries $id / draft-4 id) may switch dialect via its own $schema —
+    // the reference compiles mixed-dialect documents the same way
+    // (/root/reference/roots.go:103-150). Strictness is inherited: compat
+    // mode stays compat across resource boundaries.
+    val dialect: Dialect =
+      if (path.nonEmpty && !n0.hasNonNull("$id") && !n0.hasNonNull("id")) dialect0
+      else Option(n0.get("$schema")).filter(_.isTextual)
+        .flatMap(u => Dialect.resolve(u.asText()))
+        .map(_.copy(strict = dialect0.strict))
+        .getOrElse(dialect0)
+
+    // vocabulary-disabled keywords are ALWAYS ignored; in compat
+    // (non-strict) mode, unknown and out-of-dialect keywords are too —
+    // pruned from a copy so the rest of the parse never sees them (their
+    // values need not even be well-formed: `allOf: 1` under a no-applicator
+    // meta-schema is an ignored annotation, Extra-Test-Suite vocabulary.json)
+    val drop = n0.fieldNames().asScala.filter { k =>
+      dialect.vocabDisabled.contains(k) ||
+        (!dialect.strict &&
+          (!knownKeywords.contains(k) || dialect.banned.contains(k)))
+    }.toSet
+    val n: JsonNode =
+      if (drop.isEmpty) n0
+      else {
+        val c = n0.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        drop.foreach(c.remove)
+        c
+      }
 
     n.fieldNames().asScala.foreach { k =>
       if (!knownKeywords.contains(k)) throw SpecError(at, s"unknown keyword '$k'")
@@ -239,8 +433,21 @@ object SchemaNode {
     }
     // navigation-only / anchor keywords: shape-checked here, handled at the
     // Spec level (anchor collection, pointer navigation)
-    Option(n.get("$defs")).foreach { d =>
-      if (!d.isObject) throw SpecError(s"$at/$$defs", "expected object")
+    Seq("$defs", "definitions").foreach { dk =>
+      Option(n.get(dk)).foreach { d =>
+        if (!d.isObject) throw SpecError(s"$at/$dk", "expected object")
+      }
+    }
+    Seq("$id", "id").foreach { ik =>
+      Option(n.get(ik)).foreach { v =>
+        if (!v.isTextual || !v.asText().matches("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"))
+          throw SpecError(s"$at/$ik",
+            s"expected an absolute URI (relative resource ids are not " +
+              s"supported — documents are addressed by loader URL), got $v")
+      }
+    }
+    Option(n.get("$vocabulary")).foreach { v =>
+      if (!v.isObject) throw SpecError(s"$at/$$vocabulary", s"expected object, got $v")
     }
     Option(n.get("$dynamicAnchor")).foreach { a =>
       if (!a.isTextual) throw SpecError(s"$at/$$dynamicAnchor", s"expected string, got $a")

@@ -133,6 +133,11 @@ final case class Spec(
     // that participates in dynamic-scope resolution
     // (/root/reference/objcompiler.go:318-336)
     dynAnchors: Map[String, (JsonNode, Vector[String])] = Map.empty,
+    // EMBEDDED-RESOURCE index: absolute URI (from a nested `$id` / draft-4
+    // `id`) -> (raw node, spec path) — `$ref: "<uri>"` resolves here before
+    // the loader registry (the reference's per-root resource map,
+    // /root/reference/root.go:33-76)
+    resources: Map[String, (JsonNode, Vector[String])] = Map.empty,
     // dialect selected by the root document's $schema (per-resource:
     // external documents carry their own, read at load)
     dialect: Dialect = Dialect.Default
@@ -147,16 +152,22 @@ final case class Spec(
   @transient private lazy val extDocs =
     scala.collection.concurrent.TrieMap
       .empty[String, (JsonNode, Map[String, (JsonNode, Vector[String])],
-        Map[String, (JsonNode, Vector[String])], Dialect)]
+        Map[String, (JsonNode, Vector[String])], Dialect,
+        Map[String, (JsonNode, Vector[String])])]
 
   private[graft] def externalDoc(url: String)
       : (JsonNode, Map[String, (JsonNode, Vector[String])],
-         Map[String, (JsonNode, Vector[String])], Dialect) =
+         Map[String, (JsonNode, Vector[String])], Dialect,
+         Map[String, (JsonNode, Vector[String])]) =
     extDocs.getOrElseUpdate(url, {
       val d = Spec.documentFromUrl(url)
       val (a, da) = Spec.collectAnchorsDoc(d)
-      // per-resource dialect from the external document's own $schema
-      (d, a, da, if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
+      // per-document dialect from the external document's own $schema;
+      // STRICTNESS inherits from the root spec, so reference-compat parses
+      // stay compat across document boundaries
+      val dx = (if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
+        .copy(strict = dialect.strict)
+      (d, a, da, dx, Spec.collectResourcesDoc(d))
     })
 
   /** Dynamic anchors of a document on the compile-time scope chain
@@ -238,10 +249,50 @@ final case class Spec(
         case None => throw SpecError(ref, s"unresolved $$ref: no $$anchor '$name'")
       }
     } else if (ref.indexOf(':') > 0) {
-      // cross-document: split URL / fragment, load via the loader registry
+      // cross-document: split URL / fragment; EMBEDDED resources (nested
+      // $id in this or any already-loaded document) resolve before the
+      // loader registry, like the reference's resource map
+      // (/root/reference/roots.go:62-68 checks loaded roots first)
       val h = ref.indexOf('#')
       val (url, frag) = if (h >= 0) (ref.substring(0, h), ref.substring(h + 1)) else (ref, "")
-      val (doc, extAnchors, _, extDialect) = externalDoc(url)
+      embeddedResource(url) match {
+        case Some((resNode, resPath, homeUrl)) =>
+          val (tgt, tpath) =
+            if (frag.isEmpty) (resNode, resPath)
+            else if (frag.startsWith("/")) {
+              val (nn, segs) = navigate(resNode, frag.drop(1), ref)
+              (nn, resPath ++ segs)
+            } else throw SpecError(ref,
+              s"anchor fragment into embedded resource '$url' is not " +
+                "supported (use a JSON-pointer fragment)")
+          // the resource node carries $id, so SchemaNode.parse switches to
+          // its own $schema dialect if it declares one
+          if (homeUrl.isEmpty) SchemaNode.parse(tgt, tpath, dialect)
+          else SchemaNode.rebase(
+            SchemaNode.parse(tgt, (homeUrl + "#") +: tpath, dialectOf(homeUrl)),
+            homeUrl)
+        case None => resolveLoaded(url, frag, ref)
+      }
+    } else
+      throw SpecError(ref,
+        "expected '#/<json-pointer>', '#<anchor>', or a cross-document " +
+          "'<scheme>:<doc>#<fragment>' reference")
+  }
+
+  /** Embedded resource named `url`: this document's index first, then any
+    * already-loaded external document (deterministic URL order). Returns
+    * (node, path, home document URL — "" for the root spec document).
+    */
+  private def embeddedResource(url: String)
+      : Option[(JsonNode, Vector[String], String)] =
+    resources.get(url).map { case (n, p) => (n, p, "") }.orElse(
+      extDocs.toVector.sortBy(_._1).iterator.flatMap {
+        case (docUrl, (_, _, _, _, res)) =>
+          res.get(url).map { case (n, p) => (n, p, docUrl) }
+      }.nextOption())
+
+  private def resolveLoaded(url: String, frag: String, ref: String): SchemaNode = {
+      val (doc, extAnchors, _, extDialect, _) = externalDoc(url)
       val prefix = url + "#"
       val (node, path) =
         if (frag.isEmpty) (doc, Vector(prefix))
@@ -254,10 +305,6 @@ final case class Spec(
             throw SpecError(ref, s"unresolved $$ref: no $$anchor '$frag' in $url")
         }
       SchemaNode.rebase(SchemaNode.parse(node, path, extDialect), url)
-    } else
-      throw SpecError(ref,
-        "expected '#/<json-pointer>', '#<anchor>', or a cross-document " +
-          "'<scheme>:<doc>#<fragment>' reference")
   }
 }
 
@@ -363,12 +410,20 @@ object Spec {
     Set("$defs", "columns", "required", "row", "table", "title", "description",
       "$comment", "$schema", "$id")
 
-  def parse(root: JsonNode): Spec = {
+  def parse(root: JsonNode): Spec = parse(root, compat = false)
+
+  /** Parse with `compat = true` for REFERENCE-COMPAT keyword semantics:
+    * unknown / out-of-dialect keywords inside schema nodes are ignored
+    * annotations (JSON Schema's open-keyword model, what the reference does
+    * on its own test suite) instead of typed errors. Default stays strict.
+    */
+  def parse(root: JsonNode, compat: Boolean): Spec = {
     if (!root.isObject) throw SpecError("#", "spec root must be an object")
     root.fieldNames().asScala.foreach { k =>
       if (!topKeywords.contains(k)) throw SpecError("#", s"unknown top-level keyword '$k'")
     }
-    val dialect = Dialect.ofDocument(root)
+    val dialect0 = Dialect.ofDocument(root)
+    val dialect = if (compat) dialect0.compat else dialect0
 
     val defs = Option(root.get("$defs")).map { d =>
       if (!d.isObject) throw SpecError("#/$defs", "expected object")
@@ -404,7 +459,7 @@ object Spec {
     val (anchors, dynAnchors) = collectAnchorsDoc(root)
     Spec(columns, required, rowRules, table, defs,
       raw = Some(root), anchors = anchors, dynAnchors = dynAnchors,
-      dialect = dialect)
+      resources = collectResourcesDoc(root), dialect = dialect)
   }
 
   /** Split an RFC 6901 JSON pointer into unescaped segments: `~1` → `/`,
@@ -454,11 +509,11 @@ object Spec {
   private[spec] val arraySchemaKw = Seq("prefixItems", "allOf", "anyOf", "oneOf",
     "items")
   // "dependencies" values: schemas walk, draft-7 string arrays are data.
-  // "$defs" is a navigation-only container (2020-12 allows it in any schema;
-  // refs address its entries by raw pointer) — its entries are schema
-  // positions for anchor collection and meta-validation.
+  // "$defs" / draft≤7 "definitions" are navigation-only containers (2020-12
+  // allows them in any schema; refs address entries by raw pointer) — their
+  // entries are schema positions for anchor collection and meta-validation.
   private[spec] val mapSchemaKw = Seq("properties", "patternProperties",
-    "dependentSchemas", "dependencies", "$defs")
+    "dependentSchemas", "dependencies", "$defs", "definitions")
 
   /** Schema-node walk from an arbitrary starting node. */
   private[spec] def walkFrom(start: JsonNode, startPath: Vector[String])
@@ -559,6 +614,46 @@ object Spec {
       }
     }
     (out.toMap, dyn.toMap)
+  }
+
+  /** Index every EMBEDDED RESOURCE of a document: a schema-position node
+    * whose `$id` (or draft-4 `id`) is an absolute URI, keyed by that URI
+    * (trailing '#' stripped) — the reference's per-root resource map
+    * (/root/reference/root.go:33-76). Duplicate resource URIs are typed
+    * errors. Anchors inside embedded resources stay in the DOCUMENT-wide
+    * anchor map (documented approximation: per 2020-12 they are scoped to
+    * their resource; a duplicate name across resources in one document is
+    * rejected rather than shadowed).
+    */
+  private[spec] def collectResourcesDoc(root: JsonNode)
+      : Map[String, (JsonNode, Vector[String])] = {
+    val absUri = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+    val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
+    walkDoc(root) { (n, path) =>
+      if (n.isObject && path.nonEmpty) { // document root is addressed by URL
+        val at = "#/" + path.mkString("/")
+        // ABSOLUTE ids index by URI (addressable by $ref). RELATIVE ids are
+        // not addressable here (no base-URI rebasing; a PARSED node with a
+        // relative $id is a typed error at SchemaNode.parse) but still
+        // participate in duplicate detection by raw text under a
+        // non-addressable key — mirroring the reference's eager DuplicateId
+        // rejection (/root/reference/testdata/invalid_schemas.json) while
+        // keeping unreferenced relative ids harmless (its
+        // MetaSchemaMismatch cases compile clean).
+        Seq("$id", "id").foreach { kw =>
+          Option(n.get(kw)).filter(_.isTextual).map(_.asText()).foreach { u =>
+            val key =
+              if (absUri.findFirstIn(u).isDefined) u.stripSuffix("#")
+              else "~relative~" + u.stripSuffix("#")
+            if (out.contains(key))
+              throw SpecError(s"$at/$kw",
+                s"duplicate resource id '${u.stripSuffix("#")}'")
+            out(key) = (n, path)
+          }
+        }
+      }
+    }
+    out.toMap
   }
 
   private def parseTable(t: JsonNode): Vector[TableConstraint] = {
