@@ -71,9 +71,15 @@ object Queries5 {
     * out-of-dialect keywords are ignored annotations, the reference's
     * open-keyword semantics).
     */
+  /** The inline-document URL [[wrapSchema]] routes a schema through —
+    * exposed so callers (the jv-parity CLI) can strip it back out of
+    * reported keyword paths.
+    */
+  def inlineUrl(schemaJson: String): String =
+    "inline+json:" + schemaJson.replace("%", "%25").replace("#", "%23")
+
   def wrapSchema(schemaJson: String): Spec = {
-    val url = "inline+json:" +
-      schemaJson.replace("%", "%25").replace("#", "%23")
+    val url = inlineUrl(schemaJson)
     Spec.parse(mapper.readTree(
       s"""{"columns":{"j":{"json":{"$$ref":${mapper.writeValueAsString(url)}}}}}"""),
       compat = true)

@@ -36,6 +36,13 @@ object Main {
 
     try {
       AudioGen.registerFormats()
+      // jv-parity mode: validate standalone JSON instances against a bare
+      // JSON Schema document (the reference CLI's primary UX,
+      // /root/reference/cmd/jv/main.go: `jv [OPTIONS] SCHEMA [INSTANCE...]`)
+      if (opts.contains("json-schema")) {
+        jvMode(spark, opts)
+        return
+      }
       val specDoc = opt("spec") match {
         case Some("clip-suite") => Spec.documentFromJson(graft.ClipSuite.specJson)
         case Some("clip-suite-deep") => Spec.documentFromJson(graft.ClipSuite.deepSpecJson)
@@ -147,11 +154,153 @@ object Main {
     }
   }
 
+  /** `jv SCHEMA [INSTANCE...]` parity (/root/reference/cmd/jv/main.go):
+    *   --json-schema <file|url|-> --instance a.json [--instance b.json]...
+    *   [--draft 4|6|7|2019|2020] [--map url_prefix=dir]... [--quiet]
+    *   [--output simple|alt|flag|basic|detailed]
+    * Output contract mirrors the reference: `schema X: ok|failed`, per
+    * instance `instance Y: ok|failed` + the chosen output format for
+    * failures; exit 1 on compile failure or any invalid instance, 2 on
+    * usage errors. Schemas parse in reference-compat mode (open keywords);
+    * `--draft` supplies the dialect when the document has no `$schema`
+    * (injected as the official meta-schema URL, like jv's DefaultDraft).
+    */
+  private def jvMode(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val quiet = opts.contains("quiet")
+    val outMode = opts.getOrElse("output", "simple")
+    if (!Set("simple", "alt", "flag", "basic", "detailed").contains(outMode))
+      usage(s"unknown --output '$outMode' for --json-schema mode")
+    // --map url_prefix=dir → loader-registry mappings (jv -m analogue)
+    val mappings = opts.get("map").toSeq.flatMap(_.split("\u0000")).map { m =>
+      val i = m.indexOf('=')
+      if (i <= 0 || i == m.length - 1) usage(s"invalid --map '$m'")
+      val pre = m.substring(0, i)
+      (if (pre.endsWith("/")) pre else pre + "/", m.substring(i + 1))
+    }
+    mappings.groupBy(_._1.takeWhile(_ != ':')).foreach { case (scheme, maps) =>
+      Spec.registerLoader(scheme, { url =>
+        maps.find { case (pre, _) => url.startsWith(pre) } match {
+          case Some((pre, dir)) =>
+            Spec.documentFromFile(
+              new java.io.File(dir, url.stripPrefix(pre)).getPath)
+          case None =>
+            throw SpecError(url, s"no --map prefix matches this URL")
+        }
+      })
+    }
+    val schemaArg = opts.getOrElse("json-schema", usage("missing --json-schema"))
+    val schemaDoc =
+      if (schemaArg == "-")
+        Spec.documentFromJson(scala.io.Source.stdin.mkString)
+      else if (schemaArg.contains("://")) Spec.documentFromUrl(schemaArg)
+      else Spec.documentFromFile(schemaArg) // .json or .yaml
+    // --draft: dialect default when the document carries no $schema
+    val draftUrl = opts.get("draft").map {
+      case "4"    => "http://json-schema.org/draft-04/schema"
+      case "6"    => "http://json-schema.org/draft-06/schema"
+      case "7"    => "http://json-schema.org/draft-07/schema"
+      case "2019" => "https://json-schema.org/draft/2019-09/schema"
+      case "2020" => "https://json-schema.org/draft/2020-12/schema"
+      case other  => usage(s"invalid --draft '$other' (4, 6, 7, 2019, 2020)")
+    }
+    val effectiveJson = (schemaDoc, draftUrl) match {
+      case (o: com.fasterxml.jackson.databind.node.ObjectNode, Some(u))
+          if !o.has("$schema") =>
+        val c = o.deepCopy(); c.put("$schema", u); c.toString
+      case _ => schemaDoc.toString
+    }
+    val instSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.StringType)))
+    val suite =
+      try {
+        val spec = graft.Queries5.wrapSchema(effectiveJson)
+        val s = SuiteCompiler.compile(spec, instSchema)
+        println(s"schema $schemaArg: ok")
+        s
+      } catch {
+        case e: SpecError =>
+          println(s"schema $schemaArg: failed")
+          if (!quiet) println(e.getMessage)
+          spark.stop()
+          sys.exit(1)
+      }
+    var allValid = true
+    opts.get("instance").toSeq.flatMap(_.split("\u0000")).foreach { path =>
+      if (!quiet) println()
+      val text =
+        try {
+          if (path == "-") scala.io.Source.stdin.mkString
+          else { // malformed JSON is a per-row !parse violation, so only
+                 // unreadable files fail here
+            val src = scala.io.Source.fromFile(path)
+            try src.mkString finally src.close()
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"instance $path: failed")
+            if (!quiet) println(e.toString)
+            allValid = false
+            null
+        }
+      if (text != null) {
+        val df = spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(0, text)), instSchema)
+        val vios0 = Engine.allViolations(df, suite, Seq("idx"), Map.empty)
+        // strip the synthetic inline-document URL and the wrapper column
+        // from reported coordinates so output reads like the reference's:
+        // '#/properties/x/type' at '/x'
+        val vios = {
+          import org.apache.spark.sql.functions.regexp_replace
+          import org.apache.spark.sql.functions.{col => cc}
+          val urlQ = java.util.regex.Pattern.quote(
+            graft.Queries5.inlineUrl(effectiveJson) + "#")
+          vios0.select(
+            regexp_replace(regexp_replace(cc("keyword"), urlQ, "#"),
+              "^columns/j/json", "#").as("keyword"),
+            regexp_replace(cc("instance_path"), "^0/j!json", "")
+              .as("instance_path"),
+            cc("detail"))
+        }
+        val n = vios.count()
+        if (n == 0) println(s"instance $path: ok")
+        else {
+          println(s"instance $path: failed")
+          allValid = false
+          if (!quiet) {
+            val units = graft.output.Output.collect(vios,
+              opts.get("limit").map(_.toInt).getOrElse(20))
+            outMode match {
+              case "flag"     => println(s"""{"valid":false}""")
+              case "basic"    => vios.orderBy("keyword", "instance_path")
+                .collect().foreach(r =>
+                  println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
+              case "detailed" => println(graft.output.Output.detailedJson(units))
+              case "alt"      => print(graft.output.Output.altText(units, n))
+              case _          => print(graft.output.Output.simpleText(units, n))
+            }
+          }
+        }
+      }
+    }
+    spark.stop()
+    sys.exit(if (allValid) 0 else 1)
+  }
+
   private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
       case "--no-metaspec" :: rest => // value-less flag
         parseArgs(rest, acc + ("no-metaspec" -> "true"))
+      case "--quiet" :: rest => // value-less flag (jv -q)
+        parseArgs(rest, acc + ("quiet" -> "true"))
+      case k :: v :: rest if k == "--instance" || k == "--map" =>
+        // repeatable flags accumulate (jv takes INSTANCE... and -m ...)
+        val key = k.stripPrefix("--")
+        parseArgs(rest, acc + (key ->
+          acc.get(key).map(_ + "\u0000" + v).getOrElse(v)))
       case "--ref" :: kv :: rest if kv.contains("=") =>
         val Array(n, dir) = kv.split("=", 2)
         parseArgs(rest, acc + (s"ref:$n" -> dir))
