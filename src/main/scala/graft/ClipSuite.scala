@@ -54,6 +54,24 @@ object ClipSuite {
     specJson.replace(""""clip_id":""", withBytes + "\n        \"clip_id\":")
   }
 
+  /** Signal suite: [[deepSpecJson]] PLUS the decode-derived `audioSignal`
+    * constraint family ([[graft.audio.AudioChecks]]) — clipping and silence
+    * checks plus container-vs-metadata sr consistency. (The family also
+    * supports DC-offset and duration-consistency checks, exercised with
+    * handcrafted clips in AudioChecksSpec; they are left out of THIS suite
+    * because the generated corpus deliberately truncates PCM to 1600
+    * samples, which would trip them on every clean row.) The corpus seeds
+    * sr mismatches — metadata sr 0 / -1 while the WAV container is 16 kHz —
+    * so srConsistent fires on real rows.
+    */
+  val signalSpecJson: String =
+    deepSpecJson.replace(""""stats":""",
+      """"audioSignal": { "bytes": "bytes", "key": "clip_id",
+            "srHz": "sr_hz",
+            "maxClippingRatio": 0.01, "minRmsDb": -60.0,
+            "srConsistent": true },
+        "stats":""")
+
   /** The reference codec dimension table (FIXTURES.md §2). */
   def refCodecs(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {

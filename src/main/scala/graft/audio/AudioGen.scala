@@ -147,8 +147,12 @@ object AudioGen {
     * then say `"bytes": {"format": "wav"}`; it is the ONLY path that touches
     * the `bytes` column, keeping the default pass scan-pruned.
     */
-  def registerFormats(): Unit =
+  def registerFormats(): Unit = {
     graft.functions.Formats.register("wav", c => decodedSamples(c).isNotNull)
+    // the audio bootstrap also brings the decode-derived signal constraint
+    // family (clipping / silence / DC / sr + duration consistency)
+    AudioChecks.register()
+  }
 
   /** SNR (dB) of stored bytes vs the expected generated signal, keyed by id —
     * the per-row PCM allclose oracle (SNR ≥ 30 dB).

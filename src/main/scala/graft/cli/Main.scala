@@ -46,6 +46,7 @@ object Main {
       val specDoc = opt("spec") match {
         case Some("clip-suite") => Spec.documentFromJson(graft.ClipSuite.specJson)
         case Some("clip-suite-deep") => Spec.documentFromJson(graft.ClipSuite.deepSpecJson)
+        case Some("clip-suite-signal") => Spec.documentFromJson(graft.ClipSuite.signalSpecJson)
         // anything URL-shaped routes through the loader registry — an
         // unregistered scheme is then a TYPED SpecError (exit 2), not a raw
         // FileNotFoundException from treating "s3://..." as a local path
