@@ -78,12 +78,16 @@ object Queries5 {
   def inlineUrl(schemaJson: String): String =
     "inline+json:" + schemaJson.replace("%", "%25").replace("#", "%23")
 
-  def wrapSchema(schemaJson: String): Spec = {
-    val url = inlineUrl(schemaJson)
+  def wrapSchema(schemaJson: String): Spec = wrapSchemaUrl(inlineUrl(schemaJson))
+
+  /** Same wrapping for a schema addressed by URL (file://, http://, …):
+    * the document keeps its base, so RELATIVE refs inside it resolve
+    * against its location.
+    */
+  def wrapSchemaUrl(url: String): Spec =
     Spec.parse(mapper.readTree(
       s"""{"columns":{"j":{"json":{"$$ref":${mapper.writeValueAsString(url)}}}}}"""),
       compat = true)
-  }
 
   /** Engine verdicts for JSON texts against a standalone JSON Schema
     * document (dynamic variant path), as a DataFrame (idx, valid). A

@@ -210,6 +210,14 @@ object Main {
         val c = o.deepCopy(); c.put("$schema", u); c.toString
       case _ => schemaDoc.toString
     }
+    // address file/URL schemas by THEIR location so RELATIVE refs inside
+    // them resolve against it (stdin and draft-injected copies have no
+    // addressable base and go through the inline document loader)
+    val draftInjected = effectiveJson != schemaDoc.toString
+    val docUrl: Option[String] =
+      if (schemaArg == "-" || draftInjected) None
+      else if (schemaArg.contains("://")) Some(schemaArg)
+      else Some("file://" + new java.io.File(schemaArg).getAbsolutePath)
     val instSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("idx",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -217,7 +225,10 @@ object Main {
         org.apache.spark.sql.types.StringType)))
     val suite =
       try {
-        val spec = graft.Queries5.wrapSchema(effectiveJson)
+        val spec = docUrl match {
+          case Some(u) => graft.Queries5.wrapSchemaUrl(u)
+          case None    => graft.Queries5.wrapSchema(effectiveJson)
+        }
         val s = SuiteCompiler.compile(spec, instSchema)
         println(s"schema $schemaArg: ok")
         s
@@ -257,7 +268,7 @@ object Main {
           import org.apache.spark.sql.functions.regexp_replace
           import org.apache.spark.sql.functions.{col => cc}
           val urlQ = java.util.regex.Pattern.quote(
-            graft.Queries5.inlineUrl(effectiveJson) + "#")
+            docUrl.getOrElse(graft.Queries5.inlineUrl(effectiveJson)) + "#")
           vios0.select(
             regexp_replace(regexp_replace(cc("keyword"), urlQ, "#"),
               "^columns/j/json", "#").as("keyword"),

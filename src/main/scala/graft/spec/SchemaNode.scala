@@ -726,8 +726,17 @@ object SchemaNode {
     * /root/reference/roots.go:103-150). Absolute refs pass through.
     */
   def rebase(n: SchemaNode, url: String): SchemaNode = {
+    // '#...' refs anchor to the document; RELATIVE URL refs (sibling.json,
+    // ../common.json#/x) join against the document base per RFC 3986 —
+    // real-world schema sets split across files use these constantly.
+    // When the join cannot work (opaque base, path escape) the ref is left
+    // as-is: resolution stays LAZY, so a dead if-branch's broken ref never
+    // fails eagerly (Extra-Test-Suite draft7/if-then-else.json).
     def rb(s: Option[String]): Option[String] =
-      s.map(r => if (r.startsWith("#")) url + r else r)
+      s.map { r =>
+        if (r.startsWith("#")) url + r
+        else Spec.tryResolveUrl(url, r).getOrElse(r)
+      }
     def rs(x: SchemaNode): SchemaNode = rebase(x, url)
     def re(e: Either[Boolean, SchemaNode]): Either[Boolean, SchemaNode] = e.map(rs)
     n.copy(

@@ -140,7 +140,14 @@ final case class Spec(
     resources: Map[String, (JsonNode, Vector[String])] = Map.empty,
     // dialect selected by the root document's $schema (per-resource:
     // external documents carry their own, read at load)
-    dialect: Dialect = Dialect.Default
+    dialect: Dialect = Dialect.Default,
+    // base URL of the ROOT document when it was loaded from an addressable
+    // location (fromFile / fromUrl) — RELATIVE $refs in the root document
+    // resolve against it (RFC 3986 reference resolution, the reference's
+    // base-URI behavior, /root/reference/roots.go:103-150). Documents built
+    // from in-memory JSON have no base: a relative ref there is a typed
+    // error.
+    baseUrl: Option[String] = None
 ) {
 
   /** Memoized external-document cache: url -> (document, anchors,
@@ -273,10 +280,19 @@ final case class Spec(
             homeUrl)
         case None => resolveLoaded(url, frag, ref)
       }
-    } else
-      throw SpecError(ref,
-        "expected '#/<json-pointer>', '#<anchor>', or a cross-document " +
-          "'<scheme>:<doc>#<fragment>' reference")
+    } else baseUrl.flatMap(b => Spec.tryResolveUrl(b, ref)) match {
+      // RELATIVE reference in the root document: join against the document
+      // base (fromFile / fromUrl) and resolve the absolute result — RFC
+      // 3986 reference resolution, matching the reference's base-URI
+      // behavior (roots.go:103-150)
+      case Some(abs) if abs != ref => resolve(abs, stack)
+      case _ =>
+        throw SpecError(ref,
+          "expected '#/<json-pointer>', '#<anchor>', or a cross-document " +
+            "'<scheme>:<doc>#<fragment>' reference (a RELATIVE reference " +
+            "resolves only when the document has a base — load the spec " +
+            "via fromFile/fromUrl)")
+    }
   }
 
   /** Embedded resource named `url`: this document's index first, then any
@@ -339,7 +355,38 @@ object Spec {
         throw SpecError(path, s"cannot read spec file: $e")
     }
 
-  def fromFile(path: String): Spec = parse(documentFromFile(path))
+  def fromFile(path: String): Spec =
+    parse(documentFromFile(path)).copy(
+      baseUrl = Some("file://" + new java.io.File(path).getAbsolutePath))
+
+  /** RFC 3986-lite reference resolution: join a relative reference against
+    * a hierarchical base URL ("./" and "../" normalized; the fragment rides
+    * along). None when the reference is already absolute, the base is
+    * opaque (e.g. `inline+json:`), or "../" escapes the base — callers keep
+    * the original string and the resolver's lazy typed error then applies
+    * (a ref in a pruned dead branch must never fail eagerly).
+    */
+  private[graft] def tryResolveUrl(base: String, rel: String): Option[String] = {
+    if (rel.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) return None // absolute
+    val h = rel.indexOf('#')
+    val (relPath, frag) =
+      if (h >= 0) (rel.substring(0, h), rel.substring(h)) else (rel, "")
+    val baseNoFrag = { val i = base.indexOf('#'); if (i >= 0) base.substring(0, i) else base }
+    if (relPath.isEmpty) return Some(baseNoFrag + frag)
+    val slash = baseNoFrag.lastIndexOf('/')
+    if (slash <= baseNoFrag.indexOf(':')) return None // opaque base
+    val joined = baseNoFrag.substring(0, slash) + "/" + relPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    joined.split("/", -1).foreach {
+      case "." =>
+      case ".." =>
+        if (out.nonEmpty && out.last.nonEmpty && !out.last.contains(':'))
+          out.remove(out.size - 1)
+        else return None // escapes the base
+      case s => out += s
+    }
+    Some(out.mkString("/") + frag)
+  }
 
   /** Scheme → loader registry — the reference's SchemeURLLoader
     * (/root/reference/loader.go:62-100): each loader receives the full URL
@@ -400,7 +447,8 @@ object Spec {
     }
   }
 
-  def fromUrl(url: String): Spec = parse(documentFromUrl(url))
+  def fromUrl(url: String): Spec =
+    parse(documentFromUrl(url)).copy(baseUrl = Some(url))
 
   // $schema / $id accepted at the ROOT as annotations (specs are single
   // documents; there is no multi-resource base-URI resolution to configure).

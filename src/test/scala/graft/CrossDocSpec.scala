@@ -140,6 +140,62 @@ class CrossDocSpec extends SparkTestBase {
     assert(!out(1)._1 && out(1)._2.exists(_.contains("required")), out(1).toString)
   }
 
+  test("RELATIVE refs between files resolve against the host document (RFC 3986)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("lib"))
+    java.nio.file.Files.writeString(dir.resolve("common.json"),
+      """{"$defs": {"rate": {"minimum": 8000}}}""")
+    // lib/mid.json chains UP a directory with ../ and sideways with ./
+    java.nio.file.Files.writeString(sub.resolve("mid.json"),
+      """{"$defs": {
+        |  "viaUp": {"$ref": "../common.json#/$defs/rate"},
+        |  "viaSide": {"$ref": "./leaf.json#/$defs/cap"}}}""".stripMargin)
+    java.nio.file.Files.writeString(sub.resolve("leaf.json"),
+      """{"$defs": {"cap": {"maximum": 48000}}}""")
+    val spec =
+      s"""{"columns": {"sr_hz": {"allOf": [
+            {"$$ref": "file://$dir/lib/mid.json#/$$defs/viaUp"},
+            {"$$ref": "file://$dir/lib/mid.json#/$$defs/viaSide"}]}}}"""
+    val out = validate(spec, intRowSchema, Seq(
+      Row(0, 16000), Row(1, 4000), Row(2, 96000)))
+    assert(out(0)._1)
+    assert(!out(1)._1 && out(1)._2.exists(_.contains("minimum")), out(1).toString)
+    assert(!out(2)._1 && out(2)._2.exists(_.contains("maximum")), out(2).toString)
+  }
+
+  test("ROOT document loaded fromFile resolves its own relative refs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_relroot")
+    java.nio.file.Files.writeString(dir.resolve("common.json"),
+      """{"$defs": {"rate": {"minimum": 8000, "maximum": 48000}}}""")
+    java.nio.file.Files.writeString(dir.resolve("spec.json"),
+      """{"columns": {"sr_hz": {"$ref": "common.json#/$defs/rate"}}}""")
+    val spec = Spec.fromFile(s"$dir/spec.json")
+    val df = spark.createDataFrame(
+      Seq(Row(0, 16000), Row(1, 4000)).asJava, intRowSchema)
+    val out = Validator.annotate(df, SuiteCompiler.compile(spec, df.schema))
+      .orderBy("__row").select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("relative ref without a document base is a typed error naming the fix") {
+    val e = intercept[SpecError] {
+      val spec = Spec.fromJson(
+        """{"columns": {"sr_hz": {"$ref": "common.json#/$defs/rate"}}}""")
+      SuiteCompiler.compile(spec, intRowSchema)
+    }
+    assert(e.getMessage.contains("fromFile"), e.getMessage)
+  }
+
+  test("../ escaping past the base root stays a lazy typed error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_relesc")
+    java.nio.file.Files.writeString(dir.resolve("spec.json"),
+      """{"columns": {"sr_hz":
+           {"$ref": "../../../../../../../../../x.json#/a"}}}""")
+    val spec = Spec.fromFile(s"$dir/spec.json")
+    val e = intercept[SpecError](SuiteCompiler.compile(spec, intRowSchema))
+    assert(e.getMessage.toLowerCase.contains("relative"), e.getMessage)
+  }
+
   test("$dynamicRef with a JSON-pointer fragment behaves exactly like $ref (2020-12 \u00a78.2.3.2)") {
     val spec = Spec.fromJson(
       """{"$defs": {"item": {"minimum": 5}},
