@@ -37,7 +37,15 @@ class FuzzSpec extends SparkTestBase {
                 "then":{"properties":{"s":{"minLength":1}}}}]}""",
     """{"columns":{"arr":{"items":[{"minimum":1}],"additionalItems":{"maximum":9},
                           "contains":{"multipleOf":2},"minItems":1},
-                   "s":{"dependencies":{"a":["b"]}}}}""")
+                   "s":{"dependencies":{"a":["b"]}}}}""",
+    // r4b surfaces: embedded $id resources, definitions containers,
+    // $vocabulary annotations — mutations must stay typed here too
+    """{"$defs":{"res":{"$id":"urn:graft:fuzz","minimum":1},
+                 "lib":{"definitions":{"old":{"maximum":9}}}},
+        "columns":{"a":{"allOf":[{"$ref":"#/$defs/lib/definitions/old"},
+                                 {"$ref":"urn:graft:fuzz"}]},
+                   "s":{"$vocabulary":{"https://example.com/v":true},
+                        "minLength":1}}}""")
 
   private val schema = StructType(Seq(
     StructField("a", IntegerType), StructField("s", StringType),
@@ -77,7 +85,7 @@ class FuzzSpec extends SparkTestBase {
     root.toString
   }
 
-  test("400 mutated specs: typed SpecError or clean compile, never a raw crash") {
+  test("532 mutated specs: typed SpecError or clean compile, never a raw crash") {
     var compiled = 0; var typedRejects = 0
     bases.foreach { base =>
       (1 to 133).foreach { _ =>
