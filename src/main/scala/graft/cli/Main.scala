@@ -20,6 +20,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Main {
 
   def main(args: Array[String]): Unit = {
+    // help exits BEFORE the SparkSession spin-up (jv -h analogue)
+    if (args.contains("--help") || args.contains("-h")) {
+      println(
+        """usage: graft.cli.Main [MODE OPTIONS]
+          |
+          |Table mode (validate a parquet table against a constraint spec):
+          |  --spec <file|url|clip-suite|clip-suite-deep|clip-suite-signal>
+          |  --table <parquet dir|synth:N>   [--key col1,col2]
+          |  [--output flag|basic|summary|detailed|simple|alt] [--limit N]
+          |  [--violations-out dir] [--ref name=parquetDir]...
+          |  [--ledger dir --partition-col col]  (resumable partition-wise run)
+          |  [--locale tag] [--no-metaspec] [--master local[N]]
+          |
+          |jv mode (validate JSON instances against a bare JSON Schema):
+          |  --json-schema <file|url|->  --instance <file|-> [--instance ...]
+          |  [--draft 4|6|7|2019|2020] [--map url_prefix=dir]... [--quiet]
+          |  [--output simple|alt|flag|basic|detailed]
+          |
+          |Exit codes: 0 valid, 1 violations/compile failure, 2 usage or
+          |spec errors.""".stripMargin)
+      return
+    }
     val opts = parseArgs(args.toList, Map.empty)
     def opt(k: String): Option[String] = opts.get(k)
 
