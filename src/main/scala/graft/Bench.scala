@@ -65,7 +65,8 @@ object Bench {
     * before the timed region).
     */
   private def fullSuiteTimed(spark: SparkSession, dir: String,
-                             deep: Boolean, reps: Int = 7): Double = {
+                             deep: Boolean, reps: Int = 7,
+                             specOverride: Option[String] = None): Double = {
     val base0 = spark.read.parquet(dir)
     // optional over-partitioning of the cached input (wave balancing knob)
     val base = sys.env.get("SPARK_GRAFT_CACHE_PARTS")
@@ -73,7 +74,8 @@ object Bench {
       .map(base0.repartition(_)).getOrElse(base0)
     val df = (if (deep) base else base.drop("bytes")).cache()
     df.count() // materialize cache
-    val spec = if (deep) ClipSuite.deepSpecJson else ClipSuite.specJson
+    val spec = specOverride.getOrElse(
+      if (deep) ClipSuite.deepSpecJson else ClipSuite.specJson)
     val (plan, _) = Engine.fusedPlan(df, spec, Seq("clip_id"),
       Map("ref_codecs" -> ClipSuite.refCodecs(spark)))
     require(plan.count() > 0) // warm-up; seeded corpus always has violations
@@ -178,6 +180,11 @@ object Bench {
     // headline: clips/sec at the driver-provided parallelism
     val tHead0 = fullSuiteTimed(spark, corpus, deep = false)
     val tDeep0 = fullSuiteTimed(spark, corpus, deep = true)
+    // signal arm: the deep suite PLUS the audioSignal family (clipping /
+    // silence / sr-consistency from decoded PCM) — records what the
+    // decode-derived constraint battery costs on top of decode itself
+    val tSignal = fullSuiteTimed(spark, corpus, deep = true,
+      specOverride = Some(ClipSuite.signalSpecJson))
 
     // --- scaling: same fused job at 2 / 8 / 32 cores, memory-resident ---
     // INTERLEAVED sweeps with per-level mins: hypervisor-steal windows on
@@ -223,6 +230,6 @@ object Bench {
         f""""throughput_local8":${nClips / t(8)}%.1f,"throughput_local32":${nClips / t(32)}%.1f,""" +
         f""""efficiency_2_to_8":${eff(t, 2, 8)}%.3f,"efficiency_8_to_32":${eff(t, 8, 32)}%.3f"""
     println(
-      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"queries":$qs,"queries_spread":$spreads,"ivf_recall":$recallJson,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
+      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"signal_suite_sec":$tSignal%.3f,"signal_clips_per_sec":${nClips / tSignal}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"queries":$qs,"queries_spread":$spreads,"ivf_recall":$recallJson,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
   }
 }

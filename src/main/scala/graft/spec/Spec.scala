@@ -269,9 +269,18 @@ final case class Spec(
             else if (frag.startsWith("/")) {
               val (nn, segs) = navigate(resNode, frag.drop(1), ref)
               (nn, resPath ++ segs)
-            } else throw SpecError(ref,
-              s"anchor fragment into embedded resource '$url' is not " +
-                "supported (use a JSON-pointer fragment)")
+            } else {
+              // anchor fragment: anchors live in the HOST document's index;
+              // scope to the resource subtree (2020-12: an anchor belongs
+              // to its enclosing resource)
+              val hostAnchors =
+                if (homeUrl.isEmpty) anchors else externalDoc(homeUrl)._2
+              hostAnchors.get(frag)
+                .filter { case (_, p) => p.startsWith(resPath) }
+                .getOrElse(throw SpecError(ref,
+                  s"unresolved $$ref: no $$anchor '$frag' in embedded " +
+                    s"resource '$url'"))
+            }
           // the resource node carries $id, so SchemaNode.parse switches to
           // its own $schema dialect if it declares one
           if (homeUrl.isEmpty) SchemaNode.parse(tgt, tpath, dialect)
@@ -373,6 +382,13 @@ object Spec {
       if (h >= 0) (rel.substring(0, h), rel.substring(h)) else (rel, "")
     val baseNoFrag = { val i = base.indexOf('#'); if (i >= 0) base.substring(0, i) else base }
     if (relPath.isEmpty) return Some(baseNoFrag + frag)
+    if (relPath.startsWith("/")) { // path-absolute: replace the whole path
+      val i = baseNoFrag.indexOf("://")
+      if (i < 0) return None
+      val j = baseNoFrag.indexOf('/', i + 3)
+      val root = if (j < 0) baseNoFrag else baseNoFrag.substring(0, j)
+      return Some(root + relPath + frag)
+    }
     val slash = baseNoFrag.lastIndexOf('/')
     if (slash <= baseNoFrag.indexOf(':')) return None // opaque base
     val joined = baseNoFrag.substring(0, slash) + "/" + relPath

@@ -140,6 +140,25 @@ class CrossDocSpec extends SparkTestBase {
     assert(!out(1)._1 && out(1)._2.exists(_.contains("required")), out(1).toString)
   }
 
+  test("anchor fragment into an embedded $id resource resolves within that resource") {
+    val spec =
+      """{"$defs": {"res": {"$id": "urn:graft:anch",
+           "$defs": {"inner": {"$anchor": "deep", "minimum": 42}}},
+           "other": {"$anchor": "outside", "maximum": 1}},
+         "columns": {"sr_hz": {"$ref": "urn:graft:anch#deep"}}}"""
+    val out = validate(spec, intRowSchema, Seq(Row(0, 50), Row(1, 10)))
+    assert(out(0)._1 && !out(1)._1)
+    // an anchor OUTSIDE the resource subtree is not visible through it
+    val e = intercept[SpecError] {
+      val s = Spec.fromJson(
+        """{"$defs": {"res": {"$id": "urn:graft:anch2", "minimum": 0},
+             "other": {"$anchor": "elsewhere", "maximum": 1}},
+           "columns": {"sr_hz": {"$ref": "urn:graft:anch2#elsewhere"}}}""")
+      SuiteCompiler.compile(s, intRowSchema)
+    }
+    assert(e.getMessage.contains("no $anchor"), e.getMessage)
+  }
+
   test("RELATIVE refs between files resolve against the host document (RFC 3986)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rel")
     val sub = java.nio.file.Files.createDirectory(dir.resolve("lib"))
