@@ -65,24 +65,27 @@ object Main {
         jvMode(spark, opts)
         return
       }
-      val specDoc = opt("spec") match {
-        case Some("clip-suite") => Spec.documentFromJson(graft.ClipSuite.specJson)
-        case Some("clip-suite-deep") => Spec.documentFromJson(graft.ClipSuite.deepSpecJson)
-        case Some("clip-suite-signal") => Spec.documentFromJson(graft.ClipSuite.signalSpecJson)
-        // anything URL-shaped routes through the loader registry — an
-        // unregistered scheme is then a TYPED SpecError (exit 2), not a raw
-        // FileNotFoundException from treating "s3://..." as a local path
-        case Some(url) if url.contains("://") || (url.indexOf(':') > 0 &&
-            Spec.knownSchemes.contains(url.substring(0, url.indexOf(':')))) =>
-          Spec.documentFromUrl(url) // scheme-routed (file://, inline+json:, custom)
-        case Some(path) => Spec.documentFromFile(path) // .json or .yaml/.yml
-        case None => usage("missing --spec")
-      }
+      // (document, base URL for relative $ref / relative nested $id)
+      val (specDoc, specBase): (com.fasterxml.jackson.databind.JsonNode, Option[String]) =
+        opt("spec") match {
+          case Some("clip-suite") => (Spec.documentFromJson(graft.ClipSuite.specJson), None)
+          case Some("clip-suite-deep") => (Spec.documentFromJson(graft.ClipSuite.deepSpecJson), None)
+          case Some("clip-suite-signal") => (Spec.documentFromJson(graft.ClipSuite.signalSpecJson), None)
+          // anything URL-shaped routes through the loader registry — an
+          // unregistered scheme is then a TYPED SpecError (exit 2), not a raw
+          // FileNotFoundException from treating "s3://..." as a local path
+          case Some(url) if url.contains("://") || (url.indexOf(':') > 0 &&
+              Spec.knownSchemes.contains(url.substring(0, url.indexOf(':')))) =>
+            (Spec.documentFromUrl(url), Some(url)) // scheme-routed (file://, inline+json:, custom)
+          case Some(path) => (Spec.documentFromFile(path),
+            Some("file://" + new java.io.File(path).getAbsolutePath)) // .json or .yaml/.yml
+          case None => usage("missing --spec")
+        }
       // self-hosted meta-spec gate before the typed parse (the reference
       // validates every schema against its metaschema before compiling,
       // roots.go:240-248); --no-metaspec skips it for trusted specs
       if (!opts.contains("no-metaspec")) graft.spec.MetaSpec.check(spark, specDoc)
-      val parsedSpec: Spec = Spec.parse(specDoc)
+      val parsedSpec: Spec = Spec.parse(specDoc, compat = false, specBase)
       val df: DataFrame = opt("table") match {
         case Some(t) if t.startsWith("synth:") =>
           AudioGen.clips(spark, t.stripPrefix("synth:").toLong)

@@ -130,7 +130,12 @@ final case class Dialect(
     // keywords disabled by the active meta-schema's `$vocabulary` — ALWAYS
     // ignored regardless of strictness (that is the 2020-12 vocabulary
     // contract, /root/reference/vocab.go + metaschemas/draft/2020-12)
-    vocabDisabled: Set[String] = Set.empty) {
+    vocabDisabled: Set[String] = Set.empty,
+    // base URI of the ENCLOSING RESOURCE, threaded through the parse: the
+    // document's load URL (or absolute root $id) at the root, updated at
+    // each nested $id — RELATIVE resource ids resolve against it (RFC 3986,
+    // the reference's base-URI resolution, /root/reference/roots.go:103-150)
+    baseUri: Option[String] = None) {
   def compat: Dialect = copy(strict = false)
 }
 
@@ -399,11 +404,11 @@ object SchemaNode {
     // the reference compiles mixed-dialect documents the same way
     // (/root/reference/roots.go:103-150). Strictness is inherited: compat
     // mode stays compat across resource boundaries.
-    val dialect: Dialect =
+    val dialectPre: Dialect =
       if (path.nonEmpty && !n0.hasNonNull("$id") && !n0.hasNonNull("id")) dialect0
       else Option(n0.get("$schema")).filter(_.isTextual)
         .flatMap(u => Dialect.resolve(u.asText()))
-        .map(_.copy(strict = dialect0.strict))
+        .map(_.copy(strict = dialect0.strict, baseUri = dialect0.baseUri))
         .getOrElse(dialect0)
 
     // vocabulary-disabled keywords are ALWAYS ignored; in compat
@@ -412,9 +417,9 @@ object SchemaNode {
     // values need not even be well-formed: `allOf: 1` under a no-applicator
     // meta-schema is an ignored annotation, Extra-Test-Suite vocabulary.json)
     val drop = n0.fieldNames().asScala.filter { k =>
-      dialect.vocabDisabled.contains(k) ||
-        (!dialect.strict &&
-          (!knownKeywords.contains(k) || dialect.banned.contains(k)))
+      dialectPre.vocabDisabled.contains(k) ||
+        (!dialectPre.strict &&
+          (!knownKeywords.contains(k) || dialectPre.banned.contains(k)))
     }.toSet
     val n: JsonNode =
       if (drop.isEmpty) n0
@@ -423,6 +428,43 @@ object SchemaNode {
         drop.foreach(c.remove)
         c
       }
+
+    // $id / draft-4 id: an ABSOLUTE URI names an embedded resource and
+    // becomes the base for its subtree; a RELATIVE URI-reference resolves
+    // against the enclosing base — the document's load URL or the nearest
+    // enclosing resource id (RFC 3986 reference resolution, the reference's
+    // per-resource base-URI behavior, /root/reference/roots.go:103-150).
+    // With no resolvable base (in-memory document, opaque base like urn:,
+    // or a '../' path escaping it) the spec is typed-rejected.
+    val resolvedBase: Option[String] = {
+      var base = dialectPre.baseUri
+      Seq("$id", "id").foreach { ik =>
+        Option(n.get(ik)).foreach { v =>
+          val abs: Option[String] =
+            if (!v.isTextual) None
+            else {
+              val u = v.asText()
+              if (u.matches("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"))
+                Some(u.stripSuffix("#"))
+              else if (u.isEmpty || u.exists(_.isWhitespace) || u.startsWith("#"))
+                None // empty / fragment-only / malformed ids never rebase
+              else base.flatMap(b => Spec.tryResolveUrl(b, u))
+                .map(_.stripSuffix("#"))
+            }
+          abs match {
+            case Some(a) => base = Some(a)
+            case None => throw SpecError(s"$at/$ik",
+              s"expected an absolute URI or a relative reference resolvable " +
+                s"against the enclosing base (document load URL or enclosing " +
+                s"resource id; ${base.fold("this document has none")(b => s"base here: '$b'")}), got $v")
+          }
+        }
+      }
+      base
+    }
+    val dialect: Dialect =
+      if (resolvedBase == dialectPre.baseUri) dialectPre
+      else dialectPre.copy(baseUri = resolvedBase)
 
     n.fieldNames().asScala.foreach { k =>
       if (!knownKeywords.contains(k)) throw SpecError(at, s"unknown keyword '$k'")
@@ -436,14 +478,6 @@ object SchemaNode {
     Seq("$defs", "definitions").foreach { dk =>
       Option(n.get(dk)).foreach { d =>
         if (!d.isObject) throw SpecError(s"$at/$dk", "expected object")
-      }
-    }
-    Seq("$id", "id").foreach { ik =>
-      Option(n.get(ik)).foreach { v =>
-        if (!v.isTextual || !v.asText().matches("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"))
-          throw SpecError(s"$at/$ik",
-            s"expected an absolute URI (relative resource ids are not " +
-              s"supported — documents are addressed by loader URL), got $v")
       }
     }
     Option(n.get("$vocabulary")).foreach { v =>

@@ -141,12 +141,12 @@ final case class Spec(
     // dialect selected by the root document's $schema (per-resource:
     // external documents carry their own, read at load)
     dialect: Dialect = Dialect.Default,
-    // base URL of the ROOT document when it was loaded from an addressable
-    // location (fromFile / fromUrl) — RELATIVE $refs in the root document
+    // base URL of the ROOT document: its own absolute root $id, else the
+    // load URL (fromFile / fromUrl) — RELATIVE $refs in the root document
     // resolve against it (RFC 3986 reference resolution, the reference's
     // base-URI behavior, /root/reference/roots.go:103-150). Documents built
-    // from in-memory JSON have no base: a relative ref there is a typed
-    // error.
+    // from in-memory JSON with no root $id have no base: a relative ref
+    // there is a typed error.
     baseUrl: Option[String] = None
 ) {
 
@@ -169,12 +169,19 @@ final case class Spec(
     extDocs.getOrElseUpdate(url, {
       val d = Spec.documentFromUrl(url)
       val (a, da) = Spec.collectAnchorsDoc(d)
+      // the external document's base: its own absolute root $id, else its
+      // load URL — relative nested $ids inside it resolve against this
+      val extBase = (if (d.isObject)
+        Seq("$id", "id").iterator.flatMap(k => Option(d.get(k)))
+          .filter(_.isTextual).map(_.asText().stripSuffix("#"))
+          .find(_.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))
+      else None).getOrElse(url)
       // per-document dialect from the external document's own $schema;
       // STRICTNESS inherits from the root spec, so reference-compat parses
       // stay compat across document boundaries
       val dx = (if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
-        .copy(strict = dialect.strict)
-      (d, a, da, dx, Spec.collectResourcesDoc(d))
+        .copy(strict = dialect.strict, baseUri = Some(extBase))
+      (d, a, da, dx, Spec.collectResourcesDoc(d, Some(extBase)))
     })
 
   /** Dynamic anchors of a document on the compile-time scope chain
@@ -365,8 +372,8 @@ object Spec {
     }
 
   def fromFile(path: String): Spec =
-    parse(documentFromFile(path)).copy(
-      baseUrl = Some("file://" + new java.io.File(path).getAbsolutePath))
+    parse(documentFromFile(path), compat = false,
+      Some("file://" + new java.io.File(path).getAbsolutePath))
 
   /** RFC 3986-lite reference resolution: join a relative reference against
     * a hierarchical base URL ("./" and "../" normalized; the fragment rides
@@ -464,12 +471,14 @@ object Spec {
   }
 
   def fromUrl(url: String): Spec =
-    parse(documentFromUrl(url)).copy(baseUrl = Some(url))
+    parse(documentFromUrl(url), compat = false, Some(url))
 
-  // $schema / $id accepted at the ROOT as annotations (specs are single
-  // documents; there is no multi-resource base-URI resolution to configure).
-  // A NESTED $id stays rejected — accept-and-ignore there would silently
-  // rebase $refs for schemas written against resolvers that honor it.
+  // $schema selects the root dialect; an absolute root $id doubles as the
+  // document base (RFC 3986 §5.1). NESTED $id declares an embedded resource:
+  // absolute ids index directly, relative ids resolve against the enclosing
+  // base (r4c) — an UNRESOLVABLE relative id is a typed error at
+  // SchemaNode.parse (accept-and-ignore would silently rebase $refs for
+  // schemas written against resolvers that honor it).
   private val topKeywords =
     Set("$defs", "columns", "required", "row", "table", "title", "description",
       "$comment", "$schema", "$id")
@@ -481,13 +490,26 @@ object Spec {
     * annotations (JSON Schema's open-keyword model, what the reference does
     * on its own test suite) instead of typed errors. Default stays strict.
     */
-  def parse(root: JsonNode, compat: Boolean): Spec = {
+  def parse(root: JsonNode, compat: Boolean): Spec = parse(root, compat, None)
+
+  /** Parse with a known retrieval URL (`loadUrl`): the document base for
+    * RELATIVE `$ref` / relative nested `$id` resolution. The root's own
+    * absolute `$id` takes precedence over the retrieval URL (RFC 3986 §5.1,
+    * the reference's base-URI behavior, /root/reference/roots.go:103-150).
+    */
+  private[graft] def parse(root: JsonNode, compat: Boolean,
+                           loadUrl: Option[String]): Spec = {
     if (!root.isObject) throw SpecError("#", "spec root must be an object")
     root.fieldNames().asScala.foreach { k =>
       if (!topKeywords.contains(k)) throw SpecError("#", s"unknown top-level keyword '$k'")
     }
     val dialect0 = Dialect.ofDocument(root)
-    val dialect = if (compat) dialect0.compat else dialect0
+    val base: Option[String] =
+      Option(root.get("$id")).filter(_.isTextual).map(_.asText().stripSuffix("#"))
+        .filter(_.matches("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"))
+        .orElse(loadUrl)
+    val dialect =
+      (if (compat) dialect0.compat else dialect0).copy(baseUri = base)
 
     val defs = Option(root.get("$defs")).map { d =>
       if (!d.isObject) throw SpecError("#/$defs", "expected object")
@@ -523,7 +545,8 @@ object Spec {
     val (anchors, dynAnchors) = collectAnchorsDoc(root)
     Spec(columns, required, rowRules, table, defs,
       raw = Some(root), anchors = anchors, dynAnchors = dynAnchors,
-      resources = collectResourcesDoc(root), dialect = dialect)
+      resources = collectResourcesDoc(root, base), dialect = dialect,
+      baseUrl = base)
   }
 
   /** Split an RFC 6901 JSON pointer into unescaped segments: `~1` → `/`,
@@ -689,33 +712,55 @@ object Spec {
     * their resource; a duplicate name across resources in one document is
     * rejected rather than shadowed).
     */
-  private[spec] def collectResourcesDoc(root: JsonNode)
+  private[spec] def collectResourcesDoc(root: JsonNode,
+                                        docBase: Option[String] = None)
       : Map[String, (JsonNode, Vector[String])] = {
     val absUri = "^[A-Za-z][A-Za-z0-9+.-]*:".r
-    val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
+    // pass 1: every schema-position node carrying an id, in document order
+    val found = Vector.newBuilder[(JsonNode, Vector[String], String, String)]
     walkDoc(root) { (n, path) =>
       if (n.isObject && path.nonEmpty) { // document root is addressed by URL
-        val at = "#/" + path.mkString("/")
-        // ABSOLUTE ids index by URI (addressable by $ref). RELATIVE ids are
-        // not addressable here (no base-URI rebasing; a PARSED node with a
-        // relative $id is a typed error at SchemaNode.parse) but still
-        // participate in duplicate detection by raw text under a
-        // non-addressable key — mirroring the reference's eager DuplicateId
-        // rejection (/root/reference/testdata/invalid_schemas.json) while
-        // keeping unreferenced relative ids harmless (its
-        // MetaSchemaMismatch cases compile clean).
         Seq("$id", "id").foreach { kw =>
           Option(n.get(kw)).filter(_.isTextual).map(_.asText()).foreach { u =>
-            val key =
-              if (absUri.findFirstIn(u).isDefined) u.stripSuffix("#")
-              else "~relative~" + u.stripSuffix("#")
-            if (out.contains(key))
-              throw SpecError(s"$at/$kw",
-                s"duplicate resource id '${u.stripSuffix("#")}'")
-            out(key) = (n, path)
+            found += ((n, path, kw, u))
           }
         }
       }
+    }
+    // base of the whole document: its own absolute root $id, else the load
+    // URL (RFC 3986 §5.1)
+    val rootBase: Option[String] =
+      (if (root.isObject)
+        Seq("$id", "id").iterator.flatMap(k => Option(root.get(k)))
+          .filter(_.isTextual).map(_.asText().stripSuffix("#"))
+          .find(absUri.findFirstIn(_).isDefined)
+      else None).orElse(docBase)
+    // pass 2 (shallowest first): RELATIVE ids resolve against the nearest
+    // enclosing resource's resolved URI, else the document base — the
+    // reference's hierarchical base-URI resolution
+    // (/root/reference/roots.go:103-150). An id that resolves to an absolute
+    // URI is addressable by $ref; an UNRESOLVABLE relative id (no base /
+    // opaque base) keeps a non-addressable raw-text key so duplicate
+    // detection still fires (the typed rejection for such ids lives in
+    // SchemaNode.parse).
+    val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
+    val resolvedAt = scala.collection.mutable.Map.empty[Vector[String], String]
+    found.result().sortBy(_._2.length).foreach { case (n, path, kw, u) =>
+      val at = "#/" + path.mkString("/")
+      val enclosing: Option[String] = resolvedAt.keysIterator
+        .filter(p => p.length < path.length && path.startsWith(p))
+        .maxByOption(_.length).map(resolvedAt)
+        .orElse(rootBase)
+      val abs: Option[String] =
+        if (absUri.findFirstIn(u).isDefined) Some(u.stripSuffix("#"))
+        else if (u.isEmpty || u.startsWith("#") || u.exists(_.isWhitespace)) None
+        else enclosing.flatMap(b => tryResolveUrl(b, u)).map(_.stripSuffix("#"))
+      val key = abs.getOrElse("~relative~" + u.stripSuffix("#"))
+      if (out.contains(key))
+        throw SpecError(s"$at/$kw",
+          s"duplicate resource id '${abs.getOrElse(u.stripSuffix("#"))}'")
+      out(key) = (n, path)
+      abs.foreach(a => resolvedAt(path) = a)
     }
     out.toMap
   }

@@ -215,6 +215,68 @@ class CrossDocSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("relative"), e.getMessage)
   }
 
+  test("relative nested $id resolves against the document base and is addressable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_relid")
+    // common.json is declared ONLY as an embedded resource \u2014 no such file
+    // exists on disk, so resolution must hit the resource index, not the
+    // file loader
+    java.nio.file.Files.writeString(dir.resolve("spec.json"),
+      """{"$defs": {"lib": {"$id": "common.json", "minimum": 8000}},
+        |  "columns": {"sr_hz": {"allOf": [
+        |    {"$ref": "common.json"},
+        |    {"$ref": "file://DIR/common.json"}]}}}"""
+        .stripMargin.replace("DIR", dir.toString))
+    val spec = Spec.fromFile(s"$dir/spec.json")
+    val df = spark.createDataFrame(
+      Seq(Row(0, 16000), Row(1, 4000)).asJava, intRowSchema)
+    val out = Validator.annotate(df, SuiteCompiler.compile(spec, df.schema))
+      .orderBy("__row").select("valid", "violations.keyword").collect()
+    assert(out(0).getBoolean(0))
+    // BOTH ref forms resolved to the same embedded resource \u2192 two violations
+    assert(!out(1).getBoolean(0) && out(1).getSeq[String](1).size == 2,
+      out(1).toString)
+  }
+
+  test("nested relative $ids resolve hierarchically (resource inside resource)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_relid2")
+    // lib/common.json is the enclosing RESOURCE base: extra.json inside it
+    // resolves to lib/extra.json, not <docdir>/extra.json
+    java.nio.file.Files.writeString(dir.resolve("spec.json"),
+      """{"$defs": {"lib": {"$id": "lib/common.json",
+        |    "allOf": [{"$id": "extra.json", "minimum": 8000}]}},
+        |  "columns": {"sr_hz": {"$ref": "lib/extra.json"}}}""".stripMargin)
+    val spec = Spec.fromFile(s"$dir/spec.json")
+    val df = spark.createDataFrame(
+      Seq(Row(0, 16000), Row(1, 4000)).asJava, intRowSchema)
+    val out = Validator.annotate(df, SuiteCompiler.compile(spec, df.schema))
+      .orderBy("__row").select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("absolute root $id of an IN-MEMORY document is the base for nested relative $ids") {
+    val spec = Spec.fromJson(
+      """{"$id": "file:///virtual/specs/root.json",
+        |  "$defs": {"lib": {"$id": "defs/rates.json", "maximum": 48000}},
+        |  "columns": {"sr_hz": {"$ref": "file:///virtual/specs/defs/rates.json"}}}"""
+        .stripMargin)
+    val df = spark.createDataFrame(
+      Seq(Row(0, 16000), Row(1, 96000)).asJava, intRowSchema)
+    val out = Validator.annotate(df, SuiteCompiler.compile(spec, df.schema))
+      .orderBy("__row").select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("relative $id under an OPAQUE enclosing base is a typed error naming the base") {
+    val e = intercept[SpecError] {
+      val spec = Spec.fromJson(
+        """{"$defs": {"res": {"$id": "urn:graft:lib",
+          |    "allOf": [{"$id": "sub.json", "minimum": 0}]}},
+          |  "columns": {"sr_hz": {"$ref": "urn:graft:lib"}}}""".stripMargin)
+      SuiteCompiler.compile(spec, intRowSchema)
+    }
+    assert(e.getMessage.contains("urn:graft:lib"), e.getMessage)
+  }
+
   test("$dynamicRef with a JSON-pointer fragment behaves exactly like $ref (2020-12 \u00a78.2.3.2)") {
     val spec = Spec.fromJson(
       """{"$defs": {"item": {"minimum": 5}},
