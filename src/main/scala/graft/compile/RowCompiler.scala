@@ -121,7 +121,11 @@ private[compile] object Refs {
       return (spec.resolve(staticRef, Nil), staticRef)
     }
     if (spec.dynAnchorsOf(home).contains(name)) {
-      val docs = stack.reverse.iterator.map(_._1).flatMap(docOf).toList
+      // stack keys may carry EMBEDDED-RESOURCE URIs (resource-scoped refs);
+      // the dynamic-scope chain is document-granular, so map each to its
+      // home document instead of routing it through the loader
+      val docs = stack.reverse.iterator.map(_._1).flatMap(docOf)
+        .map(spec.homeDocOf).toList
       val chain = ("" :: docs) :+ home
       val chosen = chain.find(d => spec.dynAnchorsOf(d).contains(name)).get
       (spec.dynAnchorTarget(chosen, name), s"$$dynamic:$chosen#$name")

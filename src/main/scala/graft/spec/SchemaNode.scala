@@ -39,6 +39,10 @@ final case class SpecError(path: String, message: String)
 final case class SchemaNode(
     // schema location inside the spec document, for keywordPath reporting
     path: Vector[String] = Vector.empty,
+    // RESOLVED absolute URI of the embedded resource this node declares via
+    // $id / draft-4 id (None for ordinary nodes) — [[SchemaNode.rebase]]
+    // switches the ref-scoping base at resource boundaries with it
+    resourceId: Option[String] = None,
     boolSchema: Option[Boolean] = None,
     // type-agnostic (/root/reference/schema.go:23-42)
     types: Option[Set[String]] = None,
@@ -695,6 +699,8 @@ object SchemaNode {
 
     SchemaNode(
       path = path,
+      resourceId =
+        if (n.hasNonNull("$id") || n.hasNonNull("id")) resolvedBase else None,
       types = types,
       const = opt("const"),
       enumVals = enumVals,
@@ -759,23 +765,51 @@ object SchemaNode {
     * analogue of the reference's per-resource base-URI resolution,
     * /root/reference/roots.go:103-150). Absolute refs pass through.
     */
-  def rebase(n: SchemaNode, url: String): SchemaNode = {
-    // '#...' refs anchor to the document; RELATIVE URL refs (sibling.json,
-    // ../common.json#/x) join against the document base per RFC 3986 —
-    // real-world schema sets split across files use these constantly.
+  def rebase(n: SchemaNode, url: String): SchemaNode =
+    rebaseIn(n, url, url)
+
+  /** Rebase with an explicit starting REF base: refs of an embedded-resource
+    * subtree scope to the resource's URI (2020-12 bundling semantics —
+    * `#/x` / `#anchor` / `sibling.json` inside a resource address INTO that
+    * resource's scope, not the host document's), while `$dynamicRef` stays
+    * DOCUMENT-scoped (the engine's dynamic-scope chain is
+    * document-granular; see [[graft.compile.Refs.resolveDynamic]]).
+    */
+  private[graft] def rebaseEmbedded(n: SchemaNode, docUrl: String,
+                                    resourceUri: String): SchemaNode =
+    rebaseIn(n, docUrl, resourceUri)
+
+  private def rebaseIn(n0: SchemaNode, docUrl: String,
+                       base0: String): SchemaNode = {
+    // a node that itself declares a resource id switches the ref base for
+    // its subtree (nested resource-in-resource scoping)
+    val n = n0
+    val base = n.resourceId.getOrElse(base0)
+    // '#...' refs anchor to the enclosing RESOURCE (= the document when no
+    // embedded resource intervenes); RELATIVE URL refs (sibling.json,
+    // ../common.json#/x) join against that base per RFC 3986 — real-world
+    // schema sets split across files use these constantly.
     // When the join cannot work (opaque base, path escape) the ref is left
     // as-is: resolution stays LAZY, so a dead if-branch's broken ref never
     // fails eagerly (Extra-Test-Suite draft7/if-then-else.json).
     def rb(s: Option[String]): Option[String] =
       s.map { r =>
-        if (r.startsWith("#")) url + r
-        else Spec.tryResolveUrl(url, r).getOrElse(r)
+        if (r.startsWith("#")) base + r
+        else Spec.tryResolveUrl(base, r).getOrElse(r)
       }
-    def rs(x: SchemaNode): SchemaNode = rebase(x, url)
+    // $dynamicRef: document-granular (empty docUrl = root spec document —
+    // leave '#name' fragments addressed to the root dynamic scope)
+    def rbDyn(s: Option[String]): Option[String] =
+      s.map { r =>
+        if (r.startsWith("#")) docUrl + r
+        else if (docUrl.isEmpty) r
+        else Spec.tryResolveUrl(docUrl, r).getOrElse(r)
+      }
+    def rs(x: SchemaNode): SchemaNode = rebaseIn(x, docUrl, base)
     def re(e: Either[Boolean, SchemaNode]): Either[Boolean, SchemaNode] = e.map(rs)
     n.copy(
       ref = rb(n.ref),
-      dynRef = rb(n.dynRef),
+      dynRef = rbDyn(n.dynRef),
       contentSchema = n.contentSchema.map(rs),
       jsonSchema = n.jsonSchema.map(rs),
       items = n.items.map(rs),

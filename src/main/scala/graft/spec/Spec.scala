@@ -133,11 +133,12 @@ final case class Spec(
     // that participates in dynamic-scope resolution
     // (/root/reference/objcompiler.go:318-336)
     dynAnchors: Map[String, (JsonNode, Vector[String])] = Map.empty,
-    // EMBEDDED-RESOURCE index: absolute URI (from a nested `$id` / draft-4
-    // `id`) -> (raw node, spec path) — `$ref: "<uri>"` resolves here before
+    // EMBEDDED-RESOURCE index: RESOLVED absolute URI (from a nested — or
+    // root — `$id` / draft-4 `id`) -> (raw node, spec path, ENCLOSING base
+    // the id resolved against) — `$ref: "<uri>"` resolves here before
     // the loader registry (the reference's per-root resource map,
     // /root/reference/root.go:33-76)
-    resources: Map[String, (JsonNode, Vector[String])] = Map.empty,
+    resources: Map[String, (JsonNode, Vector[String], Option[String])] = Map.empty,
     // dialect selected by the root document's $schema (per-resource:
     // external documents carry their own, read at load)
     dialect: Dialect = Dialect.Default,
@@ -160,12 +161,12 @@ final case class Spec(
     scala.collection.concurrent.TrieMap
       .empty[String, (JsonNode, Map[String, (JsonNode, Vector[String])],
         Map[String, (JsonNode, Vector[String])], Dialect,
-        Map[String, (JsonNode, Vector[String])])]
+        Map[String, (JsonNode, Vector[String], Option[String])])]
 
   private[graft] def externalDoc(url: String)
       : (JsonNode, Map[String, (JsonNode, Vector[String])],
          Map[String, (JsonNode, Vector[String])], Dialect,
-         Map[String, (JsonNode, Vector[String])]) =
+         Map[String, (JsonNode, Vector[String], Option[String])]) =
     extDocs.getOrElseUpdate(url, {
       val d = Spec.documentFromUrl(url)
       val (a, da) = Spec.collectAnchorsDoc(d)
@@ -181,7 +182,10 @@ final case class Spec(
       // stay compat across document boundaries
       val dx = (if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
         .copy(strict = dialect.strict, baseUri = Some(extBase))
-      (d, a, da, dx, Spec.collectResourcesDoc(d, Some(extBase)))
+      // the resource index gets the LOAD URL as the document base: the
+      // root's own absolute $id is re-derived inside (rootBase) and — when
+      // it differs from the URL — indexed as an addressable alias
+      (d, a, da, dx, Spec.collectResourcesDoc(d, Some(url)))
     })
 
   /** Dynamic anchors of a document on the compile-time scope chain
@@ -270,7 +274,7 @@ final case class Spec(
       val h = ref.indexOf('#')
       val (url, frag) = if (h >= 0) (ref.substring(0, h), ref.substring(h + 1)) else (ref, "")
       embeddedResource(url) match {
-        case Some((resNode, resPath, homeUrl)) =>
+        case Some((resNode, resPath, encBase, homeUrl)) =>
           val (tgt, tpath) =
             if (frag.isEmpty) (resNode, resPath)
             else if (frag.startsWith("/")) {
@@ -289,11 +293,19 @@ final case class Spec(
                     s"resource '$url'"))
             }
           // the resource node carries $id, so SchemaNode.parse switches to
-          // its own $schema dialect if it declares one
-          if (homeUrl.isEmpty) SchemaNode.parse(tgt, tpath, dialect)
-          else SchemaNode.rebase(
-            SchemaNode.parse(tgt, (homeUrl + "#") +: tpath, dialectOf(homeUrl)),
-            homeUrl)
+          // its own $schema dialect if it declares one. The parse base: the
+          // resource's ENCLOSING base when entering at the resource root
+          // (so its own relative $id re-resolves to the same URI), the
+          // resource URI itself for interior nodes. Refs of the parsed
+          // subtree then scope to the RESOURCE (2020-12 bundling
+          // semantics); $dynamicRef stays document-scoped.
+          val parseBase = if (tgt eq resNode) encBase else Some(url)
+          val dial0 = if (homeUrl.isEmpty) dialect else dialectOf(homeUrl)
+          val dial = dial0.copy(baseUri = parseBase.orElse(dial0.baseUri))
+          val parsed =
+            if (homeUrl.isEmpty) SchemaNode.parse(tgt, tpath, dial)
+            else SchemaNode.parse(tgt, (homeUrl + "#") +: tpath, dial)
+          SchemaNode.rebaseEmbedded(parsed, homeUrl, url)
         case None => resolveLoaded(url, frag, ref)
       }
     } else baseUrl.flatMap(b => Spec.tryResolveUrl(b, ref)) match {
@@ -313,15 +325,24 @@ final case class Spec(
 
   /** Embedded resource named `url`: this document's index first, then any
     * already-loaded external document (deterministic URL order). Returns
-    * (node, path, home document URL — "" for the root spec document).
+    * (node, path, enclosing base the id resolved against, home document
+    * URL — "" for the root spec document).
     */
   private def embeddedResource(url: String)
-      : Option[(JsonNode, Vector[String], String)] =
-    resources.get(url).map { case (n, p) => (n, p, "") }.orElse(
+      : Option[(JsonNode, Vector[String], Option[String], String)] =
+    resources.get(url).map { case (n, p, b) => (n, p, b, "") }.orElse(
       extDocs.toVector.sortBy(_._1).iterator.flatMap {
         case (docUrl, (_, _, _, _, res)) =>
-          res.get(url).map { case (n, p) => (n, p, docUrl) }
+          res.get(url).map { case (n, p, b) => (n, p, b, docUrl) }
       }.nextOption())
+
+  /** The DOCUMENT a URL belongs to: an embedded-resource URI maps to its
+    * home document ("" = the root spec document); anything else is itself a
+    * document URL. Keeps the document-granular dynamic-scope chain from
+    * routing embedded-resource URIs through the loader.
+    */
+  private[graft] def homeDocOf(url: String): String =
+    embeddedResource(url).map(_._4).getOrElse(url)
 
   private def resolveLoaded(url: String, frag: String, ref: String): SchemaNode = {
       val (doc, extAnchors, _, extDialect, _) = externalDoc(url)
@@ -714,12 +735,16 @@ object Spec {
     */
   private[spec] def collectResourcesDoc(root: JsonNode,
                                         docBase: Option[String] = None)
-      : Map[String, (JsonNode, Vector[String])] = {
+      : Map[String, (JsonNode, Vector[String], Option[String])] = {
     val absUri = "^[A-Za-z][A-Za-z0-9+.-]*:".r
-    // pass 1: every schema-position node carrying an id, in document order
+    // pass 1: every schema-position node carrying an id, in document order.
+    // The DOCUMENT ROOT is included too (when it declares an id): its
+    // resolved URI must be $ref-addressable without a loader round-trip —
+    // external documents whose root $id differs from their load URL rebase
+    // their inner refs onto that $id.
     val found = Vector.newBuilder[(JsonNode, Vector[String], String, String)]
     walkDoc(root) { (n, path) =>
-      if (n.isObject && path.nonEmpty) { // document root is addressed by URL
+      if (n.isObject) {
         Seq("$id", "id").foreach { kw =>
           Option(n.get(kw)).filter(_.isTextual).map(_.asText()).foreach { u =>
             found += ((n, path, kw, u))
@@ -742,24 +767,33 @@ object Spec {
     // URI is addressable by $ref; an UNRESOLVABLE relative id (no base /
     // opaque base) keeps a non-addressable raw-text key so duplicate
     // detection still fires (the typed rejection for such ids lives in
-    // SchemaNode.parse).
-    val out = scala.collection.mutable.Map.empty[String, (JsonNode, Vector[String])]
+    // SchemaNode.parse). Stored alongside: the ENCLOSING base the id
+    // resolved against, so a later parse entering at the resource root
+    // re-resolves its own id to the same URI.
+    val out = scala.collection.mutable.Map
+      .empty[String, (JsonNode, Vector[String], Option[String])]
     val resolvedAt = scala.collection.mutable.Map.empty[Vector[String], String]
     found.result().sortBy(_._2.length).foreach { case (n, path, kw, u) =>
-      val at = "#/" + path.mkString("/")
-      val enclosing: Option[String] = resolvedAt.keysIterator
-        .filter(p => p.length < path.length && path.startsWith(p))
-        .maxByOption(_.length).map(resolvedAt)
-        .orElse(rootBase)
+      val at = if (path.isEmpty) "#" else "#/" + path.mkString("/")
+      val enclosing: Option[String] =
+        if (path.isEmpty) docBase
+        else resolvedAt.keysIterator
+          .filter(p => p.length < path.length && path.startsWith(p))
+          .maxByOption(_.length).map(resolvedAt)
+          .orElse(rootBase)
       val abs: Option[String] =
         if (absUri.findFirstIn(u).isDefined) Some(u.stripSuffix("#"))
         else if (u.isEmpty || u.startsWith("#") || u.exists(_.isWhitespace)) None
         else enclosing.flatMap(b => tryResolveUrl(b, u)).map(_.stripSuffix("#"))
-      val key = abs.getOrElse("~relative~" + u.stripSuffix("#"))
-      if (out.contains(key))
-        throw SpecError(s"$at/$kw",
-          s"duplicate resource id '${abs.getOrElse(u.stripSuffix("#"))}'")
-      out(key) = (n, path)
+      // the document root under its LOAD URL needs no index entry (it is
+      // already addressed by that URL through the loader)
+      if (!(path.isEmpty && abs == docBase)) {
+        val key = abs.getOrElse("~relative~" + u.stripSuffix("#"))
+        if (out.contains(key))
+          throw SpecError(s"$at/$kw",
+            s"duplicate resource id '${abs.getOrElse(u.stripSuffix("#"))}'")
+        out(key) = (n, path, enclosing)
+      }
       abs.foreach(a => resolvedAt(path) = a)
     }
     out.toMap

@@ -277,6 +277,45 @@ class CrossDocSpec extends SparkTestBase {
     assert(e.getMessage.contains("urn:graft:lib"), e.getMessage)
   }
 
+  test("refs INSIDE an embedded resource are resource-scoped (2020-12 bundling)") {
+    // host document and embedded resource both define $defs/limit with
+    // CONFLICTING bounds \u2014 '#/$defs/limit' inside the resource must pick
+    // the RESOURCE's definition, not the host document's
+    val spec = Spec.fromJson(
+      """{"$defs": {
+        |    "limit": {"maximum": 10},
+        |    "bundle": {"$id": "urn:graft:bundle",
+        |      "$defs": {"limit": {"minimum": 1000}},
+        |      "allOf": [{"$ref": "#/$defs/limit"}]}},
+        |  "columns": {"sr_hz": {"$ref": "urn:graft:bundle"}}}""".stripMargin)
+    val df = spark.createDataFrame(
+      Seq(Row(0, 8000), Row(1, 5)).asJava, intRowSchema)
+    val out = Validator.annotate(df, SuiteCompiler.compile(spec, df.schema))
+      .orderBy("__row").select("valid").collect().map(_.getBoolean(0)).toSeq
+    // 8000: valid resource-scoped (>= 1000), would be INVALID host-scoped
+    // (<= 10); 5: invalid resource-scoped, valid host-scoped
+    assert(out == Seq(true, false))
+  }
+
+  test("external document whose root $id differs from its load URL rebases inner refs onto the $id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rootid")
+    java.nio.file.Files.writeString(dir.resolve("aliased.json"),
+      """{"$id": "urn:graft:aliased",
+        |  "$defs": {"rate": {"minimum": 8000}},
+        |  "allOf": [{"$ref": "#/$defs/rate"}]}""".stripMargin)
+    // ref the document ROOT via its load URL; its inner '#/$defs/rate'
+    // rebases onto the root $id (urn:graft:aliased#/...), which must
+    // resolve through the resource index, NOT the loader
+    val spec =
+      s"""{"columns": {"sr_hz": {"allOf": [
+            {"$$ref": "file://$dir/aliased.json"},
+            {"$$ref": "urn:graft:aliased#/$$defs/rate"}]}}}"""
+    val out = validate(spec, intRowSchema, Seq(Row(0, 16000), Row(1, 4000)))
+    assert(out(0)._1)
+    // both arms resolved to the same minimum check \u2192 two violations
+    assert(!out(1)._1 && out(1)._2.size == 2, out(1).toString)
+  }
+
   test("$dynamicRef with a JSON-pointer fragment behaves exactly like $ref (2020-12 \u00a78.2.3.2)") {
     val spec = Spec.fromJson(
       """{"$defs": {"item": {"minimum": 5}},
