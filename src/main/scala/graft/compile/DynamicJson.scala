@@ -461,10 +461,16 @@ object DynamicJson {
           RowCompiler.staticEvaluatedItems(spec, node, kw("unevaluatedItems"))
         if (!allEval) lowerStaticItems(maxPrefix, containsNodes)
       } catch { case _: RowCompiler.RuntimeEvalSet =>
-        val contribs0 = RowCompiler.evaluatedItemsContributions(spec, node,
-          kw("unevaluatedItems"), dynBranchPred, _ => lit(false))
+        val (contribs0, contains0) = RowCompiler.evaluatedItemsContributions(
+          spec, node, kw("unevaluatedItems"), dynBranchPred, _ => lit(false))
         val contribs = contribs0.map(c =>
           if (c._2) c else (b(c._1), c._2, c._3, c._4))
+        val containsC = contains0.map(c =>
+          if (c._2) c else (b(c._1), c._2, c._3))
+        def containedRt(x: Column): Column = containsC.map { case (cond, uncond, cn) =>
+          val m = coalesce(predicate(spec, cn, x, stack, depth + 1), lit(false))
+          if (uncond) m else cond && m
+        }.reduceOption(_ || _).getOrElse(lit(false))
         if (!contribs.exists(c => c._2 && c._4)) {
           val allEvalCond = contribs.filter(_._4).map(_._1)
             .reduceOption(_ || _).getOrElse(lit(false))
@@ -472,20 +478,27 @@ object DynamicJson {
             (lit(0) +: contribs.filter(_._3 > 0).map { c =>
               if (c._2) lit(c._3) else when(c._1, lit(c._3)).otherwise(lit(0))
             }): _*)
+          lazy val rest = slice(arr, prefixCol + 1,
+            greatest(size(arr) - prefixCol, lit(0)))
           ui match {
             case Left(true) =>
-            case Left(false) =>
+            case Left(false) if containsC.isEmpty =>
               arrCheck("unevaluatedItems",
                 coalesce(allEvalCond, lit(false)) || size(arr) <= prefixCol,
                 concat(lit("unevaluatedItems: got "), size(arr).cast(StringType),
                   lit(" item(s), more than the evaluated prefix")),
                 ErrorKind.UnevaluatedItemsK)
-            case Right(us) =>
-              val rest = slice(arr, prefixCol + 1,
-                greatest(size(arr) - prefixCol, lit(0)))
+            case Left(false) =>
               arrCheck("unevaluatedItems",
                 coalesce(allEvalCond, lit(false)) ||
-                  coalesce(forall(rest, x =>
+                  coalesce(forall(rest, x => containedRt(x)), lit(false)),
+                lit("unevaluatedItems: item(s) beyond the evaluated prefix " +
+                  "match no applicable contains schema"),
+                ErrorKind.UnevaluatedItemsK)
+            case Right(us) =>
+              arrCheck("unevaluatedItems",
+                coalesce(allEvalCond, lit(false)) ||
+                  coalesce(forall(rest, x => containedRt(x) ||
                     coalesce(predicate(spec, us, x, stack, depth + 1),
                       lit(false))), lit(false)),
                 lit("unevaluatedItems: element(s) do not match"),

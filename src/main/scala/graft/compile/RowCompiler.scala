@@ -472,25 +472,15 @@ object RowCompiler {
       n.ref.exists(r => !st.contains(r) &&
         evaluatesItems(spec, spec.resolve(r, Nil), r :: st))
 
-  /** Only fires on the RUNTIME (branch-dependent) walk: `contains` in the
-    * UNCONDITIONAL closure lowers to a per-element predicate (see
-    * [[staticEvaluatedItems]]); combined with branch-dependent applicators
-    * the per-element × per-branch evaluated flags stay a typed rejection.
-    */
-  private def rejectContainsUnderUneval(n: SchemaNode, at: String): Unit =
-    if (n.contains.nonEmpty)
-      throw SpecError(at,
-        "unevaluatedItems with 'contains' alongside runtime-dependent " +
-          "applicators is out of the static-lowering scope")
-
   private[compile] def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String)
       : (Int, Boolean, Vector[SchemaNode]) = {
     // walk-local visited-ref path with fixpoint-skip on repeats — see
     // staticEvaluatedProps for why the compiler's unroll stack stays out.
     // `contains` in the UNCONDITIONAL closure (this node / allOf / $ref) is
     // collected: matched elements count evaluated (2020-12 annotation
-    // flow), expressible as a per-element predicate — only contains inside
-    // runtime branches stays a typed rejection (runtime walker).
+    // flow), expressible as a per-element predicate; contains inside
+    // runtime branches is handled by the runtime walker (per-element
+    // predicate under the branch condition).
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Int, Boolean, Vector[SchemaNode]) = {
       if (n.dynRef.nonEmpty)
@@ -519,23 +509,27 @@ object RowCompiler {
     * branch-dependent applicators: each branch contributes its evaluated
     * prefix length (or all-evaluated) under the condition that it applies
     * AND validates — the items analogue of [[evaluatedPropsContributions]].
-    * `contains` anywhere in the closure stays a typed rejection (per-element
-    * evaluated flags are genuinely runtime-recursive).
+    * `contains` ANYWHERE in the closure contributes per-ELEMENT evaluation
+    * (a matched element counts evaluated, 2020-12 annotation flow) under
+    * its branch's condition — returned separately as (cond, unconditional,
+    * contains schema) for the caller to compile per element in ITS compiler.
     */
   private[compile] def evaluatedItemsContributions(spec: Spec, node: SchemaNode,
       at: String, branchPred: SchemaNode => Column,
       keyPresent: String => Column)
-      : Vector[(Column, Boolean, Int, Boolean)] = {
+      : (Vector[(Column, Boolean, Int, Boolean)],
+         Vector[(Column, Boolean, SchemaNode)]) = {
     // (cond, unconditional, prefixLen, allEval)
     // walk-local `seen` ref path with fixpoint-skip; `branchPred` compiles
     // in the caller's compiler — see evaluatedPropsContributions
+    val containsOut = Vector.newBuilder[(Column, Boolean, SchemaNode)]
     def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[(Column, Boolean, Int, Boolean)] = {
       if (n.dynRef.nonEmpty)
         throw SpecError(at,
           "unevaluatedItems with $dynamicRef in its closure is " +
             "runtime-scope-dependent — out of the static-lowering scope")
-      rejectContainsUnderUneval(n, at)
+      n.contains.foreach(cn => containsOut += ((cond, uncond, cn)))
       def p(ch: SchemaNode): Column = branchPred(ch)
       def itEval(ch: SchemaNode): Boolean = evaluatesItems(spec, ch, seen)
       val own = (cond, uncond, n.prefixItems.size,
@@ -564,7 +558,8 @@ object RowCompiler {
           walk(ds, seen, cond && keyPresent(k) && p(ds), uncond = false, isRoot = false)
         })
     }
-    walk(node, Nil, lit(true), uncond = true, isRoot = true)
+    val contribs = walk(node, Nil, lit(true), uncond = true, isRoot = true)
+    (contribs, containsOut.result())
   }
 
   /** boolResult mode (/root/reference/validator.go:66): the conjunction of a
@@ -924,8 +919,10 @@ object RowCompiler {
             if (!allEval) lowerStatic(maxPrefix, containsNodes)
           } catch { case _: RuntimeEvalSet =>
             // RUNTIME arm: branch-dependent evaluated prefix — per-row
-            // greatest of the validating branches' prefix lengths
-            val contribs0 = evaluatedItemsContributions(spec, node,
+            // greatest of the validating branches' prefix lengths; contains
+            // contributions mark individual elements evaluated under their
+            // branch's condition
+            val (contribs0, contains0) = evaluatedItemsContributions(spec, node,
               kw("unevaluatedItems"),
               ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
               _ => lit(false))
@@ -935,6 +932,12 @@ object RowCompiler {
             val contribs = contribs0.map(c =>
               if (c._2) c
               else (binder.fold(c._1)(_.bind(c._1)), c._2, c._3, c._4))
+            val containsC = contains0.map(c =>
+              if (c._2) c else (binder.fold(c._1)(_.bind(c._1)), c._2, c._3))
+            def containedRt(x: Column): Column = containsC.map { case (cond, uncond, cn) =>
+              val m = coalesce(predicate(spec, cn, x, et, stack, depth + 1), lit(false))
+              if (uncond) m else cond && m
+            }.reduceOption(_ || _).getOrElse(lit(false))
             if (!contribs.exists(c => c._2 && c._4)) {
               val allEvalCond = contribs.filter(_._4).map(_._1)
                 .reduceOption(_ || _).getOrElse(lit(false))
@@ -943,19 +946,27 @@ object RowCompiler {
                   if (c._2) lit(c._3)
                   else when(c._1, lit(c._3)).otherwise(lit(0))
                 }): _*)
+              lazy val rest = slice(v, prefixCol + 1,
+                greatest(size(v) - prefixCol, lit(0)))
               ui match {
                 case Left(true) =>
-                case Left(false) =>
+                case Left(false) if containsC.isEmpty =>
                   add(kw("unevaluatedItems"),
                     vac(v, coalesce(allEvalCond, lit(false)) || size(v) <= prefixCol),
                     concat(lstr("unevaluatedItems: got "), size(v).cast(StringType),
                       lstr(" item(s), more than the evaluated prefix")),
                     ErrorKind.UnevaluatedItemsK)
+                case Left(false) =>
+                  add(kw("unevaluatedItems"),
+                    vac(v, coalesce(allEvalCond, lit(false)) ||
+                      coalesce(forall(rest, x => containedRt(x)), lit(false))),
+                    lstr("unevaluatedItems: item(s) beyond the evaluated prefix " +
+                      "match no applicable contains schema"),
+                    ErrorKind.UnevaluatedItemsK)
                 case Right(us) =>
-                  val rest = slice(v, prefixCol + 1,
-                    greatest(size(v) - prefixCol, lit(0)))
                   val p = forall(rest,
-                    x => coalesce(predicate(spec, us, x, et, stack, depth + 1), lit(false)))
+                    x => containedRt(x) ||
+                      coalesce(predicate(spec, us, x, et, stack, depth + 1), lit(false)))
                   add(kw("unevaluatedItems"),
                     vac(v, coalesce(allEvalCond, lit(false)) || coalesce(p, lit(false))),
                     lstr("unevaluatedItems: element(s) do not match"),

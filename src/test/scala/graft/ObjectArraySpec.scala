@@ -205,15 +205,25 @@ class ObjectArraySpec extends SparkTestBase {
       """{"columns":{"a":{"contains":{"minimum":50},
            "unevaluatedItems":{"maximum":10}}}}"""
     assert(validsOf(mixed, df) == Seq(false, true, false))
-    // contains INSIDE a runtime branch stays a typed rejection
-    import graft.spec.SpecError
-    val e1 = intercept[SpecError] {
-      SuiteCompiler.compile(Spec.fromJson(
-        """{"columns":{"a":{"anyOf":[{"contains":{"minimum":1}}],
-            "unevaluatedItems":false}}}"""),
-        df.schema)
-    }
-    assert(e1.getMessage.contains("contains"))
+    // contains INSIDE a runtime branch (r4c): matched elements count
+    // evaluated ONLY when the branch validates — [10,99] has 99 matching
+    // branch 1's contains, but maxItems:1 fails the branch, so the
+    // annotation is dropped and 99 stays unevaluated (2020-12 annotation
+    // flow); rows are [10], [10,99], []
+    val containsInBranch =
+      """{"columns":{"a":{"anyOf":[
+           {"contains":{"minimum":50},"maxItems":1},
+           {"prefixItems":[{"maximum":20}]}],
+           "unevaluatedItems":false}}}"""
+    assert(validsOf(containsInBranch, df) == Seq(true, false, true))
+    // same shape, branch VALIDATES for [10,99] (no maxItems): 99 is
+    // contained under the validating branch, 10 covered by the prefix
+    val containsInBranchOk =
+      """{"columns":{"a":{"anyOf":[
+           {"contains":{"minimum":50}},
+           {"prefixItems":[{"maximum":20}]}],
+           "unevaluatedItems":false}}}"""
+    assert(validsOf(containsInBranchOk, df) == Seq(true, true, true))
     // oneOf-dependent evaluated sets now compile via the RUNTIME branch-set
     // lowering (round-4): keys are evaluated iff their branch validates
     val dfm = Seq(
