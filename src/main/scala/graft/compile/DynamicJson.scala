@@ -458,11 +458,11 @@ object DynamicJson {
       }
       try {
         val (maxPrefix, allEval, containsNodes) =
-          RowCompiler.staticEvaluatedItems(spec, node, kw("unevaluatedItems"))
+          RowCompiler.staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack)
         if (!allEval) lowerStaticItems(maxPrefix, containsNodes)
       } catch { case _: RowCompiler.RuntimeEvalSet =>
         val (contribs0, contains0) = RowCompiler.evaluatedItemsContributions(
-          spec, node, kw("unevaluatedItems"), dynBranchPred, _ => lit(false))
+          spec, node, kw("unevaluatedItems"), dynBranchPred, _ => lit(false), stack)
         val contribs = contribs0.map(c =>
           if (c._2) c else (b(c._1), c._2, c._3, c._4))
         val containsC = contains0.map(c =>
@@ -525,13 +525,13 @@ object DynamicJson {
       }
       try {
         val (evalKeys, evalPats, allEval) =
-          RowCompiler.staticEvaluatedProps(spec, node, kw("unevaluatedProperties"))
+          RowCompiler.staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
         if (!allEval) lowerProps(k => RowCompiler.nameCovered(k, evalKeys, evalPats))
       } catch { case _: RowCompiler.RuntimeEvalSet =>
         val contribs0 = RowCompiler.evaluatedPropsContributions(spec, node,
           kw("unevaluatedProperties"), dynBranchPred,
           k => (t === "object") &&
-            try_variant_get(v, propPath(k), "variant").isNotNull)
+            try_variant_get(v, propPath(k), "variant").isNotNull, stack)
         val contribs = contribs0.map(c =>
           if (c.unconditional) c else c.copy(cond = b(c.cond)))
         if (!contribs.exists(c => c.unconditional && c.allEval))

@@ -336,8 +336,8 @@ object RowCompiler {
     n.properties.nonEmpty || n.patternProperties.nonEmpty ||
       n.additionalProperties.nonEmpty || n.unevaluatedProperties.nonEmpty ||
       // conservative: a $dynamicRef target MAY evaluate properties, and the
-      // walkers must SEE such a branch so they can issue the typed
-      // dynamic-scope rejection instead of silently dropping its keys
+      // walkers must SEE such a branch so they can resolve it through the
+      // compile-time scope chain instead of silently dropping its keys
       n.dynRef.nonEmpty ||
       (n.allOf ++ n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).exists(evaluatesProps(spec, _, st)) ||
@@ -353,19 +353,21 @@ object RowCompiler {
   private[compile] final case class RuntimeEvalSet(detail: String)
       extends RuntimeException(detail)
 
-  private[compile] def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String)
+  private[compile] def staticEvaluatedProps(spec: Spec, node: SchemaNode, at: String,
+      dynStack: List[(String, Int)] = Nil)
       : (Set[String], Vector[String], Boolean) = {
     // `st` is THIS WALK's visited-ref path only — the compiler's unroll
     // stack must NOT leak in: an ancestor unroll entry (taken at a
     // shallower data position) is not a cycle of the evaluated-set walk,
     // and a repeat on the walk path itself is a FIXPOINT (the ref's keys
-    // were merged at its first visit), not an error.
+    // were merged at its first visit), not an error. `dynStack` is the
+    // CALLER's compile stack, used only as the dynamic-scope chain when a
+    // $dynamicRef appears in the closure: resolution is the same
+    // outermost-anchor-on-the-compile-time-chain rule the main compile
+    // path applies ([[Refs.resolveDynamic]]), so the evaluated set it
+    // contributes is exactly the set the inlined target evaluates.
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Set[String], Vector[String], Boolean) = {
-      if (n.dynRef.nonEmpty)
-        throw SpecError(at,
-          "unevaluatedProperties with $dynamicRef in its closure is " +
-            "runtime-scope-dependent — out of the static-lowering scope")
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesProps(spec, _, st)).foreach { d =>
         throw RuntimeEvalSet(
@@ -374,6 +376,12 @@ object RowCompiler {
       }
       val parts = n.ref.filterNot(st.contains).map(r =>
         walk(spec.resolve(r, Nil), r :: st, isRoot = false)).toVector ++
+        n.dynRef.toVector.flatMap { r =>
+          val (tgt, key) = Refs.resolveDynamic(spec, r,
+            st.map((_, 0)) ::: dynStack, at)
+          if (st.contains(key)) Vector.empty
+          else Vector(walk(tgt, key :: st, isRoot = false))
+        } ++
         n.allOf.map(walk(_, st, isRoot = false))
       // a NESTED unevaluatedProperties (in allOf/$ref children) annotates
       // every property the closure leaves unevaluated, so the root's own
@@ -411,18 +419,17 @@ object RowCompiler {
     */
   private[compile] def evaluatedPropsContributions(spec: Spec, node: SchemaNode,
       at: String, branchPred: SchemaNode => Column,
-      keyPresent: String => Column): Vector[EvalContribution] = {
+      keyPresent: String => Column,
+      dynStack: List[(String, Int)] = Nil): Vector[EvalContribution] = {
     // `seen` is this walk's own visited-ref path (fixpoint-skip on repeat —
     // a repeated ref's keys arrive under a strictly narrower condition, so
     // the union is unchanged); `branchPred` compiles a branch's validity
     // predicate in the CALLER's compiler (typed or dynamic) against the
     // caller's real compile stack, so ref unrolling stays bounded there.
+    // `dynStack` = caller's compile stack, the dynamic-scope chain for any
+    // $dynamicRef in the closure (see staticEvaluatedProps).
     def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[EvalContribution] = {
-      if (n.dynRef.nonEmpty)
-        throw SpecError(at,
-          "unevaluatedProperties with $dynamicRef in its closure is " +
-            "runtime-scope-dependent — out of the static-lowering scope")
       def p(ch: SchemaNode): Column = branchPred(ch)
       // only branches that actually evaluate properties contribute — the
       // rest would add empty sets and waste predicate columns
@@ -433,6 +440,11 @@ object RowCompiler {
           (!isRoot && n.unevaluatedProperties.nonEmpty))
       val fromRef = n.ref.toVector.filterNot(seen.contains).flatMap { r =>
         walk(spec.resolve(r, Nil), r :: seen, cond, uncond, isRoot = false)
+      } ++ n.dynRef.toVector.flatMap { r =>
+        val (tgt, key) = Refs.resolveDynamic(spec, r,
+          seen.map((_, 0)) ::: dynStack, at)
+        if (seen.contains(key)) Vector.empty
+        else walk(tgt, key :: seen, cond, uncond, isRoot = false)
       }
       val fromIf = n.ifS.toVector.flatMap { ifn =>
         val needed = prEval(ifn) || n.thenS.exists(prEval) || n.elseS.exists(prEval)
@@ -472,10 +484,12 @@ object RowCompiler {
       n.ref.exists(r => !st.contains(r) &&
         evaluatesItems(spec, spec.resolve(r, Nil), r :: st))
 
-  private[compile] def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String)
+  private[compile] def staticEvaluatedItems(spec: Spec, node: SchemaNode, at: String,
+      dynStack: List[(String, Int)] = Nil)
       : (Int, Boolean, Vector[SchemaNode]) = {
     // walk-local visited-ref path with fixpoint-skip on repeats — see
-    // staticEvaluatedProps for why the compiler's unroll stack stays out.
+    // staticEvaluatedProps for why the compiler's unroll stack stays out
+    // and what `dynStack` is ($dynamicRef scope chain).
     // `contains` in the UNCONDITIONAL closure (this node / allOf / $ref) is
     // collected: matched elements count evaluated (2020-12 annotation
     // flow), expressible as a per-element predicate; contains inside
@@ -483,10 +497,6 @@ object RowCompiler {
     // predicate under the branch condition).
     def walk(n: SchemaNode, st: List[String],
              isRoot: Boolean): (Int, Boolean, Vector[SchemaNode]) = {
-      if (n.dynRef.nonEmpty)
-        throw SpecError(at,
-          "unevaluatedItems with $dynamicRef in its closure is " +
-            "runtime-scope-dependent — out of the static-lowering scope")
       (n.anyOf ++ n.oneOf ++ n.ifS ++ n.thenS ++ n.elseS ++
         n.dependentSchemas.map(_._2)).find(evaluatesItems(spec, _, st)).foreach { d =>
         throw RuntimeEvalSet(
@@ -495,6 +505,12 @@ object RowCompiler {
       }
       val parts = n.ref.filterNot(st.contains).map(r =>
         walk(spec.resolve(r, Nil), r :: st, isRoot = false)).toVector ++
+        n.dynRef.toVector.flatMap { r =>
+          val (tgt, key) = Refs.resolveDynamic(spec, r,
+            st.map((_, 0)) ::: dynStack, at)
+          if (st.contains(key)) Vector.empty
+          else Vector(walk(tgt, key :: st, isRoot = false))
+        } ++
         n.allOf.map(walk(_, st, isRoot = false))
       ((n.prefixItems.size +: parts.map(_._1)).max,
         n.items.nonEmpty ||
@@ -516,19 +532,17 @@ object RowCompiler {
     */
   private[compile] def evaluatedItemsContributions(spec: Spec, node: SchemaNode,
       at: String, branchPred: SchemaNode => Column,
-      keyPresent: String => Column)
+      keyPresent: String => Column,
+      dynStack: List[(String, Int)] = Nil)
       : (Vector[(Column, Boolean, Int, Boolean)],
          Vector[(Column, Boolean, SchemaNode)]) = {
     // (cond, unconditional, prefixLen, allEval)
     // walk-local `seen` ref path with fixpoint-skip; `branchPred` compiles
-    // in the caller's compiler — see evaluatedPropsContributions
+    // in the caller's compiler — see evaluatedPropsContributions (also for
+    // `dynStack`, the $dynamicRef scope chain)
     val containsOut = Vector.newBuilder[(Column, Boolean, SchemaNode)]
     def walk(n: SchemaNode, seen: List[String], cond: Column,
              uncond: Boolean, isRoot: Boolean): Vector[(Column, Boolean, Int, Boolean)] = {
-      if (n.dynRef.nonEmpty)
-        throw SpecError(at,
-          "unevaluatedItems with $dynamicRef in its closure is " +
-            "runtime-scope-dependent — out of the static-lowering scope")
       n.contains.foreach(cn => containsOut += ((cond, uncond, cn)))
       def p(ch: SchemaNode): Column = branchPred(ch)
       def itEval(ch: SchemaNode): Boolean = evaluatesItems(spec, ch, seen)
@@ -536,6 +550,11 @@ object RowCompiler {
         n.items.nonEmpty || (!isRoot && n.unevaluatedItems.nonEmpty))
       val fromRef = n.ref.toVector.filterNot(seen.contains).flatMap { r =>
         walk(spec.resolve(r, Nil), r :: seen, cond, uncond, isRoot = false)
+      } ++ n.dynRef.toVector.flatMap { r =>
+        val (tgt, key) = Refs.resolveDynamic(spec, r,
+          seen.map((_, 0)) ::: dynStack, at)
+        if (seen.contains(key)) Vector.empty
+        else walk(tgt, key :: seen, cond, uncond, isRoot = false)
       }
       val fromIf = n.ifS.toVector.flatMap { ifn =>
         val needed = itEval(ifn) || n.thenS.exists(itEval) || n.elseS.exists(itEval)
@@ -915,7 +934,7 @@ object RowCompiler {
           }
           try {
             val (maxPrefix, allEval, containsNodes) =
-              staticEvaluatedItems(spec, node, kw("unevaluatedItems"))
+              staticEvaluatedItems(spec, node, kw("unevaluatedItems"), stack)
             if (!allEval) lowerStatic(maxPrefix, containsNodes)
           } catch { case _: RuntimeEvalSet =>
             // RUNTIME arm: branch-dependent evaluated prefix — per-row
@@ -925,7 +944,7 @@ object RowCompiler {
             val (contribs0, contains0) = evaluatedItemsContributions(spec, node,
               kw("unevaluatedItems"),
               ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
-              _ => lit(false))
+              _ => lit(false), stack)
             // bind each branch condition ONCE per row — the prefix/allEval
             // folds below reference every cond, and without binding each
             // reference re-embeds the branch's full predicate tree
@@ -1062,7 +1081,7 @@ object RowCompiler {
         node.unevaluatedProperties.filter(_ != Left(true)).foreach { up =>
           try {
             val (evalKeys, evalPats, allEval) =
-              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"))
+              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
             if (!allEval) {
               // static field-name test goes through the engine-paired hook
               // (Formats.staticPatternMatch), NOT raw java.util.regex — with a
@@ -1090,7 +1109,8 @@ object RowCompiler {
             val contribs0 = evaluatedPropsContributions(spec, node,
               kw("unevaluatedProperties"),
               ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
-              k => if (fields.contains(k)) v.getField(k).isNotNull else lit(false))
+              k => if (fields.contains(k)) v.getField(k).isNotNull else lit(false),
+              stack)
             // bind branch conditions once per row: the per-field OR-chains
             // below would otherwise embed each branch predicate tree O(F)
             // times (F fields x B branches plan growth)
@@ -1190,13 +1210,13 @@ object RowCompiler {
           }
           try {
             val (evalKeys, evalPats, allEval) =
-              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"))
+              staticEvaluatedProps(spec, node, kw("unevaluatedProperties"), stack)
             if (!allEval) lower(k => nameCovered(k, evalKeys, evalPats))
           } catch { case _: RuntimeEvalSet =>
             val contribs0 = evaluatedPropsContributions(spec, node,
               kw("unevaluatedProperties"),
               ch => coalesce(predicate(spec, ch, v, dt, stack, depth), lit(false)),
-              k => array_contains(keys, k))
+              k => array_contains(keys, k), stack)
             val contribs = contribs0.map(c =>
               if (c.unconditional) c
               else c.copy(cond = binder.fold(c.cond)(_.bind(c.cond))))

@@ -28,7 +28,8 @@ final case class SpecError(path: String, message: String)
   * identical while keyword paths report the normalized keyword. `$ref`
   * targets any same-document pointer or `$anchor` (compile-time inlined,
   * cycles rejected — see /root/reference/compiler.go:153-214 for the
-  * worklist equivalent); `$dynamicRef`/`$recursiveRef` stay out of scope.
+  * worklist equivalent); `$dynamicRef`/`$recursiveRef` resolve at compile
+  * time over the traversal scope chain (see `Refs.resolveDynamic`).
   *
   * Null semantics (documented divergence): SQL NULL is treated as an *absent*
   * value — every keyword is vacuous on NULL and only `required` (column- or

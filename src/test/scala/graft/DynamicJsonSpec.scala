@@ -220,6 +220,20 @@ class DynamicJsonSpec extends SparkTestBase {
       """{"a":1}""", """{"b":"x"}""", """{"a":1,"b":"x"}""",
       """{"a":1,"c":2}"""
     )) == Seq(true, true, true, false))
+    // $dynamicRef in the closure (r4c): the anchor target's keys count
+    // evaluated under the branch's validity, same as the typed compiler
+    val dynRef =
+      """{"columns":{"j":{"json":{
+           "$defs":{"p":{"$dynamicAnchor":"p",
+             "properties":{"x":{"type":"string"}}}},
+           "properties":{"a":{}},
+           "anyOf":[{"$dynamicRef":"#p"},{"minProperties":0}],
+           "unevaluatedProperties":false}}}}"""
+    assert(validsOf(dynRef, Seq(
+      """{"a":1,"x":"s"}""",  // p validates -> x evaluated
+      """{"a":1,"x":7}""",    // p fails (x not string) -> x unevaluated
+      """{"a":1}"""
+    )) == Seq(true, false, true))
   }
 
   test("dynamic unevaluatedItems: prefix closure, contains lowering, runtime branches") {

@@ -360,21 +360,47 @@ class ObjectArraySpec extends SparkTestBase {
     assert(v.getAs[String]("instance_path") == "o/a")
   }
 
-  test("uneval closure entirely behind $dynamicRef: typed rejection, not a silent key drop") {
-    // the anyOf branch evaluates properties ONLY via its $dynamicRef target;
-    // the walkers must SEE it (conservative evaluatesProps) and reject with
-    // the documented dynamic-scope SpecError instead of computing {a} and
-    // wrongly flagging x as unevaluated
-    val dfm = Seq((1, Map("a" -> "1", "x" -> "2"))).toDF("k", "m")
-    val spec =
+  test("uneval closure behind $dynamicRef resolves through the compile-time scope chain (r4c)") {
+    // the walkers resolve `$dynamicRef` with the SAME outermost-anchor rule
+    // the main compile path inlines with (Refs.resolveDynamic), so the keys
+    // its target evaluates join the evaluated set instead of the former
+    // typed rejection. STATIC arm first: dynRef inside allOf (unconditional
+    // closure) — x is evaluated via the anchor target, z is not.
+    val dfm = Seq(
+      (1, Map("a" -> "1", "x" -> "2")),
+      (2, Map("a" -> "1", "x" -> "2", "z" -> "3"))).toDF("k", "m")
+    val staticSpec =
       """{"$defs":{"p":{"$dynamicAnchor":"p","properties":{"x":{}}}},
           "columns":{"m":{"properties":{"a":{}},
-          "anyOf":[{"$dynamicRef":"#p"}],
+          "allOf":[{"$dynamicRef":"#p"}],
           "unevaluatedProperties":false}}}"""
-    val e = intercept[graft.spec.SpecError] {
-      SuiteCompiler.compile(Spec.fromJson(spec), dfm.schema)
-    }
-    assert(e.getMessage.contains("$dynamicRef"), e.getMessage)
+    assert(validsOf(staticSpec, dfm) == Seq(true, false))
+    // RUNTIME arm: dynRef inside an anyOf branch — its target's keys count
+    // evaluated ONLY when the branch validates (2020-12 annotation flow);
+    // branch 2 (minProperties) keeps anyOf green when branch 1 fails
+    val dfr = Seq(
+      (1, Map("a" -> "1", "x" -> "2")),   // p validates -> x evaluated
+      (2, Map("a" -> "1", "x" -> "22")),  // p fails (maxLength) -> x unevaluated
+      (3, Map("a" -> "1"))).toDF("k", "m")
+    val runtimeSpec =
+      """{"$defs":{"p":{"$dynamicAnchor":"p",
+            "properties":{"x":{"maxLength":1}}}},
+          "columns":{"m":{"properties":{"a":{}},
+          "anyOf":[{"$dynamicRef":"#p"},{"minProperties":0}],
+          "unevaluatedProperties":false}}}"""
+    assert(validsOf(runtimeSpec, dfr) == Seq(true, false, true))
+  }
+
+  test("unevaluatedItems closure behind $dynamicRef: prefix from the anchor target (r4c)") {
+    val df = Seq(
+      (1, Seq(5L)),      // prefix covers the single element
+      (2, Seq(5L, 7L)),  // second element beyond the evaluated prefix
+      (3, Seq.empty[Long])).toDF("k", "a")
+    val spec =
+      """{"$defs":{"t":{"$dynamicAnchor":"t","prefixItems":[{"maximum":10}]}},
+          "columns":{"a":{"anyOf":[{"$dynamicRef":"#t"},{"maxItems":0}],
+          "unevaluatedItems":false}}}"""
+    assert(validsOf(spec, df) == Seq(true, false, true))
   }
 
   test("bounded-unroll recursion WITH an unevaluatedProperties closure compiles (no false cycle)") {
