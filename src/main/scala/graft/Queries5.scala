@@ -80,14 +80,26 @@ object Queries5 {
 
   def wrapSchema(schemaJson: String): Spec = wrapSchemaUrl(inlineUrl(schemaJson))
 
+  def wrapSchema(schemaJson: String, jvAssert: Option[(Boolean, Boolean)]): Spec =
+    wrapSchemaUrl(inlineUrl(schemaJson), jvAssert)
+
   /** Same wrapping for a schema addressed by URL (file://, http://, …):
     * the document keeps its base, so RELATIVE refs inside it resolve
     * against its location.
     */
-  def wrapSchemaUrl(url: String): Spec =
+  def wrapSchemaUrl(url: String): Spec = wrapSchemaUrl(url, jvAssert = None)
+
+  /** `jvAssert = Some((assertFormat, assertContent))` compiles with the
+    * reference CLI's draft-dependent assertion defaults (format annotation-
+    * only for draft≥2019 unless the meta-schema requires the vocabulary,
+    * content* never asserted) with the two flags as overrides — the jv
+    * `--assert-format`/`--assert-content` switches. `None` = engine-native
+    * (both always asserted, like the reference suite harness).
+    */
+  def wrapSchemaUrl(url: String, jvAssert: Option[(Boolean, Boolean)]): Spec =
     Spec.parse(mapper.readTree(
       s"""{"columns":{"j":{"json":{"$$ref":${mapper.writeValueAsString(url)}}}}}"""),
-      compat = true)
+      compat = true, None, jvAssert)
 
   /** Engine verdicts for JSON texts against a standalone JSON Schema
     * document (dynamic variant path), as a DataFrame (idx, valid). A

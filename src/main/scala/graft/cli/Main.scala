@@ -36,6 +36,7 @@ object Main {
           |jv mode (validate JSON instances against a bare JSON Schema):
           |  --json-schema <file|url|->  --instance <file|-> [--instance ...]
           |  [--draft 4|6|7|2019|2020] [--map url_prefix=dir]... [--quiet]
+          |  [--assert-format] [--assert-content]
           |  [--output simple|alt|flag|basic|detailed]
           |
           |Exit codes: 0 valid, 1 violations/compile failure, 2 usage or
@@ -183,6 +184,7 @@ object Main {
   /** `jv SCHEMA [INSTANCE...]` parity (/root/reference/cmd/jv/main.go):
     *   --json-schema <file|url|-> --instance a.json [--instance b.json]...
     *   [--draft 4|6|7|2019|2020] [--map url_prefix=dir]... [--quiet]
+    *   [--assert-format] [--assert-content]
     *   [--output simple|alt|flag|basic|detailed]
     * Output contract mirrors the reference: `schema X: ok|failed`, per
     * instance `instance Y: ok|failed` + the chosen output format for
@@ -248,11 +250,17 @@ object Main {
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("j",
         org.apache.spark.sql.types.StringType)))
+    // reference-CLI assertion defaults: format asserted only for draft<2019
+    // (or when the meta-schema requires the format(-assertion) vocabulary),
+    // content* never — each force-enabled by its flag
+    // (/root/reference/cmd/jv/main.go:28-29,130-135)
+    val jvAssert = Some((opts.contains("assert-format"),
+      opts.contains("assert-content")))
     val suite =
       try {
         val spec = docUrl match {
-          case Some(u) => graft.Queries5.wrapSchemaUrl(u)
-          case None    => graft.Queries5.wrapSchema(effectiveJson)
+          case Some(u) => graft.Queries5.wrapSchemaUrl(u, jvAssert)
+          case None    => graft.Queries5.wrapSchema(effectiveJson, jvAssert)
         }
         val s = SuiteCompiler.compile(spec, instSchema)
         println(s"schema $schemaArg: ok")
@@ -333,6 +341,10 @@ object Main {
         parseArgs(rest, acc + ("no-metaspec" -> "true"))
       case "--quiet" :: rest => // value-less flag (jv -q)
         parseArgs(rest, acc + ("quiet" -> "true"))
+      case "--assert-format" :: rest => // value-less flag (jv -f)
+        parseArgs(rest, acc + ("assert-format" -> "true"))
+      case "--assert-content" :: rest => // value-less flag (jv -c)
+        parseArgs(rest, acc + ("assert-content" -> "true"))
       case k :: v :: rest if k == "--instance" || k == "--map" =>
         // repeatable flags accumulate (jv takes INSTANCE... and -m ...)
         val key = k.stripPrefix("--")

@@ -136,12 +136,50 @@ final case class Dialect(
     // ignored regardless of strictness (that is the 2020-12 vocabulary
     // contract, /root/reference/vocab.go + metaschemas/draft/2020-12)
     vocabDisabled: Set[String] = Set.empty,
+    // vocabulary NAMES the governing meta-schema lists as REQUIRED (`true`
+    // in its `$vocabulary`) — what the reference's dialect.hasVocab consults
+    // for the draft≥2019 format-assertion rule (/root/reference/draft.go:
+    // 181-211 keeps only true-valued entries, objcompiler.go:432-440)
+    requiredVocabs: Set[String] = Set.empty,
+    // reference-parity assertion gating (the reference compiler's
+    // AssertFormat/AssertContent switches, /root/reference/compiler.go:
+    // 47-66). None = engine-native semantics: format/content* are
+    // first-class constraints of the spec language, always asserted (the
+    // reference's own suite runs with both switches ON, suite_test.go:
+    // 54-55). Some(flag) = jv-parity mode: assert per the reference CLI's
+    // draft-dependent defaults, with `flag` as the explicit override
+    // (cmd/jv/main.go:28-29 --assert-format/--assert-content).
+    jvAssertFormat: Option[Boolean] = None,
+    jvAssertContent: Option[Boolean] = None,
     // base URI of the ENCLOSING RESOURCE, threaded through the parse: the
     // document's load URL (or absolute root $id) at the root, updated at
     // each nested $id — RELATIVE resource ids resolve against it (RFC 3986,
     // the reference's base-URI resolution, /root/reference/roots.go:103-150)
     baseUri: Option[String] = None) {
   def compat: Dialect = copy(strict = false)
+
+  /** Whether `format` compiles as an ASSERTION under this dialect — the
+    * reference's objCompiler.assertFormat (/root/reference/objcompiler.go:
+    * 432-440): always for draft<2019 (and engine-native mode); for 2019-09
+    * when the meta-schema requires the `format` vocabulary; for 2020-12
+    * when it requires `format-assertion`; the jv `--assert-format` flag
+    * forces it on. The no-`$schema` default dialect follows the reference
+    * CLI's DefaultDraft (latest = 2020-12): annotation-only.
+    */
+  def assertsFormat: Boolean = jvAssertFormat match {
+    case None | Some(true) => true
+    case Some(false) =>
+      if (name.startsWith("2020-12")) requiredVocabs("format-assertion")
+      else if (name.startsWith("2019-09")) requiredVocabs("format")
+      else if (name.startsWith("draft-")) true // draft-04/-06/-07
+      else false // lenient default ≈ jv DefaultDraft (2020-12)
+  }
+
+  /** Whether content* keywords compile as assertions — the reference's
+    * AssertContent: NEVER by default in jv mode regardless of draft
+    * (/root/reference/compiler.go:57-66), always in engine-native mode.
+    */
+  def assertsContent: Boolean = jvAssertContent.getOrElse(true)
 }
 
 object Dialect {
@@ -158,9 +196,18 @@ object Dialect {
   val Default: Dialect = Dialect("default", Set.empty)
   val V2020: Dialect = Dialect("2020-12",
     Set("dependencies", "additionalItems", "id") ++ kwRecursive,
-    arrayFormItems = false, booleanExclusive = false)
+    arrayFormItems = false, booleanExclusive = false,
+    // the official 2020-12 meta-schema's true-valued $vocabulary entries
+    // (format-ASSERTION is absent → format is annotation-only under the
+    // reference's default, metaschemas/draft/2020-12/schema:4-13)
+    requiredVocabs = Set("core", "applicator", "unevaluated", "validation",
+      "meta-data", "format-annotation", "content"))
   val V2019: Dialect = Dialect("2019-09",
-    Set("dependencies", "id") ++ kw2020, booleanExclusive = false)
+    Set("dependencies", "id") ++ kw2020, booleanExclusive = false,
+    // official 2019-09 meta-schema: `format` is listed FALSE → not required
+    // (metaschemas/draft/2019-09/schema:4-12)
+    requiredVocabs = Set("core", "applicator", "validation", "meta-data",
+      "content"))
   val Draft7: Dialect = Dialect("draft-07",
     kw2019 ++ kw2020 ++ kwRecursive ++ Set("contentSchema", "id"),
     booleanExclusive = false)
@@ -311,8 +358,22 @@ object Dialect {
             }
             val enabledKw = fields.map(_._1)
               .flatMap(u => allowed.getOrElse(u, Set.empty[String])).toSet
+            // true-valued ("required") vocab NAMES under the base draft's
+            // prefix — feeds the format-assertion rule (the reference keeps
+            // only reqd==true entries, /root/reference/draft.go:198-211)
+            val vocabPrefix =
+              if (base.name.startsWith("2020-12")) Some("https://json-schema.org/draft/2020-12/vocab/")
+              else if (base.name.startsWith("2019-09")) Some("https://json-schema.org/draft/2019-09/vocab/")
+              else None
+            val required = vocabPrefix.map { pre =>
+              fields.collect {
+                case (uri, req) if req.isBoolean && req.asBoolean() &&
+                  uri.startsWith(pre) => uri.stripPrefix(pre)
+              }.toSet
+            }.getOrElse(base.requiredVocabs)
             base.copy(name = s"${base.name}+vocab($url)",
-              vocabDisabled = allVocabKw -- enabledKw)
+              vocabDisabled = allVocabKw -- enabledKw,
+              requiredVocabs = required)
           }.orElse(Some(base))
         }
       }
@@ -413,7 +474,13 @@ object SchemaNode {
       if (path.nonEmpty && !n0.hasNonNull("$id") && !n0.hasNonNull("id")) dialect0
       else Option(n0.get("$schema")).filter(_.isTextual)
         .flatMap(u => Dialect.resolve(u.asText()))
-        .map(_.copy(strict = dialect0.strict, baseUri = dialect0.baseUri))
+        // strictness AND the jv assertion switches are COMPILE-level, not
+        // per-resource: they ride across resource/dialect boundaries (the
+        // reference's c.assertFormat is a compiler field consulted per
+        // resource-draft, objcompiler.go:432-440)
+        .map(_.copy(strict = dialect0.strict, baseUri = dialect0.baseUri,
+          jvAssertFormat = dialect0.jvAssertFormat,
+          jvAssertContent = dialect0.jvAssertContent))
         .getOrElse(dialect0)
 
     // vocabulary-disabled keywords are ALWAYS ignored; in compat
@@ -424,7 +491,13 @@ object SchemaNode {
     val drop = n0.fieldNames().asScala.filter { k =>
       dialectPre.vocabDisabled.contains(k) ||
         (!dialectPre.strict &&
-          (!knownKeywords.contains(k) || dialectPre.banned.contains(k)))
+          (!knownKeywords.contains(k) || dialectPre.banned.contains(k))) ||
+        // jv-parity assertion gating: format / content* become ignored
+        // ANNOTATIONS when the dialect does not assert them (the reference
+        // skips compiling them, objcompiler.go:186,239,305)
+        (k == "format" && !dialectPre.assertsFormat) ||
+        ((k == "contentEncoding" || k == "contentMediaType" ||
+          k == "contentSchema") && !dialectPre.assertsContent)
     }.toSet
     val n: JsonNode =
       if (drop.isEmpty) n0

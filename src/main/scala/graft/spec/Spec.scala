@@ -181,7 +181,9 @@ final case class Spec(
       // STRICTNESS inherits from the root spec, so reference-compat parses
       // stay compat across document boundaries
       val dx = (if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
-        .copy(strict = dialect.strict, baseUri = Some(extBase))
+        .copy(strict = dialect.strict, baseUri = Some(extBase),
+          jvAssertFormat = dialect.jvAssertFormat,
+          jvAssertContent = dialect.jvAssertContent)
       // the resource index gets the LOAD URL as the document base: the
       // root's own absolute $id is re-derived inside (rootBase) and — when
       // it differs from the URL — indexed as an addressable alias
@@ -519,12 +521,25 @@ object Spec {
     * the reference's base-URI behavior, /root/reference/roots.go:103-150).
     */
   private[graft] def parse(root: JsonNode, compat: Boolean,
-                           loadUrl: Option[String]): Spec = {
+                           loadUrl: Option[String]): Spec =
+    parse(root, compat, loadUrl, jvAssert = None)
+
+  /** Parse in JV-PARITY ASSERTION mode: `jvAssert = Some((assertFormat,
+    * assertContent))` applies the reference CLI's draft-dependent assertion
+    * defaults with the two flags as explicit overrides
+    * (/root/reference/cmd/jv/main.go:28-29, compiler.go:47-66); `None`
+    * keeps engine-native semantics (format/content* always asserted).
+    */
+  private[graft] def parse(root: JsonNode, compat: Boolean,
+                           loadUrl: Option[String],
+                           jvAssert: Option[(Boolean, Boolean)]): Spec = {
     if (!root.isObject) throw SpecError("#", "spec root must be an object")
     root.fieldNames().asScala.foreach { k =>
       if (!topKeywords.contains(k)) throw SpecError("#", s"unknown top-level keyword '$k'")
     }
-    val dialect0 = Dialect.ofDocument(root)
+    val dialect0 = Dialect.ofDocument(root).copy(
+      jvAssertFormat = jvAssert.map(_._1),
+      jvAssertContent = jvAssert.map(_._2))
     val base: Option[String] =
       Option(root.get("$id")).filter(_.isTextual).map(_.asText().stripSuffix("#"))
         .filter(_.matches("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"))
