@@ -56,6 +56,9 @@ object Queries5 {
         if (url.startsWith(prefix))
           mapper.readTree(
             Paths.get(suiteRoot, "remotes", url.stripPrefix(prefix)).toFile)
+        else if (url.stripSuffix("#")
+            .stripPrefix("http://json-schema.org/") != url.stripSuffix("#"))
+          Spec.loadOfficialMeta(url) // bundled official metas stay served
         else dynamicRemotes.getOrElse(url,
           throw SpecError(url, s"remote '$url' not found"))
       })

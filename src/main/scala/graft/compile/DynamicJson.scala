@@ -87,6 +87,7 @@ object DynamicJson {
     lazy val vDec = b(asDec(v))
     lazy val vStr = b(asStr(v))
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
+    CompileLimits.tickVisit(if (kwBase.isEmpty) "#" else kwBase)
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
     val out = Vector.newBuilder[Check]
@@ -151,7 +152,7 @@ object DynamicJson {
         val dblEq = vNum === lit(jn.decimalValue().doubleValue())
         (t === "number") && (
           if (RowCompiler.fitsDec(BigDecimal(jn.decimalValue())))
-            coalesce(vDec === lit(jn.decimalValue()).cast("decimal(38,12)"), dblEq)
+            coalesce(vDec === lit(jn.decimalValue()).cast(RowCompiler.Dec), dblEq)
           else dblEq)
       }
       else if (jn.isTextual) (t === "string") && (vStr === lit(jn.asText()))
@@ -183,7 +184,7 @@ object DynamicJson {
       val core =
         if (RowCompiler.fitsDec(bd))
           coalesce(
-            cmp(vDec, lit(bd.bigDecimal).cast("decimal(38,12)")),
+            cmp(vDec, lit(bd.bigDecimal).cast(RowCompiler.Dec)),
             cmp(vNum, lit(bd.toDouble)))
         else cmp(vNum, lit(bd.toDouble)) // bound not Decimal(38,12)-exact
       add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
@@ -202,8 +203,8 @@ object DynamicJson {
       val core =
         if (RowCompiler.fitsDec(m))
           coalesce(
-            pmod(vDec, lit(m.bigDecimal).cast("decimal(38,12)")) ===
-              lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+            pmod(vDec, lit(m.bigDecimal).cast(RowCompiler.Dec)) ===
+              lit(java.math.BigDecimal.ZERO).cast(RowCompiler.Dec),
             // decimal overflow (>26 integer digits): approximate double check
             pmod(vNum, lit(m.toDouble)) === lit(0.0),
             lit(false))

@@ -77,6 +77,32 @@ object CompileLimits {
     * compile-time cycles and are rejected.
     */
   @volatile var maxRefUnroll: Int = 4
+
+  /** Ceiling on schema-node expansions per suite compile. Recursion unroll
+    * multiplies: a schema where every one of K subschema positions re-enters
+    * the root (the official 2020-12 meta-schema: K≈40) expands K^maxRefUnroll
+    * nodes — millions, and the compile would effectively hang. The budget
+    * turns that into a fast TYPED error (the compile-time analogue of the
+    * reference's runtime infinite-loop guard, /root/reference/validator.go:
+    * 84-90). Generous for real specs: the whole conformance corpus plus the
+    * clip suites compile under a few thousand expansions each.
+    */
+  @volatile var maxCompileNodes: Int = 20000
+
+  private val visits = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = Array(0)
+  }
+  private[compile] def resetVisits(): Unit = visits.get()(0) = 0
+  private[compile] def tickVisit(at: => String): Unit = {
+    val c = visits.get(); c(0) += 1
+    if (c(0) > maxCompileNodes)
+      throw graft.spec.SpecError(at,
+        s"compile exceeds $maxCompileNodes schema-node expansions — " +
+          s"recursive unroll (maxRefUnroll=$maxRefUnroll) over a highly " +
+          "self-referential schema explodes combinatorially; lower " +
+          "CompileLimits.maxRefUnroll, restructure the schema, or use the " +
+          "flat meta-validation path for schema-document linting")
+  }
 }
 
 /** `$ref`/`$dynamicRef` stack bookkeeping shared by the static and dynamic
@@ -158,7 +184,7 @@ private[compile] object Refs {
   */
 object RowCompiler {
 
-  private val Dec = DecimalType(38, 12)
+  private[compile] val Dec = DecimalType(38, 12)
 
   /** The object-keyword name algebra shared by additionalProperties /
     * unevaluatedProperties in BOTH compilers: a key is "covered" when it is
@@ -602,6 +628,7 @@ object RowCompiler {
               instPath: String, stack: List[(String, Int)] = Nil,
               binder: Option[Binder] = None, depth: Int = 0): Seq[Check] = {
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
+    CompileLimits.tickVisit(if (kwBase.isEmpty) "#" else kwBase)
     def kw(parts: String*): String =
       (if (kwBase.isEmpty) parts else Vector(kwBase) ++ parts).mkString("/")
     val out = Vector.newBuilder[Check]

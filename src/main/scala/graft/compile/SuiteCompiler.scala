@@ -26,6 +26,7 @@ object SuiteCompiler {
     * (/root/reference/roots.go:53-56).
     */
   def compile(spec: Spec, schema: StructType): CompiledSuite = {
+    CompileLimits.resetVisits() // per-suite node-expansion budget
     val fieldSet = schema.fieldNames.toSet
     val binder = new Binder
 

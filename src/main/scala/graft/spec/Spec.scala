@@ -451,8 +451,35 @@ object Spec {
     // inline payloads must percent-encode '#' as %23 (and '%' as %25) per
     // RFC 3986 — a raw '#' would start the URL's fragment. Decoded here.
     "inline+json" -> (s => mapper.readTree(pctDecodeHash(s.stripPrefix("inline+json:")))),
-    "inline+yaml" -> (s => yamlMapper.readTree(pctDecodeHash(s.stripPrefix("inline+yaml:"))))
+    "inline+yaml" -> (s => yamlMapper.readTree(pctDecodeHash(s.stripPrefix("inline+yaml:")))),
+    // OFFICIAL META-SCHEMAS served offline: http(s)://json-schema.org/...
+    // resolves from documents bundled on the classpath — the reference's
+    // embedded metaschema FS (/root/reference/loader.go:79-100), which is
+    // what lets `jv https://json-schema.org/draft/2020-12/schema my.json`
+    // lint a schema document with zero egress. Any OTHER http(s) URL stays
+    // a typed error (no network in this engine); re-register the scheme via
+    // [[registerLoader]] to plug in a real remote loader (the reference's
+    // pluggable URLLoader, loader.go:102-115).
+    "http" -> (u => loadOfficialMeta(u)),
+    "https" -> (u => loadOfficialMeta(u))
   )
+
+  private[graft] def loadOfficialMeta(url: String): JsonNode = {
+    val norm = url.stripSuffix("#")
+    val rel = norm.stripPrefix("http://json-schema.org/")
+      .stripPrefix("https://json-schema.org/")
+    if (rel == norm) // prefix didn't match
+      throw SpecError(url,
+        "remote http(s) loading is disabled (zero-egress engine); only " +
+          "official json-schema.org meta-schemas are bundled — " +
+          "registerLoader(\"https\", ...) to plug in a remote loader")
+    // bare "/schema" is an alias for the latest draft (loader.go:86-88)
+    val path = if (rel == "schema") "draft/2020-12/schema" else rel
+    val in = getClass.getResourceAsStream(s"/graft/metaschemas/$path")
+    if (in == null)
+      throw SpecError(url, s"no bundled meta-schema at json-schema.org/$path")
+    try mapper.readTree(in) finally in.close()
+  }
 
   /** Single-pass %23/%25 decode for inline document payloads (only the two
     * escapes that MUST be encoded to keep URL fragment syntax unambiguous —

@@ -132,6 +132,22 @@ class EngineSpec extends SparkTestBase {
     assert(viaFlag == Seq(false, false, false))
   }
 
+  test("combinatorial recursion unroll trips the compile-node budget with a typed error") {
+    // 26 subschema positions each re-entering the root: 26^maxRefUnroll
+    // expansions — the official-metaschema shape that would otherwise make
+    // the compile effectively hang (minutes of Column construction)
+    val props = (1 to 26).map(i => s""""p$i": {"$$ref": "#/$$defs/n"}""")
+      .mkString(",")
+    val spec =
+      s"""{"$$defs": {"n": {"properties": {$props}}},
+         |"columns": {"j": {"json": {"$$ref": "#/$$defs/n"}}}}""".stripMargin
+    val df = Seq((1, "{}")).toDF("k", "j")
+    val e = intercept[graft.spec.SpecError] {
+      SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
+    }
+    assert(e.getMessage.contains("schema-node expansions"))
+  }
+
   test("JSON content validation: contentMediaType + contentSchema") {
     val df = Seq((1, """{"kk": 5}"""), (2, "not json"), (3, """{"kk": -1}"""))
       .toDF("k", "props")
