@@ -217,6 +217,14 @@ object Main {
       })
     }
     val schemaArg = opts.getOrElse("json-schema", usage("missing --json-schema"))
+    // an OFFICIAL meta-schema as the schema = schema linting (the reference's
+    // `jv https://json-schema.org/draft/2020-12/schema my-schema.json`):
+    // routed through the flat position-walk validator — the recursive meta
+    // cannot be compile-time inlined (see graft.spec.SchemaLint)
+    if (graft.spec.SchemaLint.draftVersion(schemaArg).isDefined) {
+      lintMode(spark, schemaArg, opts)
+      return
+    }
     val schemaDoc =
       if (schemaArg == "-")
         Spec.documentFromJson(scala.io.Source.stdin.mkString)
@@ -327,6 +335,47 @@ object Main {
               case _          => print(graft.output.Output.simpleText(units, n))
             }
           }
+        }
+      }
+    }
+    spark.stop()
+    sys.exit(if (allValid) 0 else 1)
+  }
+
+  /** Schema-document linting against an official meta-schema URL — each
+    * `--instance` is a JSON Schema document validated by the flat node-walk
+    * meta validator. Violations print as `<meta keyword>  <node pointer>
+    * <detail>` lines.
+    */
+  private def lintMode(spark: SparkSession, metaUrl: String,
+                       opts: Map[String, String]): Unit = {
+    val quiet = opts.contains("quiet")
+    println(s"schema $metaUrl: ok")
+    var allValid = true
+    opts.get("instance").toSeq.flatMap(_.split("\u0000")).foreach { path =>
+      if (!quiet) println()
+      val text =
+        try {
+          if (path == "-") scala.io.Source.stdin.mkString
+          else {
+            val src = scala.io.Source.fromFile(path)
+            try src.mkString finally src.close()
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"instance $path: failed")
+            if (!quiet) println(e.toString)
+            allValid = false
+            null
+        }
+      if (text != null) {
+        val vios = graft.spec.SchemaLint.violations(spark, text, metaUrl)
+        if (vios.isEmpty) println(s"instance $path: ok")
+        else {
+          println(s"instance $path: failed")
+          allValid = false
+          if (!quiet) vios.take(opts.get("limit").map(_.toInt).getOrElse(20))
+            .foreach(v => println(s"${v.keyword}  ${v.path}  ${v.detail}"))
         }
       }
     }

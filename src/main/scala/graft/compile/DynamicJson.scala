@@ -229,8 +229,14 @@ object DynamicJson {
     node.pattern.foreach(p => strCheck("pattern", Formats.patternMatch(_, p),
       s"does not match '$p'", ErrorKind.PatternK(p)))
     node.format.foreach { f =>
-      val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
-      strCheck("format", fn, s"is not a valid $f", ErrorKind.FormatK(f))
+      Formats.get(f) match {
+        case Some(fn) =>
+          strCheck("format", fn, s"is not a valid $f", ErrorKind.FormatK(f))
+        case None if node.formatLenient => // compat: unregistered format is
+        // an ignored annotation (the reference's nil-Format skip)
+        case None =>
+          throw SpecError(kw("format"), s"unknown format '$f'")
+      }
     }
 
     // array keywords over array<variant> — bound once when any array

@@ -717,10 +717,15 @@ object RowCompiler {
     // on other types (format.go:43-45)
     node.format.foreach { f =>
       if (dt == StringType || dt == BinaryType) {
-        val fn = Formats.get(f).getOrElse(throw SpecError(kw("format"), s"unknown format '$f'"))
-        add(kw("format"), vac(v, fn(v)),
-          concat(lstr(s"format: "), v.cast(StringType), lstr(s" is not a valid $f")),
-          ErrorKind.FormatK(f))
+        Formats.get(f) match {
+          case Some(fn) =>
+            add(kw("format"), vac(v, fn(v)),
+              concat(lstr(s"format: "), v.cast(StringType), lstr(s" is not a valid $f")),
+              ErrorKind.FormatK(f))
+          case None if node.formatLenient => // compat: ignored annotation
+          case None =>
+            throw SpecError(kw("format"), s"unknown format '$f'")
+        }
       }
     }
 

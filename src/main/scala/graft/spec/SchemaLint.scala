@@ -1,0 +1,315 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.compile.{CompiledSuite, SuiteCompiler}
+import graft.exec.Validator
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** OFFICIAL-METASCHEMA validation of bare JSON Schema documents — the
+  * engine's analogue of the reference compiling the bundled metaschemas and
+  * validating every schema against its dialect's meta before use
+  * (/root/reference/draft.go:127-135, roots.go:240-248), and of
+  * `jv https://json-schema.org/draft/2020-12/schema my-schema.json`.
+  *
+  * The official metas are RECURSIVE (every subschema position re-enters the
+  * meta root via `$dynamicRef`/`$recursiveRef`/`$ref: "#"`), which a
+  * compile-time-inlining engine cannot unroll — K≈40 re-entrant positions
+  * explode to K^depth expansions (caught by [[graft.compile.CompileLimits
+  * .maxCompileNodes]]). Instead this module reuses the [[MetaSpec]]
+  * resource-walker architecture (the reference's root.go:78-135): the meta
+  * is FLATTENED into a single self-contained depth-1 node schema whose
+  * recursive positions are CUT to `{"type": ["object","boolean"]}`, and a
+  * walker enumerates every subschema node of the validated document (the
+  * reference's per-draft `subschemas` position lists, draft.go:26-110) as
+  * its own row. Every node is then validated by the engine's dynamic JSON
+  * compiler against the flat meta — an ordinary DataFrame pass, so linting
+  * a catalog of a million stored schemas is one job, and nothing recurses.
+  *
+  * Format assertions are ON here (the reference compiles its built-in metas
+  * with AssertFormat, draft.go:127-130), so `$id: "not a uri"` fails
+  * `format: uri-reference` exactly like the reference; content* stays off.
+  */
+object SchemaLint {
+
+  private val mapper = new ObjectMapper()
+
+  /** Official ROOT meta-schema URL → draft version (http/https, optional
+    * trailing '#'; bare `/schema` = latest, loader.go:86-88).
+    */
+  def draftVersion(url: String): Option[Int] =
+    url.replaceFirst("^http://", "https://").stripSuffix("#") match {
+      case "https://json-schema.org/schema"                => Some(2020)
+      case "https://json-schema.org/draft/2020-12/schema"  => Some(2020)
+      case "https://json-schema.org/draft/2019-09/schema"  => Some(2019)
+      case "https://json-schema.org/draft-07/schema"       => Some(7)
+      case "https://json-schema.org/draft-06/schema"       => Some(6)
+      case "https://json-schema.org/draft-04/schema"       => Some(4)
+      case _                                               => None
+    }
+
+  // ---------------------------------------------------------------- walker
+
+  /** Subschema positions per draft — the reference's draft.subschemas
+    * (/root/reference/draft.go:26-110). maps: object-valued keywords whose
+    * VALUES are schemas; singles: keywords whose value IS a schema; arrays:
+    * keywords whose value is an ARRAY of schemas.
+    */
+  private final case class Walk(maps: Vector[String], singles: Vector[String],
+                                arrays: Vector[String])
+
+  private def walkOf(version: Int): Walk = {
+    var m = Vector("definitions", "properties", "patternProperties",
+      "dependencies")
+    var s = Vector("not", "additionalProperties", "additionalItems", "items")
+    var a = Vector("allOf", "anyOf", "oneOf", "items")
+    if (version >= 6) s ++= Vector("propertyNames", "contains")
+    if (version >= 7) s ++= Vector("if", "then", "else")
+    if (version >= 2019) {
+      m ++= Vector("$defs", "dependentSchemas")
+      s ++= Vector("unevaluatedProperties", "unevaluatedItems",
+        "contentSchema")
+    }
+    if (version >= 2020) a :+= "prefixItems"
+    Walk(m, s, a)
+  }
+
+  private def esc(seg: String): String =
+    seg.replace("~", "~0").replace("/", "~1")
+
+  /** Enumerate every schema node of a document (root included) with its
+    * JSON-pointer location. Children that are neither object nor boolean
+    * are NOT emitted — the parent's meta-check flags them (the cut asserts
+    * nested positions are object|boolean), same convention as [[MetaSpec]].
+    */
+  def nodes(doc: JsonNode, version: Int): Vector[(String, JsonNode)] = {
+    val w = walkOf(version)
+    val out = Vector.newBuilder[(String, JsonNode)]
+    def emit(path: String, n: JsonNode): Unit = {
+      out += ((path, n))
+      if (n.isObject) descend(path, n)
+    }
+    def child(path: String, n: JsonNode): Unit =
+      if (n.isObject || n.isBoolean) emit(path, n)
+    def descend(path: String, n: JsonNode): Unit = {
+      w.maps.foreach { k =>
+        val v = n.get(k)
+        if (v != null && v.isObject)
+          v.fieldNames().asScala.foreach(f =>
+            child(s"$path/${esc(k)}/${esc(f)}", v.get(f)))
+      }
+      w.singles.foreach { k =>
+        val v = n.get(k)
+        // array-form items is handled by the arrays arm
+        if (v != null && !v.isArray) child(s"$path/${esc(k)}", v)
+      }
+      w.arrays.foreach { k =>
+        val v = n.get(k)
+        if (v != null && v.isArray)
+          (0 until v.size()).foreach(i => child(s"$path/${esc(k)}/$i", v.get(i)))
+      }
+    }
+    if (doc.isObject || doc.isBoolean) emit("#", doc)
+    out.result()
+  }
+
+  // ------------------------------------------------- meta flatten + cut
+
+  /** Replace the meta's self-recursion markers with the node-level cut:
+    * `{"$dynamicRef": "#meta"}`, `{"$recursiveRef": "#"}` and
+    * `{"$ref": "#"}` (each an exact single-field object in the official
+    * documents) become `{"type": ["object","boolean"]}` — nested nodes
+    * appear as their own rows, so nothing is left unchecked. Draft-4 has no
+    * boolean schemas, so its cut is `{"type": "object"}`. Cross-vocabulary
+    * pointer refs (`meta/validation#/$defs/stringArray`) rebase onto the
+    * merged `#/$defs/` namespace (names are disjoint across the official
+    * vocabulary documents).
+    */
+  private def cutRewrite(n: JsonNode, version: Int): JsonNode = n match {
+    case o: ObjectNode =>
+      val isCut = o.size() == 1 && {
+        val r = Option(o.get("$dynamicRef")).orElse(Option(o.get("$recursiveRef")))
+          .orElse(Option(o.get("$ref"))).filter(_.isTextual).map(_.asText())
+        r.contains("#meta") || r.contains("#")
+      }
+      if (isCut) {
+        val cut = mapper.createObjectNode()
+        if (version >= 6) {
+          val ts = mapper.createArrayNode(); ts.add("object"); ts.add("boolean")
+          cut.set[JsonNode]("type", ts)
+        } else cut.put("type", "object")
+        cut
+      } else {
+        val c = mapper.createObjectNode()
+        o.fieldNames().asScala.foreach { f =>
+          val v = o.get(f)
+          if (f == "$ref" && v.isTextual && v.asText().contains("#/$defs/") &&
+              !v.asText().startsWith("#"))
+            c.put("$ref", "#" + v.asText().dropWhile(_ != '#').drop(1))
+          else c.set[JsonNode](f, cutRewrite(v, version))
+        }
+        c
+      }
+    case a: ArrayNode =>
+      val c = mapper.createArrayNode()
+      (0 until a.size()).foreach(i => c.add(cutRewrite(a.get(i), version)))
+      c
+    case other => other
+  }
+
+  private val stripTop = Set("$schema", "$id", "id", "$vocabulary",
+    "$dynamicAnchor", "$recursiveAnchor", "title", "description", "$comment",
+    "default")
+
+  /** The flattened, recursion-cut, SELF-CONTAINED node meta for a draft:
+    * for 2019-09/2020-12 the root document's `allOf` vocabulary refs are
+    * resolved and their `properties`/`$defs` merged into one document (the
+    * official vocabulary metas keep both namespaces disjoint); draft≤7 is a
+    * single document already. The result references only its own
+    * `#/$defs/...` / `#/definitions/...`.
+    */
+  private[graft] def combinedNodeMeta(version: Int): JsonNode = {
+    def load(path: String): JsonNode =
+      Spec.loadOfficialMeta("https://json-schema.org/" + path)
+    if (version <= 7) {
+      val doc = cutRewrite(load(s"draft-0$version/schema"), version)
+        .asInstanceOf[ObjectNode]
+      stripTop.foreach(doc.remove)
+      doc
+    } else {
+      val base = s"draft/${if (version == 2019) "2019-09" else "2020-12"}"
+      val root = load(s"$base/schema").asInstanceOf[ObjectNode]
+      val combined = mapper.createObjectNode()
+      val ts = mapper.createArrayNode(); ts.add("object"); ts.add("boolean")
+      combined.set[JsonNode]("type", ts)
+      val props = mapper.createObjectNode()
+      val defs = mapper.createObjectNode()
+      def mergeDoc(doc: JsonNode): Unit = {
+        val cut = cutRewrite(doc, version)
+        Option(cut.get("properties")).filter(_.isObject).foreach { p =>
+          p.fieldNames().asScala.foreach(f => props.set[JsonNode](f, p.get(f)))
+        }
+        Option(cut.get("$defs")).filter(_.isObject).foreach { d =>
+          d.fieldNames().asScala.foreach(f => defs.set[JsonNode](f, d.get(f)))
+        }
+      }
+      Option(root.get("allOf")).filter(_.isArray).foreach { entries =>
+        (0 until entries.size()).foreach { i =>
+          val r = Option(entries.get(i).get("$ref")).filter(_.isTextual)
+            .map(_.asText())
+            .getOrElse(throw SpecError("#/allOf", "official meta root allOf entry without $ref"))
+          mergeDoc(load(s"$base/$r")) // relative "meta/<vocab>"
+        }
+      }
+      mergeDoc(root) // root's own deprecated-keyword properties
+      combined.set[JsonNode]("properties", props)
+      combined.set[JsonNode]("$defs", defs)
+      combined
+    }
+  }
+
+  // ------------------------------------------------------- compiled suites
+
+  /** Input shape: one row per (document, node pointer). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("node", StringType, nullable = true)))
+
+  private val suiteCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (CompiledSuite, String)]
+
+  private def inlineUrl(json: String): String =
+    "inline+json:" + json.replace("%", "%25").replace("#", "%23")
+
+  /** Flat node-meta suite for a draft (+ its inline document URL, for
+    * stripping reported keyword paths), compiled once per JVM. Parsed in
+    * reference-compat mode with format assertions ON and content* OFF —
+    * exactly how the reference compiles its built-in metas
+    * (draft.go:127-130; content has no assertion there either).
+    */
+  private[graft] def suiteFor(version: Int): (CompiledSuite, String) =
+    suiteCache.getOrElseUpdate(version, {
+      val url = inlineUrl(combinedNodeMeta(version).toString)
+      val wrapper = mapper.readTree(
+        s"""{"columns":{"node":{"json":{"$$ref":${
+          mapper.writeValueAsString(url)}}}}}""")
+      (SuiteCompiler.compile(
+        Spec.parse(wrapper, compat = true, None, jvAssert = Some((true, false))),
+        inputSchema), url)
+    })
+
+  /** Report coordinates relative to the META document and the LINTED
+    * document: keyword paths lose the internal inline-document URL and the
+    * wrapper column ('#/properties/type/anyOf'), instance paths lose the
+    * wrapper column root (remaining suffix = location INSIDE the node; the
+    * node's own pointer is the `path` column).
+    */
+  private def normalized(vios: DataFrame, metaUrl: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val urlQ = java.util.regex.Pattern.quote(metaUrl + "#")
+    vios.withColumn("keyword",
+        regexp_replace(regexp_replace(col("keyword"), urlQ, "#"),
+          "^columns/node/json", "#"))
+      .withColumn("instance_path",
+        regexp_replace(col("instance_path"), "^node!json", ""))
+  }
+
+  // --------------------------------------------------------------- running
+
+  /** Per-document node enumeration for the catalog arm (runs on executors;
+    * small-document imperative logic, validation stays compiled). Malformed
+    * JSON yields one root row whose node text fails the engine's parse
+    * check like any other violation.
+    */
+  def enumerateRows(json: String, version: Int): Seq[(String, String)] =
+    try {
+      nodes(mapper.readTree(json), version)
+        .map { case (p, n) => (p, n.toString) }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => Seq(("#", json))
+    }
+
+  /** Lint a CATALOG of schema documents against one official draft — one
+    * DataFrame pass: (idCol, schemaCol:string) in, (idCol, path, keyword,
+    * instance_path, detail) violation rows out. Mixed-dialect catalogs:
+    * group by the documents' `$schema` and call once per draft.
+    */
+  def violationsForCatalog(schemas: DataFrame, idCol: String,
+                           schemaCol: String, metaUrl: String): DataFrame = {
+    val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
+      "not an official json-schema.org meta-schema URL"))
+    import org.apache.spark.sql.functions._
+    val enum0 = udf((json: String) =>
+      if (json == null) Seq.empty[(String, String)]
+      else enumerateRows(json, version))
+    val exploded = schemas
+      .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
+      .select(col(idCol), col("__n._1").as("path"), col("__n._2").as("node"))
+    val (suite, metaDocUrl) = suiteFor(version)
+    normalized(Validator.violations(exploded, suite, Seq(idCol, "path")),
+      metaDocUrl)
+  }
+
+  /** One meta-violation: (node pointer in the schema document, meta keyword,
+    * detail).
+    */
+  final case class LintViolation(path: String, keyword: String, detail: String)
+
+  /** Lint one schema document. Empty = valid under the draft's meta. */
+  def violations(spark: SparkSession, schemaJson: String,
+                 metaUrl: String): Vector[LintViolation] = {
+    val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
+      "not an official json-schema.org meta-schema URL"))
+    val rows: Seq[Row] = enumerateRows(schemaJson, version)
+      .map { case (p, n) => Row(p, n) }
+    val df = spark.createDataFrame(rows.asJava, inputSchema)
+    val (suite, metaDocUrl) = suiteFor(version)
+    normalized(Validator.violations(df, suite, Seq("path")), metaDocUrl)
+      .collect()
+      .map(r => LintViolation(r.getString(0), r.getString(1), r.getString(3)))
+      .toVector.sortBy(v => (v.path, v.keyword))
+  }
+}

@@ -50,6 +50,11 @@ final case class SchemaNode(
     const: Option[JsonNode] = None,
     enumVals: Option[Vector[JsonNode]] = None,
     format: Option[String] = None,
+    // parsed under a non-strict (reference-compat) dialect: an UNREGISTERED
+    // format is then an ignored annotation at compile, like the reference's
+    // nil-Format skip (/root/reference/objcompiler.go:186-200); strict mode
+    // keeps the typed unknown-format error
+    formatLenient: Boolean = false,
     ref: Option[String] = None,
     // $dynamicRef — resolved at compile time to the outermost $dynamicAnchor
     // on the compile-time scope chain (the statically-resolvable subset of
@@ -779,6 +784,7 @@ object SchemaNode {
       const = opt("const"),
       enumVals = enumVals,
       format = optStr("format"),
+      formatLenient = !dialectPre.strict,
       ref = optStr("$ref"),
       dynRef = optStr("$dynamicRef").orElse(
         // $recursiveRef: "#" == $dynamicRef to the reserved root anchor

@@ -1,0 +1,112 @@
+package graft
+
+import graft.spec.{SchemaLint, SpecError}
+
+/** Flat official-metaschema linting of bare JSON Schema documents — the
+  * position-walk + cut-meta architecture (see [[graft.spec.SchemaLint]]),
+  * mirroring the reference's bundled-metaschema validation
+  * (/root/reference/draft.go:127-135, roots.go:240-248).
+  */
+class SchemaLintSpec extends SparkTestBase {
+
+  private val m2020 = "https://json-schema.org/draft/2020-12/schema"
+  private val m2019 = "https://json-schema.org/draft/2019-09/schema"
+  private val m7 = "http://json-schema.org/draft-07/schema#"
+  private val m4 = "http://json-schema.org/draft-04/schema#"
+
+  private def lint(schema: String, meta: String = m2020) =
+    SchemaLint.violations(spark, schema, meta)
+
+  test("valid schemas lint clean under 2020-12") {
+    assert(lint("""{"type": "object", "properties": {"a": {"type": "string",
+      "minLength": 1}}, "required": ["a"]}""").isEmpty)
+    assert(lint("true").isEmpty)
+    assert(lint("""{"$id": "https://example.com/s", "$defs": {"n": {"type":
+      "integer"}}, "allOf": [{"$ref": "#/$defs/n"}]}""").isEmpty)
+    assert(lint("""{"prefixItems": [{"type": "null"}], "items": false,
+      "contains": {"const": 3}, "if": {"minimum": 0}, "then": {"multipleOf":
+      2}}""").isEmpty)
+  }
+
+  test("shape errors are flagged at the offending node's pointer") {
+    // type must be a simpleType name or array thereof
+    val v1 = lint("""{"type": 123}""")
+    assert(v1.nonEmpty && v1.forall(_.path == "#"))
+    // nested: minLength must be a non-negative integer
+    val v2 = lint("""{"properties": {"a": {"minLength": -1}}}""")
+    assert(v2.nonEmpty && v2.forall(_.path == "#/properties/a"))
+    // required must be an array of strings
+    assert(lint("""{"required": "name"}""").nonEmpty)
+    // enum must be an array
+    assert(lint("""{"enum": 5}""").nonEmpty)
+    // a subschema position holding a number is flagged by the PARENT's cut
+    val v3 = lint("""{"properties": {"a": {"not": 3}}}""")
+    assert(v3.nonEmpty && v3.forall(_.path == "#/properties/a"))
+  }
+
+  test("format assertions are on: a non-URI $id fails like the reference") {
+    val v = lint("""{"$id": "not a uri", "type": "object"}""")
+    assert(v.exists(x => x.keyword.contains("$id") || x.detail.contains("uri")))
+    // $anchor grammar via pattern
+    assert(lint("""{"$anchor": "0bad"}""").nonEmpty)
+    assert(lint("""{"$anchor": "good_one"}""").isEmpty)
+  }
+
+  test("draft-dependent shapes: exclusiveMinimum boolean vs number") {
+    // draft-4: boolean modifier (requires minimum present) — valid
+    assert(lint("""{"minimum": 3, "exclusiveMinimum": true}""", m4).isEmpty)
+    // 2020-12: must be a number
+    assert(lint("""{"exclusiveMinimum": true}""", m2020).nonEmpty)
+    assert(lint("""{"exclusiveMinimum": 3}""", m2020).isEmpty)
+  }
+
+  test("2019-09: $recursiveAnchor boolean; 2020-12 deprecated form still typed") {
+    assert(lint("""{"$recursiveAnchor": true, "type": "object"}""", m2019).isEmpty)
+    // in 2020-12 the meta keeps $recursiveAnchor as an anchor STRING
+    assert(lint("""{"$recursiveAnchor": true}""", m2020).nonEmpty)
+  }
+
+  test("malformed JSON is a violation row, not an exception") {
+    assert(lint("""{"type": """).nonEmpty)
+  }
+
+  test("deep nesting: every node is walked (depth beyond any unroll limit)") {
+    // 12 levels of properties nesting — recursion-free by construction
+    val deep = (1 to 12).foldLeft("""{"type": "integer", "minLength": -1}""") {
+      (acc, i) => s"""{"properties": {"p$i": $acc}}"""
+    }
+    val v = lint(deep)
+    assert(v.nonEmpty && v.forall(_.path.count(_ == '/') >= 24 - 2))
+  }
+
+  test("catalog arm: one DataFrame pass over many stored schemas") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", """{"type": "object"}"""),
+      ("s2", """{"type": 123}"""),
+      ("s3", """{"properties": {"x": {"pattern": "["}}}"""), // bad regex: format
+      ("s4", """{"minimum": "low"}""")
+    ).toDF("id", "schema_json")
+    val vios = SchemaLint.violationsForCatalog(df, "id", "schema_json", m2020)
+      .select("id").distinct().as[String].collect().toSet
+    assert(vios("s2") && vios("s4") && !vios("s1"))
+    // s3: pattern's format "regex" IS asserted (reference AssertFormat)
+    assert(vios("s3"))
+  }
+
+  test("unknown meta URL is a typed error") {
+    intercept[SpecError] {
+      SchemaLint.violations(spark, "{}", "https://example.com/my-meta")
+    }
+  }
+
+  test("draft-7: if/then/else walked; draft-4: dependencies array form ok") {
+    val v7 = lint("""{"if": {"pattern": "["}}""", m7)
+    assert(v7.nonEmpty && v7.forall(_.path == "#/if"))
+    assert(lint("""{"dependencies": {"a": ["b"], "c": {"type": "object"}}}""",
+      m4).isEmpty)
+    // draft-4 has no boolean schemas: a boolean subschema is flagged
+    assert(lint("""{"properties": {"a": true}}""", m4).nonEmpty)
+    assert(lint("""{"properties": {"a": true}}""", m7).isEmpty)
+  }
+}
