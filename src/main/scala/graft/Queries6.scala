@@ -1,0 +1,61 @@
+package graft
+
+import graft.spec.SchemaLint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle query for OFFICIAL-METASCHEMA catalog linting ([[SchemaLint]]):
+  * a deterministic catalog of JSON Schema documents is synthesized from the
+  * `documents` table (schema shapes chosen so validity under the 2020-12
+  * meta is a closed-form predicate of `doc_id`), linted in one DataFrame
+  * pass, and the per-document verdicts hash-compare against DuckDB
+  * computing the same predicate directly.
+  */
+object Queries6 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** doc_id % 4 selects the schema shape:
+    *   0 → valid object schema (minLength = doc_id % 5, always ≥ 0)
+    *   1 → `{"type": 123}` — always shape-invalid
+    *   2 → minLength = (doc_id % 7) - 3 — invalid iff negative
+    *   3 → `$anchor` grammar: valid name on odd ids, leading digit on even
+    */
+  def qSchemaLint(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val cat = t(spark, dir, "documents").select(col("doc_id"),
+      when(m === 0, concat(
+          lit("""{"type":"object","properties":{"a":{"type":"string","minLength":"""),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit("}}}")))
+        .when(m === 1, lit("""{"type":123}"""))
+        .when(m === 2, concat(lit("""{"properties":{"a":{"minLength":"""),
+          (pmod(col("doc_id"), lit(7)) - 3).cast("string"), lit("}}}")))
+        .when(pmod(col("doc_id"), lit(2)) === 1,
+          lit("""{"$anchor":"ok_anchor"}"""))
+        .otherwise(lit("""{"$anchor":"0bad"}"""))
+        .as("schema_json"))
+    val bad = SchemaLint
+      .violationsForCatalog(cat, "doc_id", "schema_json",
+        "https://json-schema.org/draft/2020-12/schema")
+      .select(col("doc_id")).distinct().withColumn("__bad", lit(true))
+    cat.join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__bad"), lit(false)).unary_!.as("valid"))
+      .orderBy("doc_id")
+  }
+
+  val sqlSchemaLint: String =
+    """SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN TRUE
+           WHEN 1 THEN FALSE
+           WHEN 2 THEN (doc_id % 7) - 3 >= 0
+           ELSE doc_id % 2 = 1
+         END AS valid
+       FROM documents ORDER BY doc_id"""
+
+  /** (query, oracle) registry for this batch. */
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_schema_lint" -> ((qSchemaLint _, sqlSchemaLint))
+  )
+}
