@@ -36,8 +36,10 @@ object Main {
           |jv mode (validate JSON instances against a bare JSON Schema):
           |  --json-schema <file|url|->  --instance <file|-> [--instance ...]
           |  [--draft 4|6|7|2019|2020] [--map url_prefix=dir]... [--quiet]
-          |  [--assert-format] [--assert-content]
+          |  [--assert-format] [--assert-content] [--no-metaspec]
           |  [--output simple|alt|flag|basic|detailed]
+          |  An OFFICIAL meta-schema URL as --json-schema lints the
+          |  instance files as JSON Schema documents.
           |
           |Exit codes: 0 valid, 1 violations/compile failure, 2 usage or
           |spec errors.""".stripMargin)
@@ -264,6 +266,35 @@ object Main {
     // (/root/reference/cmd/jv/main.go:28-29,130-135)
     val jvAssert = Some((opts.contains("assert-format"),
       opts.contains("assert-content")))
+    // META-GATE: validate the schema document against its draft's official
+    // meta-schema BEFORE compiling — the reference does this for every
+    // schema it compiles (/root/reference/roots.go:240-248). Dialect: the
+    // document's own official $schema, else --draft, else the latest
+    // (DefaultDraft). A custom (non-official) $schema skips the gate — we
+    // cannot lint against a meta we don't bundle. --no-metaspec opts out.
+    if (!opts.contains("no-metaspec")) {
+      val docSchemaUrl = schemaDoc match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          Option(o.get("$schema")).filter(_.isTextual).map(_.asText())
+        case _ => None
+      }
+      val lintUrl = docSchemaUrl match {
+        case Some(u) => // official → lint with it; custom → no gate
+          graft.spec.SchemaLint.draftVersion(u).map(_ => u)
+        case None =>
+          Some(draftUrl.getOrElse("https://json-schema.org/draft/2020-12/schema"))
+      }
+      lintUrl.foreach { u =>
+        val vios = graft.spec.SchemaLint.violations(spark, effectiveJson, u)
+        if (vios.nonEmpty) {
+          println(s"schema $schemaArg: failed")
+          if (!quiet) vios.take(opts.get("limit").map(_.toInt).getOrElse(20))
+            .foreach(v => println(s"${v.keyword}  ${v.path}  ${v.detail}"))
+          spark.stop()
+          sys.exit(1)
+        }
+      }
+    }
     val suite =
       try {
         val spec = docUrl match {
