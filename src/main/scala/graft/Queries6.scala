@@ -37,7 +37,8 @@ object Queries6 {
         .as("schema_json"))
     val bad = SchemaLint
       .violationsForCatalog(cat, "doc_id", "schema_json",
-        "https://json-schema.org/draft/2020-12/schema")
+        "https://json-schema.org/draft/2020-12/schema",
+        perResourceDialects = false) // homogeneous catalog: single branch
       .select(col("doc_id")).distinct().withColumn("__bad", lit(true))
     cat.join(bad, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__bad"), lit(false)).unary_!.as("valid"))

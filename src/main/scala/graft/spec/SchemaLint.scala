@@ -81,38 +81,61 @@ object SchemaLint {
     seg.replace("~", "~0").replace("/", "~1")
 
   /** Enumerate every schema node of a document (root included) with its
-    * JSON-pointer location. Children that are neither object nor boolean
-    * are NOT emitted — the parent's meta-check flags them (the cut asserts
-    * nested positions are object|boolean), same convention as [[MetaSpec]].
+    * JSON-pointer location and GOVERNING DRAFT. Children that are neither
+    * object nor boolean are NOT emitted — the parent's meta-check flags
+    * them (the cut asserts nested positions are object|boolean), same
+    * convention as [[MetaSpec]]. An embedded resource (a node carrying
+    * `$id`/draft-4 `id`) with its own OFFICIAL `$schema` switches the draft
+    * for itself and its subtree — the reference's per-resource dialect
+    * selection in meta-validation (/root/reference/roots.go:103-150), so a
+    * draft-4 resource inside a 2020-12 document lints against the draft-4
+    * meta (boolean `exclusiveMinimum` legal inside, not outside).
     */
-  def nodes(doc: JsonNode, version: Int): Vector[(String, JsonNode)] = {
-    val w = walkOf(version)
-    val out = Vector.newBuilder[(String, JsonNode)]
-    def emit(path: String, n: JsonNode): Unit = {
-      out += ((path, n))
-      if (n.isObject) descend(path, n)
+  def nodes(doc: JsonNode, version: Int): Vector[(String, Int, JsonNode)] = {
+    val out = Vector.newBuilder[(String, Int, JsonNode)]
+    def emit(path: String, v0: Int, n: JsonNode, isResource: Boolean): Unit = {
+      // a resource declaring a CUSTOM (non-official) meta-schema is outside
+      // this gate's scope — its own meta governs its shape (e.g. a
+      // no-applicator meta legalizes `allOf: [1]`, Extra-Test-Suite
+      // mixed-dialects.json); skip it and its subtree, the same rule as the
+      // CLI gate skipping custom-meta documents
+      val declared = if (n.isObject && isResource)
+        Option(n.get("$schema")).filter(_.isTextual).map(_.asText()) else None
+      val v = declared match {
+        case Some(u) => draftVersion(u) match {
+          case Some(dv) => dv
+          case None     => return // custom meta: out of scope
+        }
+        case None => v0
+      }
+      out += ((path, v, n))
+      if (n.isObject) descend(path, v, n)
     }
-    def child(path: String, n: JsonNode): Unit =
-      if (n.isObject || n.isBoolean) emit(path, n)
-    def descend(path: String, n: JsonNode): Unit = {
+    def child(path: String, v: Int, n: JsonNode): Unit =
+      if (n.isObject || n.isBoolean)
+        emit(path, v, n,
+          n.isObject && (n.hasNonNull("$id") || n.hasNonNull("id")))
+    def descend(path: String, version: Int, n: JsonNode): Unit = {
+      val w = walkOf(version)
       w.maps.foreach { k =>
         val v = n.get(k)
         if (v != null && v.isObject)
           v.fieldNames().asScala.foreach(f =>
-            child(s"$path/${esc(k)}/${esc(f)}", v.get(f)))
+            child(s"$path/${esc(k)}/${esc(f)}", version, v.get(f)))
       }
       w.singles.foreach { k =>
         val v = n.get(k)
         // array-form items is handled by the arrays arm
-        if (v != null && !v.isArray) child(s"$path/${esc(k)}", v)
+        if (v != null && !v.isArray) child(s"$path/${esc(k)}", version, v)
       }
       w.arrays.foreach { k =>
         val v = n.get(k)
         if (v != null && v.isArray)
-          (0 until v.size()).foreach(i => child(s"$path/${esc(k)}/$i", v.get(i)))
+          (0 until v.size()).foreach(i =>
+            child(s"$path/${esc(k)}/$i", version, v.get(i)))
       }
     }
-    if (doc.isObject || doc.isBoolean) emit("#", doc)
+    if (doc.isObject || doc.isBoolean) emit("#", version, doc, isResource = true)
     out.result()
   }
 
@@ -213,9 +236,12 @@ object SchemaLint {
 
   // ------------------------------------------------------- compiled suites
 
-  /** Input shape: one row per (document, node pointer). */
+  /** Input shape: one row per (document, node pointer); `v` = the node's
+    * governing draft version (per-resource `$schema` switches honored).
+    */
   val inputSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
+    StructField("v", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("node", StringType, nullable = true)))
 
   private val suiteCache =
@@ -264,12 +290,13 @@ object SchemaLint {
     * JSON yields one root row whose node text fails the engine's parse
     * check like any other violation.
     */
-  def enumerateRows(json: String, version: Int): Seq[(String, String)] =
+  def enumerateRows(json: String, version: Int): Seq[(String, Int, String)] =
     try {
       nodes(mapper.readTree(json), version)
-        .map { case (p, n) => (p, n.toString) }
+        .map { case (p, v, n) => (p, v, n.toString) }
     } catch {
-      case _: java.io.IOException | _: RuntimeException => Seq(("#", json))
+      case _: java.io.IOException | _: RuntimeException =>
+        Seq(("#", version, json))
     }
 
   /** Lint a CATALOG of schema documents against one official draft — one
@@ -277,20 +304,48 @@ object SchemaLint {
     * instance_path, detail) violation rows out. Mixed-dialect catalogs:
     * group by the documents' `$schema` and call once per draft.
     */
+  /** All draft versions a node row can carry. */
+  private val allVersions = Vector(4, 6, 7, 2019, 2020)
+
+  /** All draft versions a node row can carry. */
   def violationsForCatalog(schemas: DataFrame, idCol: String,
-                           schemaCol: String, metaUrl: String): DataFrame = {
+                           schemaCol: String, metaUrl: String,
+                           perResourceDialects: Boolean = true): DataFrame = {
     val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
       "not an official json-schema.org meta-schema URL"))
     import org.apache.spark.sql.functions._
     val enum0 = udf((json: String) =>
-      if (json == null) Seq.empty[(String, String)]
+      if (json == null) Seq.empty[(String, Int, String)]
       else enumerateRows(json, version))
     val exploded = schemas
       .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
-      .select(col(idCol), col("__n._1").as("path"), col("__n._2").as("node"))
-    val (suite, metaDocUrl) = suiteFor(version)
-    normalized(Validator.violations(exploded, suite, Seq(idCol, "path")),
-      metaDocUrl)
+      .select(col(idCol), col("__n._1").as("path"), col("__n._2").as("v"),
+        col("__n._3").as("node"))
+    // rows route to their GOVERNING draft's suite (per-resource $schema
+    // switches): a homogeneous catalog leaves the other branches empty —
+    // the filters keep each branch shuffle-free and AQE collapses empty
+    // ones; the enumeration UDF re-runs per branch (small-doc parse), the
+    // accepted cost of mixed-dialect correctness without a cache pin.
+    // perResourceDialects = false asserts a homogeneous catalog: one
+    // branch, one suite compile — the scale path when the dialect is known.
+    val versions =
+      if (perResourceDialects) Vector(4, 6, 7, 2019, 2020)
+      else Vector(version)
+    perVersion(exploded, Seq(idCol, "path"), versions)
+  }
+
+  /** Validate (…, v, node) rows against each draft's flat meta, union of
+    * the per-version branches, coordinates normalized.
+    */
+  private def perVersion(rows: DataFrame, keyCols: Seq[String],
+                         versions: Vector[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    versions.map { ver =>
+      val (suite, metaDocUrl) = suiteFor(ver)
+      normalized(
+        Validator.violations(rows.filter(col("v") === ver), suite, keyCols),
+        metaDocUrl)
+    }.reduce(_ unionByName _)
   }
 
   /** One meta-violation: (node pointer in the schema document, meta keyword,
@@ -303,11 +358,11 @@ object SchemaLint {
                  metaUrl: String): Vector[LintViolation] = {
     val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
       "not an official json-schema.org meta-schema URL"))
-    val rows: Seq[Row] = enumerateRows(schemaJson, version)
-      .map { case (p, n) => Row(p, n) }
+    val enumerated = enumerateRows(schemaJson, version)
+    val rows: Seq[Row] = enumerated.map { case (p, v, n) => Row(p, v, n) }
     val df = spark.createDataFrame(rows.asJava, inputSchema)
-    val (suite, metaDocUrl) = suiteFor(version)
-    normalized(Validator.violations(df, suite, Seq("path")), metaDocUrl)
+    // versions present are known driver-side: only those suites compile
+    perVersion(df, Seq("path"), enumerated.map(_._2).distinct.toVector)
       .collect()
       .map(r => LintViolation(r.getString(0), r.getString(1), r.getString(3)))
       .toVector.sortBy(v => (v.path, v.keyword))

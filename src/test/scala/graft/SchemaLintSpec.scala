@@ -100,6 +100,46 @@ class SchemaLintSpec extends SparkTestBase {
     }
   }
 
+  test("mixed dialects: a draft-4 embedded resource lints under ITS meta") {
+    // boolean exclusiveMinimum is legal draft-4, illegal 2020-12 — the
+    // embedded resource's own $schema governs its subtree
+    val sch =
+      s"""{"$$defs": {"old": {"$$id": "urn:graft:d4res",
+         |  "$$schema": "http://json-schema.org/draft-04/schema#",
+         |  "properties": {"n": {"minimum": 3, "exclusiveMinimum": true}}}}}"""
+        .stripMargin
+    assert(lint(sch, m2020).isEmpty)
+    // without the resource wrapper the same form fails under 2020-12
+    assert(lint("""{"properties": {"n": {"minimum": 3,
+      "exclusiveMinimum": true}}}""", m2020).nonEmpty)
+  }
+
+  test("the reference's own suite corpus lints clean under each file's draft") {
+    val tests = java.nio.file.Paths.get(Queries5.suiteRoot, "tests")
+    var checked = 0
+    val failures = Vector.newBuilder[String]
+    Queries5.suiteGroups.foreach { case (rel, gi, desc, schemaJson, _) =>
+      val meta =
+        if (rel.startsWith("draft2020-12")) m2020
+        else if (rel.startsWith("draft7")) m7
+        else m4
+      // groups whose schema declares a CUSTOM meta-schema are out of the
+      // gate's scope (nothing bundled to lint against) — same skip rule as
+      // the CLI meta-gate
+      val doc = graft.spec.Spec.documentFromJson(schemaJson)
+      val custom = doc.isObject && doc.hasNonNull("$schema") &&
+        graft.spec.SchemaLint.draftVersion(doc.get("$schema").asText()).isEmpty
+      if (!custom) {
+        checked += 1
+        val v = lint(schemaJson, meta)
+        if (v.nonEmpty) failures += s"$rel[$gi] $desc: ${v.take(2)}"
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} suite schemas flagged:\n${fs.mkString("\n")}")
+    assert(checked >= 20) // 23 groups in the corpus, ≥1 custom-meta skip
+  }
+
   test("draft-7: if/then/else walked; draft-4: dependencies array form ok") {
     val v7 = lint("""{"if": {"pattern": "["}}""", m7)
     assert(v7.nonEmpty && v7.forall(_.path == "#/if"))
