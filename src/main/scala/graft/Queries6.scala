@@ -35,13 +35,11 @@ object Queries6 {
           lit("""{"$anchor":"ok_anchor"}"""))
         .otherwise(lit("""{"$anchor":"0bad"}"""))
         .as("schema_json"))
-    val bad = SchemaLint
-      .violationsForCatalog(cat, "doc_id", "schema_json",
+    // scale shape: annotate nodes in place + one map-side-partial AND
+    // aggregation on doc_id — no join, no distinct
+    SchemaLint.verdictsForCatalog(cat, "doc_id", "schema_json",
         "https://json-schema.org/draft/2020-12/schema",
         perResourceDialects = false) // homogeneous catalog: single branch
-      .select(col("doc_id")).distinct().withColumn("__bad", lit(true))
-    cat.join(bad, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__bad"), lit(false)).unary_!.as("valid"))
       .orderBy("doc_id")
   }
 

@@ -292,8 +292,18 @@ object SchemaLint {
     */
   def enumerateRows(json: String, version: Int): Seq[(String, Int, String)] =
     try {
-      nodes(mapper.readTree(json), version)
+      val doc = mapper.readTree(json)
+      val ns = nodes(doc, version)
         .map { case (p, v, n) => (p, v, n.toString) }
+      // a non-object/boolean ROOT yields no walked nodes — emit the raw
+      // document as the root row so the meta's `type: object|boolean`
+      // check flags it (absence must never read as validity). A custom-meta
+      // root legitimately has nothing to check (out of the gate's scope):
+      // a vacuous `true` node keeps the document present in per-document
+      // aggregations.
+      if (ns.nonEmpty) ns
+      else if (doc.isObject || doc.isBoolean) Seq(("#", version, "true"))
+      else Seq(("#", version, json))
     } catch {
       case _: java.io.IOException | _: RuntimeException =>
         Seq(("#", version, json))
@@ -307,7 +317,6 @@ object SchemaLint {
   /** All draft versions a node row can carry. */
   private val allVersions = Vector(4, 6, 7, 2019, 2020)
 
-  /** All draft versions a node row can carry. */
   def violationsForCatalog(schemas: DataFrame, idCol: String,
                            schemaCol: String, metaUrl: String,
                            perResourceDialects: Boolean = true): DataFrame = {
@@ -329,8 +338,7 @@ object SchemaLint {
     // perResourceDialects = false asserts a homogeneous catalog: one
     // branch, one suite compile — the scale path when the dialect is known.
     val versions =
-      if (perResourceDialects) Vector(4, 6, 7, 2019, 2020)
-      else Vector(version)
+      if (perResourceDialects) allVersions else Vector(version)
     perVersion(exploded, Seq(idCol, "path"), versions)
   }
 
@@ -346,6 +354,34 @@ object SchemaLint {
         Validator.violations(rows.filter(col("v") === ver), suite, keyCols),
         metaDocUrl)
     }.reduce(_ unionByName _)
+  }
+
+  /** Per-DOCUMENT verdicts for a catalog — (idCol, valid:boolean), one row
+    * per input document. The scale shape: node rows annotate in place and
+    * fold with a map-side-partial boolean-AND aggregation (one hash-agg
+    * shuffle on idCol); no join, no distinct. Custom-meta documents read
+    * valid (out of the gate's scope).
+    */
+  def verdictsForCatalog(schemas: DataFrame, idCol: String,
+                         schemaCol: String, metaUrl: String,
+                         perResourceDialects: Boolean = true): DataFrame = {
+    val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
+      "not an official json-schema.org meta-schema URL"))
+    import org.apache.spark.sql.functions._
+    val enum0 = udf((json: String) =>
+      if (json == null) Seq.empty[(String, Int, String)]
+      else enumerateRows(json, version))
+    val exploded = schemas
+      .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
+      .select(col(idCol), col("__n._2").as("v"), col("__n._3").as("node"))
+    val versions =
+      if (perResourceDialects) allVersions else Vector(version)
+    versions.map { ver =>
+      Validator.annotate(exploded.filter(col("v") === ver),
+          suiteFor(ver)._1)
+        .select(col(idCol), col("valid"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(idCol)).agg(min(col("valid")).as("valid"))
   }
 
   /** One meta-violation: (node pointer in the schema document, meta keyword,

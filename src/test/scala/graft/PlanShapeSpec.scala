@@ -98,6 +98,13 @@ class PlanShapeSpec extends SparkTestBase {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
+  test("catalog schema linting: one agg shuffle + final sort, no join") {
+    val plan = Queries6.qSchemaLint(spark, dir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan") // agg + orderBy
+    assert(!plan.contains("Join"), "verdict fold must not join")
+  }
+
   test("flat unevaluatedProperties keeps the STATIC lowering (no branch-set algebra)") {
     import graft.compile.SuiteCompiler
     import graft.spec.Spec

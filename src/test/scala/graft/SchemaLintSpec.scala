@@ -94,6 +94,20 @@ class SchemaLintSpec extends SparkTestBase {
     assert(vios("s3"))
   }
 
+  test("verdicts arm: per-doc AND-fold; non-object root invalid; custom-meta root valid") {
+    import spark.implicits._
+    val df = Seq(
+      ("ok", """{"type": "object"}"""),
+      ("badroot", """[1, 2]"""), // schema document must be object|boolean
+      ("custom", """{"$schema": "https://example.com/own-meta", "whatever": 1}"""),
+      ("nested_bad", """{"properties": {"a": {"minLength": -2}}}""")
+    ).toDF("id", "schema_json")
+    val got = SchemaLint.verdictsForCatalog(df, "id", "schema_json", m2020)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("ok" -> true, "badroot" -> false,
+      "custom" -> true, "nested_bad" -> false))
+  }
+
   test("unknown meta URL is a typed error") {
     intercept[SpecError] {
       SchemaLint.violations(spark, "{}", "https://example.com/my-meta")
