@@ -129,29 +129,29 @@ class SchemaLintSpec extends SparkTestBase {
   }
 
   test("the reference's own suite corpus lints clean under each file's draft") {
-    val tests = java.nio.file.Paths.get(Queries5.suiteRoot, "tests")
+    // batched through the CATALOG arm: one verdict job per draft directory,
+    // per-resource dialect routing + custom-meta skips handled by the
+    // walker itself (no manual skip-list)
+    import spark.implicits._
+    val byDir = Queries5.suiteGroups.groupBy(_._1.takeWhile(_ != '/'))
+    assert(byDir.keySet == Set("draft2020-12", "draft7", "draft4"))
     var checked = 0
-    val failures = Vector.newBuilder[String]
-    Queries5.suiteGroups.foreach { case (rel, gi, desc, schemaJson, _) =>
-      val meta =
-        if (rel.startsWith("draft2020-12")) m2020
-        else if (rel.startsWith("draft7")) m7
-        else m4
-      // groups whose schema declares a CUSTOM meta-schema are out of the
-      // gate's scope (nothing bundled to lint against) — same skip rule as
-      // the CLI meta-gate
-      val doc = graft.spec.Spec.documentFromJson(schemaJson)
-      val custom = doc.isObject && doc.hasNonNull("$schema") &&
-        graft.spec.SchemaLint.draftVersion(doc.get("$schema").asText()).isEmpty
-      if (!custom) {
-        checked += 1
-        val v = lint(schemaJson, meta)
-        if (v.nonEmpty) failures += s"$rel[$gi] $desc: ${v.take(2)}"
+    byDir.foreach { case (dirName, groups) =>
+      val meta = dirName match {
+        case "draft2020-12" => m2020
+        case "draft7"       => m7
+        case _              => m4
       }
+      val df = groups.map { case (rel, gi, _, schemaJson, _) =>
+        (s"$rel[$gi]", schemaJson)
+      }.toDF("id", "schema_json")
+      val bad = SchemaLint.verdictsForCatalog(df, "id", "schema_json", meta)
+        .filter(!org.apache.spark.sql.functions.col("valid"))
+        .select("id").as[String].collect()
+      assert(bad.isEmpty, s"$dirName schemas flagged: ${bad.mkString(", ")}")
+      checked += groups.size
     }
-    val fs = failures.result()
-    assert(fs.isEmpty, s"${fs.size} suite schemas flagged:\n${fs.mkString("\n")}")
-    assert(checked >= 20) // 23 groups in the corpus, ≥1 custom-meta skip
+    assert(checked >= 23) // the whole corpus (custom-meta resources vacuous)
   }
 
   test("draft-7: if/then/else walked; draft-4: dependencies array form ok") {
