@@ -91,15 +91,18 @@ object SchemaLint {
     * draft-4 resource inside a 2020-12 document lints against the draft-4
     * meta (boolean `exclusiveMinimum` legal inside, not outside).
     */
-  def nodes(doc: JsonNode, version: Int): Vector[(String, Int, JsonNode)] = {
+  def nodes(doc: JsonNode, version: Int,
+            pinned: Boolean = false): Vector[(String, Int, JsonNode)] = {
     val out = Vector.newBuilder[(String, Int, JsonNode)]
     def emit(path: String, v0: Int, n: JsonNode, isResource: Boolean): Unit = {
       // a resource declaring a CUSTOM (non-official) meta-schema is outside
       // this gate's scope — its own meta governs its shape (e.g. a
       // no-applicator meta legalizes `allOf: [1]`, Extra-Test-Suite
       // mixed-dialects.json); skip it and its subtree, the same rule as the
-      // CLI gate skipping custom-meta documents
-      val declared = if (n.isObject && isResource)
+      // CLI gate skipping custom-meta documents. `pinned` (the asserted-
+      // homogeneous catalog path) disables both the switch and the skip:
+      // every node validates under the forced draft, nothing is dropped.
+      val declared = if (n.isObject && isResource && !pinned)
         Option(n.get("$schema")).filter(_.isTextual).map(_.asText()) else None
       val v = declared match {
         case Some(u) => draftVersion(u) match {
@@ -290,10 +293,11 @@ object SchemaLint {
     * JSON yields one root row whose node text fails the engine's parse
     * check like any other violation.
     */
-  def enumerateRows(json: String, version: Int): Seq[(String, Int, String)] =
+  def enumerateRows(json: String, version: Int,
+                    pinned: Boolean = false): Seq[(String, Int, String)] =
     try {
       val doc = mapper.readTree(json)
-      val ns = nodes(doc, version)
+      val ns = nodes(doc, version, pinned)
         .map { case (p, v, n) => (p, v, n.toString) }
       // a non-object/boolean ROOT yields no walked nodes — emit the raw
       // document as the root row so the meta's `type: object|boolean`
@@ -309,14 +313,15 @@ object SchemaLint {
         Seq(("#", version, json))
     }
 
-  /** Lint a CATALOG of schema documents against one official draft — one
-    * DataFrame pass: (idCol, schemaCol:string) in, (idCol, path, keyword,
-    * instance_path, detail) violation rows out. Mixed-dialect catalogs:
-    * group by the documents' `$schema` and call once per draft.
-    */
   /** All draft versions a node row can carry. */
   private val allVersions = Vector(4, 6, 7, 2019, 2020)
 
+  /** Lint a CATALOG of schema documents — one DataFrame pass:
+    * (idCol, schemaCol:string) in, (idCol, path, keyword, instance_path,
+    * detail) violation rows out. `metaUrl` is the DEFAULT draft for
+    * documents without their own official `$schema`; per-resource dialect
+    * switches inside documents are honored automatically.
+    */
   def violationsForCatalog(schemas: DataFrame, idCol: String,
                            schemaCol: String, metaUrl: String,
                            perResourceDialects: Boolean = true): DataFrame = {
@@ -325,7 +330,7 @@ object SchemaLint {
     import org.apache.spark.sql.functions._
     val enum0 = udf((json: String) =>
       if (json == null) Seq.empty[(String, Int, String)]
-      else enumerateRows(json, version))
+      else enumerateRows(json, version, pinned = !perResourceDialects))
     val exploded = schemas
       .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
       .select(col(idCol), col("__n._1").as("path"), col("__n._2").as("v"),
@@ -370,7 +375,7 @@ object SchemaLint {
     import org.apache.spark.sql.functions._
     val enum0 = udf((json: String) =>
       if (json == null) Seq.empty[(String, Int, String)]
-      else enumerateRows(json, version))
+      else enumerateRows(json, version, pinned = !perResourceDialects))
     val exploded = schemas
       .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
       .select(col(idCol), col("__n._2").as("v"), col("__n._3").as("node"))
