@@ -108,6 +108,23 @@ class SchemaLintSpec extends SparkTestBase {
       "custom" -> true, "nested_bad" -> false))
   }
 
+  test("pinned catalog (perResourceDialects=false): nothing silently dropped") {
+    import spark.implicits._
+    // doc embeds a draft-4 resource; under the PINNED 2020-12 contract its
+    // boolean exclusiveMinimum must FLAG (validated under the forced
+    // draft), not vanish into a filtered-out version branch
+    val df = Seq(("d1",
+      """{"$defs": {"old": {"$id": "urn:graft:pin4",
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "properties": {"n": {"minimum": 3, "exclusiveMinimum": true}}}}}"""
+    )).toDF("id", "schema_json")
+    def verdict(pin: Boolean) =
+      SchemaLint.verdictsForCatalog(df, "id", "schema_json", m2020,
+        perResourceDialects = !pin).collect().head.getBoolean(1)
+    assert(verdict(pin = true) == false)  // forced 2020-12: flags
+    assert(verdict(pin = false) == true)  // routed: draft-4 meta accepts
+  }
+
   test("unknown meta URL is a typed error") {
     intercept[SpecError] {
       SchemaLint.violations(spark, "{}", "https://example.com/my-meta")
