@@ -389,10 +389,12 @@ object SchemaLint {
       .groupBy(col(idCol)).agg(min(col("valid")).as("valid"))
   }
 
-  /** One meta-violation: (node pointer in the schema document, meta keyword,
-    * detail).
+  /** One meta-violation: node pointer in the schema document, meta keyword
+    * path, instance path INSIDE the node (usually empty — most meta checks
+    * anchor at the node itself), human detail.
     */
-  final case class LintViolation(path: String, keyword: String, detail: String)
+  final case class LintViolation(path: String, keyword: String,
+                                 instancePath: String, detail: String)
 
   /** Lint one schema document. Empty = valid under the draft's meta. */
   def violations(spark: SparkSession, schemaJson: String,
@@ -405,7 +407,8 @@ object SchemaLint {
     // versions present are known driver-side: only those suites compile
     perVersion(df, Seq("path"), enumerated.map(_._2).distinct.toVector)
       .collect()
-      .map(r => LintViolation(r.getString(0), r.getString(1), r.getString(3)))
+      .map(r => LintViolation(r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
       .toVector.sortBy(v => (v.path, v.keyword))
   }
 }

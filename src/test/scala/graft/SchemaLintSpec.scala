@@ -171,6 +171,36 @@ class SchemaLintSpec extends SparkTestBase {
     assert(checked >= 23) // the whole corpus (custom-meta resources vacuous)
   }
 
+  test("fuzz: 200 mutated schema documents lint in one batch without crashing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val seeds = Vector(
+      """{"type": "object", "properties": {"a": {"type": "string"}}}""",
+      """{"allOf": [{"minimum": 0}, {"maximum": 9}], "$defs": {"x": true}}""",
+      """{"prefixItems": [{"enum": [1, 2]}], "contains": {"const": "k"}}""",
+      """{"patternProperties": {"^a": {"pattern": "x+"}}, "required": ["a"]}""")
+    val mutants = (0 until 200).map { i =>
+      val s = seeds(i % seeds.length)
+      val m = rnd.nextInt(6) match {
+        case 0 => s.replaceFirst("\\{", s"""{"minLength": ${rnd.nextInt(9) - 4},""")
+        case 1 => s.replaceFirst("\"type\"", "\"type\": 9, \"x\"")
+        case 2 => s.dropRight(rnd.nextInt(3) + 1) // truncated JSON
+        case 3 => s.replaceFirst("\\{", java.util.regex.Matcher.quoteReplacement(
+          s"""{"$$anchor": "${if (rnd.nextBoolean()) "ok" else "0bad"}","""))
+        case 4 => s.replaceFirst("\\{", """{"properties": {"deep": {"properties": {"er": """) + "}}}}"
+        case _ => s
+      }
+      (s"m$i", m)
+    }
+    val df = mutants.toDF("id", "schema_json")
+    val verdicts = SchemaLint.verdictsForCatalog(df, "id", "schema_json", m2020)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts.size == 200) // every document produced a verdict
+    // unmutated seeds (case 5) must stay valid; negative-minLength (case 0
+    // with a negative draw) must flag — spot-check the determinism
+    assert(verdicts.values.exists(identity) && verdicts.values.exists(!_))
+  }
+
   test("draft-7: if/then/else walked; draft-4: dependencies array form ok") {
     val v7 = lint("""{"if": {"pattern": "["}}""", m7)
     assert(v7.nonEmpty && v7.forall(_.path == "#/if"))
