@@ -20,7 +20,9 @@ object Queries6 {
     *   0 → valid object schema (minLength = doc_id % 5, always ≥ 0)
     *   1 → `{"type": 123}` — always shape-invalid
     *   2 → minLength = (doc_id % 7) - 3 — invalid iff negative
-    *   3 → `$anchor` grammar: valid name on odd ids, leading digit on even
+    *   3 → `$anchor` grammar: leading digit (invalid) iff doc_id % 3 = 0
+    *       (doc_id ≡ 3 mod 4 is always odd, so a parity split would leave
+    *       one branch dead)
     */
   def qSchemaLint(spark: SparkSession, dir: String): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
@@ -31,9 +33,9 @@ object Queries6 {
         .when(m === 1, lit("""{"type":123}"""))
         .when(m === 2, concat(lit("""{"properties":{"a":{"minLength":"""),
           (pmod(col("doc_id"), lit(7)) - 3).cast("string"), lit("}}}")))
-        .when(pmod(col("doc_id"), lit(2)) === 1,
-          lit("""{"$anchor":"ok_anchor"}"""))
-        .otherwise(lit("""{"$anchor":"0bad"}"""))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("""{"$anchor":"0bad"}"""))
+        .otherwise(lit("""{"$anchor":"ok_anchor"}"""))
         .as("schema_json"))
     // scale shape: annotate nodes in place + one map-side-partial AND
     // aggregation on doc_id — no join, no distinct
@@ -49,7 +51,7 @@ object Queries6 {
            WHEN 0 THEN TRUE
            WHEN 1 THEN FALSE
            WHEN 2 THEN (doc_id % 7) - 3 >= 0
-           ELSE doc_id % 2 = 1
+           ELSE doc_id % 3 <> 0
          END AS valid
        FROM documents ORDER BY doc_id"""
 

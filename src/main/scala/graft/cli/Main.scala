@@ -213,6 +213,13 @@ object Main {
           case Some((pre, dir)) =>
             Spec.documentFromFile(
               new java.io.File(dir, url.stripPrefix(pre)).getPath)
+          // re-registering http/https must not hide the bundled official
+          // metaschemas — a schema with `$ref: "http://json-schema.org/
+          // draft-07/schema#"` still resolves offline alongside --map
+          case None if url.stripSuffix("#")
+              .replaceFirst("^https?://json-schema\\.org/", "") !=
+              url.stripSuffix("#") =>
+            Spec.loadOfficialMeta(url)
           case None =>
             throw SpecError(url, s"no --map prefix matches this URL")
         }
@@ -314,22 +321,9 @@ object Main {
     var allValid = true
     opts.get("instance").toSeq.flatMap(_.split("\u0000")).foreach { path =>
       if (!quiet) println()
-      val text =
-        try {
-          if (path == "-") scala.io.Source.stdin.mkString
-          else { // malformed JSON is a per-row !parse violation, so only
-                 // unreadable files fail here
-            val src = scala.io.Source.fromFile(path)
-            try src.mkString finally src.close()
-          }
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            println(s"instance $path: failed")
-            if (!quiet) println(e.toString)
-            allValid = false
-            null
-        }
-      if (text != null) {
+      val textOpt = readInstance(path, quiet)
+      if (textOpt.isEmpty) allValid = false
+      textOpt.foreach { text =>
         val df = spark.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(0, text)), instSchema)
         val vios0 = Engine.allViolations(df, suite, Seq("idx"), Map.empty)
@@ -385,21 +379,9 @@ object Main {
     var allValid = true
     opts.get("instance").toSeq.flatMap(_.split("\u0000")).foreach { path =>
       if (!quiet) println()
-      val text =
-        try {
-          if (path == "-") scala.io.Source.stdin.mkString
-          else {
-            val src = scala.io.Source.fromFile(path)
-            try src.mkString finally src.close()
-          }
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            println(s"instance $path: failed")
-            if (!quiet) println(e.toString)
-            allValid = false
-            null
-        }
-      if (text != null) {
+      val textOpt = readInstance(path, quiet)
+      if (textOpt.isEmpty) allValid = false
+      textOpt.foreach { text =>
         val vios = graft.spec.SchemaLint.violations(spark, text, metaUrl)
         if (vios.isEmpty) println(s"instance $path: ok")
         else {
@@ -413,6 +395,25 @@ object Main {
     spark.stop()
     sys.exit(if (allValid) 0 else 1)
   }
+
+  /** Read an instance file (`-` = stdin); on failure print the reference's
+    * `instance X: failed` line and return None (shared by the jv and lint
+    * instance loops).
+    */
+  private def readInstance(path: String, quiet: Boolean): Option[String] =
+    try Some(
+      if (path == "-") scala.io.Source.stdin.mkString
+      else { // malformed JSON is a per-row violation downstream, so only
+             // unreadable files fail here
+        val src = scala.io.Source.fromFile(path)
+        try src.mkString finally src.close()
+      })
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        println(s"instance $path: failed")
+        if (!quiet) println(e.toString)
+        None
+    }
 
   private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {

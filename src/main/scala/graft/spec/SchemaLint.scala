@@ -38,18 +38,19 @@ object SchemaLint {
   private val mapper = new ObjectMapper()
 
   /** Official ROOT meta-schema URL → draft version (http/https, optional
-    * trailing '#'; bare `/schema` = latest, loader.go:86-88).
+    * trailing '#'; bare `/schema` = latest, loader.go:86-88). Single source
+    * of truth: [[Dialect.fromUrl]]'s recognition table.
     */
   def draftVersion(url: String): Option[Int] =
-    url.replaceFirst("^http://", "https://").stripSuffix("#") match {
-      case "https://json-schema.org/schema"                => Some(2020)
-      case "https://json-schema.org/draft/2020-12/schema"  => Some(2020)
-      case "https://json-schema.org/draft/2019-09/schema"  => Some(2019)
-      case "https://json-schema.org/draft-07/schema"       => Some(7)
-      case "https://json-schema.org/draft-06/schema"       => Some(6)
-      case "https://json-schema.org/draft-04/schema"       => Some(4)
-      case _                                               => None
-    }
+    if (url.replaceFirst("^http://", "https://").stripSuffix("#") ==
+        "https://json-schema.org/schema") Some(2020)
+    else Dialect.fromUrl(url).map(_.name match {
+      case "2020-12"  => 2020
+      case "2019-09"  => 2019
+      case "draft-07" => 7
+      case "draft-06" => 6
+      case _          => 4
+    })
 
   // ---------------------------------------------------------------- walker
 
@@ -64,8 +65,13 @@ object SchemaLint {
   private def walkOf(version: Int): Walk = {
     var m = Vector("definitions", "properties", "patternProperties",
       "dependencies")
-    var s = Vector("not", "additionalProperties", "additionalItems", "items")
+    var s = Vector("not", "additionalProperties", "items")
     var a = Vector("allOf", "anyOf", "oneOf", "items")
+    // additionalItems left 2020-12: the 2020 meta does not constrain it (no
+    // vocabulary defines it — it is an unconstrained unknown keyword there,
+    // which the reference's meta-validation accepts), so walking it would
+    // flag documents the reference passes
+    if (version < 2020) s :+= "additionalItems"
     if (version >= 6) s ++= Vector("propertyNames", "contains")
     if (version >= 7) s ++= Vector("if", "then", "else")
     if (version >= 2019) {
@@ -94,20 +100,33 @@ object SchemaLint {
   def nodes(doc: JsonNode, version: Int,
             pinned: Boolean = false): Vector[(String, Int, JsonNode)] = {
     val out = Vector.newBuilder[(String, Int, JsonNode)]
-    def emit(path: String, v0: Int, n: JsonNode, isResource: Boolean): Unit = {
-      // a resource declaring a CUSTOM (non-official) meta-schema is outside
-      // this gate's scope — its own meta governs its shape (e.g. a
-      // no-applicator meta legalizes `allOf: [1]`, Extra-Test-Suite
-      // mixed-dialects.json); skip it and its subtree, the same rule as the
-      // CLI gate skipping custom-meta documents. `pinned` (the asserted-
-      // homogeneous catalog path) disables both the switch and the skip:
-      // every node validates under the forced draft, nothing is dropped.
-      val declared = if (n.isObject && isResource && !pinned)
+    def emit(path: String, v0: Int, n: JsonNode): Unit = {
+      // nested `$schema` is honored IFF the node carries the DECLARED
+      // draft's identifier keyword (`id` for declared draft-4, `$id`
+      // otherwise) — otherwise the $schema is IGNORED and the node stays in
+      // the enclosing dialect (the reference's exact rule, roots.go:107-113;
+      // Extra-Test-Suite mixed-dialects.json[0] is a draft-4 `id` resource
+      // inside a 2020-12 document). The document ROOT always honors its
+      // $schema. A node whose honored $schema is a CUSTOM (non-official)
+      // meta is outside this gate's scope — its own meta governs its shape
+      // (a no-applicator meta legalizes `allOf: [1]`) — so it and its
+      // subtree are skipped, like the CLI gate skipping custom-meta
+      // documents. `pinned` (the asserted-homogeneous catalog path)
+      // disables both the switch and the skip.
+      val declared = if (n.isObject && !pinned)
         Option(n.get("$schema")).filter(_.isTextual).map(_.asText()) else None
       val v = declared match {
         case Some(u) => draftVersion(u) match {
-          case Some(dv) => dv
-          case None     => return // custom meta: out of scope
+          case Some(dv) =>
+            if (path == "#" || n.hasNonNull(if (dv == 4) "id" else "$id")) dv
+            else v0 // $schema ignored: no declared-draft identifier
+          case None =>
+            // custom meta: honored only on resource-shaped nodes (the
+            // declared draft's id spelling is unknowable without loading
+            // the meta — accept either)
+            if (path == "#" || n.hasNonNull("$id") || n.hasNonNull("id"))
+              return // out of the gate's scope
+            else v0 // ignored annotation
         }
         case None => v0
       }
@@ -115,9 +134,7 @@ object SchemaLint {
       if (n.isObject) descend(path, v, n)
     }
     def child(path: String, v: Int, n: JsonNode): Unit =
-      if (n.isObject || n.isBoolean)
-        emit(path, v, n,
-          n.isObject && (n.hasNonNull("$id") || n.hasNonNull("id")))
+      if (n.isObject || n.isBoolean) emit(path, v, n)
     def descend(path: String, version: Int, n: JsonNode): Unit = {
       val w = walkOf(version)
       w.maps.foreach { k =>
@@ -138,7 +155,7 @@ object SchemaLint {
             child(s"$path/${esc(k)}/$i", version, v.get(i)))
       }
     }
-    if (doc.isObject || doc.isBoolean) emit("#", version, doc, isResource = true)
+    if (doc.isObject || doc.isBoolean) emit("#", version, doc)
     out.result()
   }
 
@@ -294,24 +311,28 @@ object SchemaLint {
     * check like any other violation.
     */
   def enumerateRows(json: String, version: Int,
-                    pinned: Boolean = false): Seq[(String, Int, String)] =
-    try {
-      val doc = mapper.readTree(json)
-      val ns = nodes(doc, version, pinned)
-        .map { case (p, v, n) => (p, v, n.toString) }
-      // a non-object/boolean ROOT yields no walked nodes — emit the raw
-      // document as the root row so the meta's `type: object|boolean`
-      // check flags it (absence must never read as validity). A custom-meta
-      // root legitimately has nothing to check (out of the gate's scope):
-      // a vacuous `true` node keeps the document present in per-document
-      // aggregations.
-      if (ns.nonEmpty) ns
-      else if (doc.isObject || doc.isBoolean) Seq(("#", version, "true"))
-      else Seq(("#", version, json))
-    } catch {
-      case _: java.io.IOException | _: RuntimeException =>
-        Seq(("#", version, json))
-    }
+                    pinned: Boolean = false): Seq[(String, Int, String)] = {
+    // only the PARSE is caught (malformed JSON → raw root row → the
+    // engine's parse check flags it); a walker exception on a well-formed
+    // document is a BUG and must surface, not read as "invalid document".
+    // Jackson's default depth limit bounds the walker's recursion.
+    val doc =
+      try mapper.readTree(json)
+      catch {
+        case _: java.io.IOException => return Seq(("#", version, json))
+      }
+    val ns = nodes(doc, version, pinned)
+      .map { case (p, v, n) => (p, v, n.toString) }
+    // a non-object/boolean ROOT yields no walked nodes — emit the raw
+    // document as the root row so the meta's `type: object|boolean`
+    // check flags it (absence must never read as validity). A custom-meta
+    // root legitimately has nothing to check (out of the gate's scope):
+    // a vacuous `true` node keeps the document present in per-document
+    // aggregations.
+    if (ns.nonEmpty) ns
+    else if (doc.isObject || doc.isBoolean) Seq(("#", version, "true"))
+    else Seq(("#", version, json))
+  }
 
   /** All draft versions a node row can carry. */
   private val allVersions = Vector(4, 6, 7, 2019, 2020)

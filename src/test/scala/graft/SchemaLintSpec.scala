@@ -108,13 +108,32 @@ class SchemaLintSpec extends SparkTestBase {
       "custom" -> true, "nested_bad" -> false))
   }
 
+  test("additionalItems is unconstrained under 2020-12 but walked for draft<=2019") {
+    // the 2020-12 meta defines no additionalItems keyword — an ill-typed
+    // value there is an unknown-keyword annotation the reference accepts
+    assert(lint("""{"additionalItems": {"type": 123}}""", m2020).isEmpty)
+    assert(lint("""{"additionalItems": {"type": 123}}""", m7).nonEmpty)
+  }
+
+  test("nested $schema honored iff the DECLARED draft's id spelling is present") {
+    // declared draft-4 wants `id` (reference roots.go:107-113): with it the
+    // node switches and boolean exclusiveMinimum is legal inside
+    val sch = """{"properties": {"a": {"id": "urn:graft:d4id",
+      "$schema": "http://json-schema.org/draft-04/schema#",
+      "minimum": 1, "exclusiveMinimum": true}}}"""
+    assert(lint(sch, m2020).isEmpty)
+    // spelled `$id`, declared draft-4 finds no `id` → $schema IGNORED, the
+    // node stays 2020-12 and the boolean modifier flags
+    assert(lint(sch.replace("\"id\"", "\"$id\""), m2020).nonEmpty)
+  }
+
   test("pinned catalog (perResourceDialects=false): nothing silently dropped") {
     import spark.implicits._
     // doc embeds a draft-4 resource; under the PINNED 2020-12 contract its
     // boolean exclusiveMinimum must FLAG (validated under the forced
     // draft), not vanish into a filtered-out version branch
     val df = Seq(("d1",
-      """{"$defs": {"old": {"$id": "urn:graft:pin4",
+      """{"$defs": {"old": {"id": "urn:graft:pin4",
         "$schema": "http://json-schema.org/draft-04/schema#",
         "properties": {"n": {"minimum": 3, "exclusiveMinimum": true}}}}}"""
     )).toDF("id", "schema_json")
@@ -133,9 +152,10 @@ class SchemaLintSpec extends SparkTestBase {
 
   test("mixed dialects: a draft-4 embedded resource lints under ITS meta") {
     // boolean exclusiveMinimum is legal draft-4, illegal 2020-12 — the
-    // embedded resource's own $schema governs its subtree
+    // embedded resource's own $schema governs its subtree (draft-4 spells
+    // the identifier `id`)
     val sch =
-      s"""{"$$defs": {"old": {"$$id": "urn:graft:d4res",
+      s"""{"$$defs": {"old": {"id": "urn:graft:d4res",
          |  "$$schema": "http://json-schema.org/draft-04/schema#",
          |  "properties": {"n": {"minimum": 3, "exclusiveMinimum": true}}}}}"""
         .stripMargin
