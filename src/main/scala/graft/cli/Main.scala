@@ -375,6 +375,12 @@ object Main {
   private def lintMode(spark: SparkSession, metaUrl: String,
                        opts: Map[String, String]): Unit = {
     val quiet = opts.contains("quiet")
+    // same output-format surface as jv mode (default: `basic`-style lines —
+    // meta keyword, fused node+inner pointer, detail)
+    val outMode = opts.getOrElse("output", "basic")
+    if (!Set("simple", "alt", "flag", "basic", "detailed").contains(outMode))
+      usage(s"unknown --output '$outMode' for meta-schema lint mode")
+    val limit = opts.get("limit").map(_.toInt).getOrElse(20)
     println(s"schema $metaUrl: ok")
     var allValid = true
     opts.get("instance").toSeq.flatMap(_.split("\u0000")).foreach { path =>
@@ -382,13 +388,24 @@ object Main {
       val textOpt = readInstance(path, quiet)
       if (textOpt.isEmpty) allValid = false
       textOpt.foreach { text =>
-        val vios = graft.spec.SchemaLint.violations(spark, text, metaUrl)
-        if (vios.isEmpty) println(s"instance $path: ok")
+        val vios = graft.spec.SchemaLint.violationsFrame(spark, text, metaUrl)
+        val n = vios.count()
+        if (n == 0) println(s"instance $path: ok")
         else {
           println(s"instance $path: failed")
           allValid = false
-          if (!quiet) vios.take(opts.get("limit").map(_.toInt).getOrElse(20))
-            .foreach(v => println(s"${v.keyword}  ${v.path}  ${v.detail}"))
+          if (!quiet) {
+            lazy val units = graft.output.Output.collect(vios, limit)
+            outMode match {
+              case "flag"     => println(s"""{"valid":false}""")
+              case "detailed" => println(graft.output.Output.detailedJson(units))
+              case "alt"      => print(graft.output.Output.altText(units, n))
+              case "simple"   => print(graft.output.Output.simpleText(units, n))
+              case _ => vios.orderBy("keyword", "instance_path").limit(limit)
+                .collect().foreach(r =>
+                  println(s"${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"))
+            }
+          }
         }
       }
     }

@@ -417,9 +417,11 @@ object SchemaLint {
   final case class LintViolation(path: String, keyword: String,
                                  instancePath: String, detail: String)
 
-  /** Lint one schema document. Empty = valid under the draft's meta. */
-  def violations(spark: SparkSession, schemaJson: String,
-                 metaUrl: String): Vector[LintViolation] = {
+  /** Raw violation frame for one document: (path, keyword, instance_path,
+    * detail) — instance_path is the location INSIDE the node.
+    */
+  def violationsRaw(spark: SparkSession, schemaJson: String,
+                    metaUrl: String): DataFrame = {
     val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
       "not an official json-schema.org meta-schema URL"))
     val enumerated = enumerateRows(schemaJson, version)
@@ -427,9 +429,30 @@ object SchemaLint {
     val df = spark.createDataFrame(rows.asJava, inputSchema)
     // versions present are known driver-side: only those suites compile
     perVersion(df, Seq("path"), enumerated.map(_._2).distinct.toVector)
+  }
+
+  /** Same, shaped for the standard output renderers: the node pointer and
+    * the within-node suffix fused into one instance path
+    * (`#/properties/a` + `/x` → `#/properties/a/x`).
+    */
+  def violationsFrame(spark: SparkSession, schemaJson: String,
+                      metaUrl: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    violationsRaw(spark, schemaJson, metaUrl)
+      .select(col("keyword"),
+        // strip the '#' pointer root so locations read '/properties/a'
+        // ('' = document root), the reference's instanceLocation shape
+        concat(regexp_replace(col("path"), "^#", ""), col("instance_path"))
+          .as("instance_path"),
+        col("detail"))
+  }
+
+  /** Lint one schema document. Empty = valid under the draft's meta. */
+  def violations(spark: SparkSession, schemaJson: String,
+                 metaUrl: String): Vector[LintViolation] =
+    violationsRaw(spark, schemaJson, metaUrl)
       .collect()
       .map(r => LintViolation(r.getString(0), r.getString(1), r.getString(2),
         r.getString(3)))
       .toVector.sortBy(v => (v.path, v.keyword))
-  }
 }
