@@ -342,25 +342,9 @@ object Main {
               .as("instance_path"),
             cc("detail"))
         }
-        val n = vios.count()
-        if (n == 0) println(s"instance $path: ok")
-        else {
-          println(s"instance $path: failed")
+        if (!reportInstance(path, vios, outMode,
+            opts.get("limit").map(_.toInt).getOrElse(20), quiet))
           allValid = false
-          if (!quiet) {
-            val units = graft.output.Output.collect(vios,
-              opts.get("limit").map(_.toInt).getOrElse(20))
-            outMode match {
-              case "flag"     => println(s"""{"valid":false}""")
-              case "basic"    => vios.orderBy("keyword", "instance_path")
-                .collect().foreach(r =>
-                  println(s"""${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"""))
-              case "detailed" => println(graft.output.Output.detailedJson(units))
-              case "alt"      => print(graft.output.Output.altText(units, n))
-              case _          => print(graft.output.Output.simpleText(units, n))
-            }
-          }
-        }
       }
     }
     spark.stop()
@@ -389,28 +373,41 @@ object Main {
       if (textOpt.isEmpty) allValid = false
       textOpt.foreach { text =>
         val vios = graft.spec.SchemaLint.violationsFrame(spark, text, metaUrl)
-        val n = vios.count()
-        if (n == 0) println(s"instance $path: ok")
-        else {
-          println(s"instance $path: failed")
+        if (!reportInstance(path, vios, outMode, limit, quiet))
           allValid = false
-          if (!quiet) {
-            lazy val units = graft.output.Output.collect(vios, limit)
-            outMode match {
-              case "flag"     => println(s"""{"valid":false}""")
-              case "detailed" => println(graft.output.Output.detailedJson(units))
-              case "alt"      => print(graft.output.Output.altText(units, n))
-              case "simple"   => print(graft.output.Output.simpleText(units, n))
-              case _ => vios.orderBy("keyword", "instance_path").limit(limit)
-                .collect().foreach(r =>
-                  println(s"${r.getString(0)}  ${r.getString(1)}  ${r.getString(2)}"))
-            }
-          }
-        }
       }
     }
     spark.stop()
     sys.exit(if (allValid) 0 else 1)
+  }
+
+  /** Shared per-instance verdict + failure renderer for the jv and lint
+    * loops: ONE pass over the violation frame (collect-then-count — these
+    * frames are per-document and small), `--limit` honored in every mode.
+    * Returns true when the instance is valid.
+    */
+  private def reportInstance(path: String,
+                             vios: org.apache.spark.sql.DataFrame,
+                             outMode: String, limit: Int,
+                             quiet: Boolean): Boolean = {
+    val rows = vios.orderBy("keyword", "instance_path").collect()
+    if (rows.isEmpty) { println(s"instance $path: ok"); return true }
+    println(s"instance $path: failed")
+    if (!quiet) {
+      val n = rows.length.toLong
+      val units = rows.take(limit).map(r => graft.output.Output.Unit(
+        r.getAs[String]("keyword"), r.getAs[String]("instance_path"),
+        r.getAs[String]("detail"))).toSeq
+      outMode match {
+        case "flag"     => println(s"""{"valid":false}""")
+        case "detailed" => println(graft.output.Output.detailedJson(units))
+        case "alt"      => print(graft.output.Output.altText(units, n))
+        case "simple"   => print(graft.output.Output.simpleText(units, n))
+        case _ => units.foreach(u =>
+          println(s"${u.keyword}  ${u.instancePath}  ${u.detail}"))
+      }
+    }
+    false
   }
 
   /** Read an instance file (`-` = stdin); on failure print the reference's

@@ -92,7 +92,10 @@ object Output {
     val sb = new StringBuilder
     sb.append(s"invalid: $totalViolations violation(s)\n")
     units.foreach { u =>
-      sb.append(s"- at ${u.instancePath} [#/${u.keyword}]: ${u.detail}\n")
+      // keywords from the jv/lint paths arrive already '#'-rooted; table-
+      // mode keywords are bare spec paths — avoid a doubled '#/#/' prefix
+      val kw = if (u.keyword.startsWith("#")) u.keyword else "#/" + u.keyword
+      sb.append(s"- at ${u.instancePath} [$kw]: ${u.detail}\n")
     }
     sb.result()
   }

@@ -49,7 +49,10 @@ object SchemaLint {
       case "2019-09"  => 2019
       case "draft-07" => 7
       case "draft-06" => 6
-      case _          => 4
+      case "draft-04" => 4
+      case other => // a new official dialect must be wired here explicitly,
+        // never silently misrouted to another draft's meta
+        throw SpecError(url, s"no lint meta wired for dialect '$other'")
     })
 
   // ---------------------------------------------------------------- walker
@@ -86,6 +89,17 @@ object SchemaLint {
   private def esc(seg: String): String =
     seg.replace("~", "~0").replace("/", "~1")
 
+  /** Whether a node carries a usable identifier under draft `dv` — the
+    * reference's getID (/root/reference/draft.go:165-179): the declared
+    * draft's spelling, a STRING value, non-empty after stripping any
+    * fragment; for draft<2019 a `$ref` sibling voids the id entirely.
+    */
+  private def hasDraftId(n: JsonNode, dv: Int): Boolean = {
+    if (dv < 2019 && n.has("$ref")) return false
+    val id = n.get(if (dv == 4) "id" else "$id")
+    id != null && id.isTextual && id.asText().takeWhile(_ != '#').nonEmpty
+  }
+
   /** Enumerate every schema node of a document (root included) with its
     * JSON-pointer location and GOVERNING DRAFT. Children that are neither
     * object nor boolean are NOT emitted — the parent's meta-check flags
@@ -118,13 +132,13 @@ object SchemaLint {
       val v = declared match {
         case Some(u) => draftVersion(u) match {
           case Some(dv) =>
-            if (path == "#" || n.hasNonNull(if (dv == 4) "id" else "$id")) dv
+            if (path == "#" || hasDraftId(n, dv)) dv
             else v0 // $schema ignored: no declared-draft identifier
           case None =>
             // custom meta: honored only on resource-shaped nodes (the
             // declared draft's id spelling is unknowable without loading
-            // the meta — accept either)
-            if (path == "#" || n.hasNonNull("$id") || n.hasNonNull("id"))
+            // the meta — accept either, with getID's string/fragment rules)
+            if (path == "#" || hasDraftId(n, 4) || hasDraftId(n, 2020))
               return // out of the gate's scope
             else v0 // ignored annotation
         }

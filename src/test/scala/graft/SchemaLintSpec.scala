@@ -207,7 +207,7 @@ class SchemaLintSpec extends SparkTestBase {
         case 2 => s.dropRight(rnd.nextInt(3) + 1) // truncated JSON
         case 3 => s.replaceFirst("\\{", java.util.regex.Matcher.quoteReplacement(
           s"""{"$$anchor": "${if (rnd.nextBoolean()) "ok" else "0bad"}","""))
-        case 4 => s.replaceFirst("\\{", """{"properties": {"deep": {"properties": {"er": """) + "}}}}"
+        case 4 => s"""{"properties": {"deep": {"properties": {"er": $s}}}}""" // valid nesting
         case _ => s
       }
       (s"m$i", m)
