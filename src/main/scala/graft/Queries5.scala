@@ -86,6 +86,10 @@ object Queries5 {
   def wrapSchema(schemaJson: String, jvAssert: Option[(Boolean, Boolean)]): Spec =
     wrapSchemaUrl(inlineUrl(schemaJson), jvAssert)
 
+  def wrapSchema(schemaJson: String, jvAssert: Option[(Boolean, Boolean)],
+                 defaultDraftUrl: Option[String]): Spec =
+    wrapSchemaUrl(inlineUrl(schemaJson), jvAssert, defaultDraftUrl)
+
   /** Same wrapping for a schema addressed by URL (file://, http://, …):
     * the document keeps its base, so RELATIVE refs inside it resolve
     * against its location.
@@ -100,9 +104,19 @@ object Queries5 {
     * (both always asserted, like the reference suite harness).
     */
   def wrapSchemaUrl(url: String, jvAssert: Option[(Boolean, Boolean)]): Spec =
+    wrapSchemaUrl(url, jvAssert, defaultDraftUrl = None)
+
+  /** `defaultDraftUrl`: dialect applied to documents lacking `$schema` —
+    * the jv `--draft` flag threaded through the dialect layer (the
+    * reference compiler's DefaultDraft, /root/reference/compiler.go:30-36)
+    * instead of rewriting the document, so a file-based schema KEEPS its
+    * file:// base and relative `$ref`s inside it still resolve.
+    */
+  def wrapSchemaUrl(url: String, jvAssert: Option[(Boolean, Boolean)],
+                    defaultDraftUrl: Option[String]): Spec =
     Spec.parse(mapper.readTree(
       s"""{"columns":{"j":{"json":{"$$ref":${mapper.writeValueAsString(url)}}}}}"""),
-      compat = true, None, jvAssert)
+      compat = true, None, jvAssert, defaultDraftUrl)
 
   /** Engine verdicts for JSON texts against a standalone JSON Schema
     * document (dynamic variant path), as a DataFrame (idx, valid). A

@@ -248,18 +248,14 @@ object Main {
       case "2020" => "https://json-schema.org/draft/2020-12/schema"
       case other  => usage(s"invalid --draft '$other' (4, 6, 7, 2019, 2020)")
     }
-    val effectiveJson = (schemaDoc, draftUrl) match {
-      case (o: com.fasterxml.jackson.databind.node.ObjectNode, Some(u))
-          if !o.has("$schema") =>
-        val c = o.deepCopy(); c.put("$schema", u); c.toString
-      case _ => schemaDoc.toString
-    }
+    val effectiveJson = schemaDoc.toString
     // address file/URL schemas by THEIR location so RELATIVE refs inside
-    // them resolve against it (stdin and draft-injected copies have no
-    // addressable base and go through the inline document loader)
-    val draftInjected = effectiveJson != schemaDoc.toString
+    // them resolve against it (stdin has no addressable base and goes
+    // through the inline document loader); --draft applies through the
+    // dialect layer (Dialect.defaultDraftUrl — the reference's
+    // DefaultDraft), never by rewriting the document, so the base survives
     val docUrl: Option[String] =
-      if (schemaArg == "-" || draftInjected) None
+      if (schemaArg == "-") None
       else if (schemaArg.contains("://")) Some(schemaArg)
       else Some("file://" + new java.io.File(schemaArg).getAbsolutePath)
     val instSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -305,8 +301,8 @@ object Main {
     val suite =
       try {
         val spec = docUrl match {
-          case Some(u) => graft.Queries5.wrapSchemaUrl(u, jvAssert)
-          case None    => graft.Queries5.wrapSchema(effectiveJson, jvAssert)
+          case Some(u) => graft.Queries5.wrapSchemaUrl(u, jvAssert, draftUrl)
+          case None    => graft.Queries5.wrapSchema(effectiveJson, jvAssert, draftUrl)
         }
         val s = SuiteCompiler.compile(spec, instSchema)
         println(s"schema $schemaArg: ok")

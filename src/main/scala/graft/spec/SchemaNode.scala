@@ -160,7 +160,15 @@ final case class Dialect(
     // document's load URL (or absolute root $id) at the root, updated at
     // each nested $id — RELATIVE resource ids resolve against it (RFC 3986,
     // the reference's base-URI resolution, /root/reference/roots.go:103-150)
-    baseUri: Option[String] = None) {
+    baseUri: Option[String] = None,
+    // compiler-wide DEFAULT DRAFT for documents that carry no $schema — the
+    // reference compiler's DefaultDraft / jv's -d flag
+    // (/root/reference/compiler.go:30-36, cmd/jv/main.go:27): resolved
+    // per-document in Spec.externalDoc instead of the lenient Default, so a
+    // `--draft 7` file-based schema keeps its file:// base (relative $refs
+    // resolve) AND gets draft-7 keyword/assertion semantics without the CLI
+    // rewriting the document.
+    defaultDraftUrl: Option[String] = None) {
   def compat: Dialect = copy(strict = false)
 
   /** Whether `format` compiles as an ASSERTION under this dialect — the
@@ -185,6 +193,32 @@ final case class Dialect(
     * (/root/reference/compiler.go:57-66), always in engine-native mode.
     */
   def assertsContent: Boolean = jvAssertContent.getOrElse(true)
+
+  /** Id spelling this dialect READS — the reference's draft-dependent getID
+    * (/root/reference/draft.go:165-179): draft-4 reads `id` only, draft-6+
+    * reads `$id` only; the lenient pre-dialect default accepts both (so a
+    * no-`$schema` document keeps the engine's compat behavior).
+    */
+  def idKeywords: Seq[String] =
+    if (name.startsWith("draft-04")) Seq("id")
+    else if (name == "default") Seq("$id", "id")
+    else Seq("$id")
+
+  /** getID's $ref-sibling void (draft.go:169-171): for draft<2019 a `$ref`
+    * next to the id keyword disables the id entirely.
+    */
+  def refVoidsId: Boolean = name.startsWith("draft-0")
+
+  /** Whether `n` carries a usable identifier under THIS dialect — getID
+    * fidelity: the dialect's spelling, a string value, non-empty after
+    * stripping any fragment, not voided by a draft<2019 `$ref` sibling.
+    */
+  def hasIdOn(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    n.isObject && !(refVoidsId && n.hasNonNull("$ref")) &&
+      idKeywords.exists { k =>
+        val v = n.get(k)
+        v != null && v.isTextual && v.asText().takeWhile(_ != '#').nonEmpty
+      }
 }
 
 object Dialect {
@@ -394,8 +428,15 @@ object Dialect {
 
   /** Dialect of a document from its root `$schema`, lenient otherwise. */
   def ofDocument(root: com.fasterxml.jackson.databind.JsonNode): Dialect =
+    ofDocument(root, Default)
+
+  /** Same, with an explicit fallback for documents lacking `$schema` — the
+    * compiler default-draft hook ([[Dialect.defaultDraftUrl]]).
+    */
+  def ofDocument(root: com.fasterxml.jackson.databind.JsonNode,
+                 fallback: Dialect): Dialect =
     Option(root.get("$schema")).filter(_.isTextual)
-      .flatMap(u => resolve(u.asText())).getOrElse(Default)
+      .flatMap(u => resolve(u.asText())).getOrElse(fallback)
 }
 
 object SchemaNode {
@@ -471,22 +512,25 @@ object SchemaNode {
     if (!n0.isObject) throw SpecError(at, s"schema must be object or boolean, got ${n0.getNodeType}")
 
     // per-resource dialect: a node that IS a resource root (document root,
-    // or carries $id / draft-4 id) may switch dialect via its own $schema —
-    // the reference compiles mixed-dialect documents the same way
-    // (/root/reference/roots.go:103-150). Strictness is inherited: compat
-    // mode stays compat across resource boundaries.
-    val dialectPre: Dialect =
-      if (path.nonEmpty && !n0.hasNonNull("$id") && !n0.hasNonNull("id")) dialect0
-      else Option(n0.get("$schema")).filter(_.isTextual)
+    // or a node carrying the DECLARED draft's id spelling — the reference's
+    // nested-$schema rule, /root/reference/roots.go:107-113) may switch
+    // dialect via its own $schema; a nested $schema without that id is an
+    // ignored annotation. Strictness is inherited: compat mode stays compat
+    // across resource boundaries.
+    val dialectPre: Dialect = {
+      val declared = Option(n0.get("$schema")).filter(_.isTextual)
         .flatMap(u => Dialect.resolve(u.asText()))
+      (if (path.isEmpty) declared else declared.filter(_.hasIdOn(n0)))
         // strictness AND the jv assertion switches are COMPILE-level, not
         // per-resource: they ride across resource/dialect boundaries (the
         // reference's c.assertFormat is a compiler field consulted per
         // resource-draft, objcompiler.go:432-440)
         .map(_.copy(strict = dialect0.strict, baseUri = dialect0.baseUri,
           jvAssertFormat = dialect0.jvAssertFormat,
-          jvAssertContent = dialect0.jvAssertContent))
+          jvAssertContent = dialect0.jvAssertContent,
+          defaultDraftUrl = dialect0.defaultDraftUrl))
         .getOrElse(dialect0)
+    }
 
     // vocabulary-disabled keywords are ALWAYS ignored; in compat
     // (non-strict) mode, unknown and out-of-dialect keywords are too —
@@ -521,7 +565,12 @@ object SchemaNode {
     // or a '../' path escaping it) the spec is typed-rejected.
     val resolvedBase: Option[String] = {
       var base = dialectPre.baseUri
-      Seq("$id", "id").foreach { ik =>
+      // only the governing draft's id spelling rebases (getID,
+      // draft.go:165-179); a draft<2019 $ref sibling voids the id entirely
+      val idKws =
+        if (dialectPre.refVoidsId && n.hasNonNull("$ref")) Seq.empty[String]
+        else dialectPre.idKeywords
+      idKws.foreach { ik =>
         Option(n.get(ik)).foreach { v =>
           val abs: Option[String] =
             if (!v.isTextual) None

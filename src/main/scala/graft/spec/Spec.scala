@@ -170,24 +170,30 @@ final case class Spec(
     extDocs.getOrElseUpdate(url, {
       val d = Spec.documentFromUrl(url)
       val (a, da) = Spec.collectAnchorsDoc(d)
-      // the external document's base: its own absolute root $id, else its
-      // load URL — relative nested $ids inside it resolve against this
-      val extBase = (if (d.isObject)
-        Seq("$id", "id").iterator.flatMap(k => Option(d.get(k)))
+      // per-document dialect from the external document's own $schema —
+      // falling back to the compiler-wide default draft (jv -d) when it
+      // carries none; STRICTNESS inherits from the root spec, so
+      // reference-compat parses stay compat across document boundaries
+      val fallback = dialect.defaultDraftUrl.flatMap(Dialect.resolve)
+        .getOrElse(Dialect.Default)
+      val dx0 = (if (d.isObject) Dialect.ofDocument(d, fallback) else fallback)
+      // the external document's base: its own absolute root $id (read under
+      // ITS dialect's id spelling — getID, draft.go:165-179), else its load
+      // URL — relative nested $ids inside it resolve against this
+      val extBase = (if (d.isObject && !(dx0.refVoidsId && d.hasNonNull("$ref")))
+        dx0.idKeywords.iterator.flatMap(k => Option(d.get(k)))
           .filter(_.isTextual).map(_.asText().stripSuffix("#"))
           .find(_.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))
       else None).getOrElse(url)
-      // per-document dialect from the external document's own $schema;
-      // STRICTNESS inherits from the root spec, so reference-compat parses
-      // stay compat across document boundaries
-      val dx = (if (d.isObject) Dialect.ofDocument(d) else Dialect.Default)
+      val dx = dx0
         .copy(strict = dialect.strict, baseUri = Some(extBase),
           jvAssertFormat = dialect.jvAssertFormat,
-          jvAssertContent = dialect.jvAssertContent)
+          jvAssertContent = dialect.jvAssertContent,
+          defaultDraftUrl = dialect.defaultDraftUrl)
       // the resource index gets the LOAD URL as the document base: the
       // root's own absolute $id is re-derived inside (rootBase) and — when
       // it differs from the URL — indexed as an addressable alias
-      (d, a, da, dx, Spec.collectResourcesDoc(d, Some(url)))
+      (d, a, da, dx, Spec.collectResourcesDoc(d, Some(url), dx))
     })
 
   /** Dynamic anchors of a document on the compile-time scope chain
@@ -400,10 +406,15 @@ object Spec {
 
   /** RFC 3986-lite reference resolution: join a relative reference against
     * a hierarchical base URL ("./" and "../" normalized; the fragment rides
-    * along). None when the reference is already absolute, the base is
-    * opaque (e.g. `inline+json:`), or "../" escapes the base — callers keep
-    * the original string and the resolver's lazy typed error then applies
-    * (a ref in a pruned dead branch must never fail eagerly).
+    * along). None when the reference is already absolute or the base is
+    * opaque (e.g. `inline+json:`) — callers keep the original string and
+    * the resolver's lazy typed error then applies (a ref in a pruned dead
+    * branch must never fail eagerly). The scheme://authority prefix is
+    * split off BEFORE dot-segment normalization so "../" can never pop
+    * into (or past) the host; excess leading ".." segments are dropped per
+    * RFC 3986 §5.2.4 remove_dot_segments — the behavior of Go's
+    * url.ResolveReference, which the reference relies on
+    * (/root/reference/util.go:41).
     */
   private[graft] def tryResolveUrl(base: String, rel: String): Option[String] = {
     if (rel.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) return None // absolute
@@ -412,26 +423,49 @@ object Spec {
       if (h >= 0) (rel.substring(0, h), rel.substring(h)) else (rel, "")
     val baseNoFrag = { val i = base.indexOf('#'); if (i >= 0) base.substring(0, i) else base }
     if (relPath.isEmpty) return Some(baseNoFrag + frag)
-    if (relPath.startsWith("/")) { // path-absolute: replace the whole path
-      val i = baseNoFrag.indexOf("://")
-      if (i < 0) return None
-      val j = baseNoFrag.indexOf('/', i + 3)
-      val root = if (j < 0) baseNoFrag else baseNoFrag.substring(0, j)
-      return Some(root + relPath + frag)
-    }
-    val slash = baseNoFrag.lastIndexOf('/')
-    if (slash <= baseNoFrag.indexOf(':')) return None // opaque base
-    val joined = baseNoFrag.substring(0, slash) + "/" + relPath
+    // Split the base into root (scheme + authority, untouchable) and path.
+    val schemeSep = baseNoFrag.indexOf("://")
+    val rootEnd =
+      if (schemeSep >= 0) {
+        val j = baseNoFrag.indexOf('/', schemeSep + 3)
+        if (j < 0) baseNoFrag.length else j
+      } else {
+        val c = baseNoFrag.indexOf(':')
+        if (c < 0) return None
+        c + 1
+      }
+    val root = baseNoFrag.substring(0, rootEnd)
+    val basePath = baseNoFrag.substring(rootEnd)
+    if (relPath.startsWith("/")) // path-absolute: replace the whole path
+      return Some(root + normalizeDotSegments(relPath) + frag)
+    if (basePath.isEmpty && schemeSep >= 0) // authority, empty path: merge at "/"
+      return Some(root + normalizeDotSegments("/" + relPath) + frag)
+    if (!basePath.startsWith("/")) return None // opaque base (no hierarchy)
+    val dirEnd = basePath.lastIndexOf('/')
+    val joined = basePath.substring(0, dirEnd) + "/" + relPath
+    Some(root + normalizeDotSegments(joined) + frag)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path that starts with '/':
+    * "." and ".." segments resolved in place, excess leading ".." dropped,
+    * a trailing "."/".." leaves the directory (trailing slash) semantics.
+    */
+  private def normalizeDotSegments(path: String): String = {
+    val segs = path.split("/", -1)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    joined.split("/", -1).foreach {
-      case "." =>
-      case ".." =>
-        if (out.nonEmpty && out.last.nonEmpty && !out.last.contains(':'))
-          out.remove(out.size - 1)
-        else return None // escapes the base
-      case s => out += s
+    var i = 0
+    while (i < segs.length) {
+      segs(i) match {
+        case "." =>
+          if (i == segs.length - 1) out += ""
+        case ".." =>
+          if (out.size > 1) out.remove(out.size - 1) // out(0) is the "" before the leading '/'
+          if (i == segs.length - 1) out += ""
+        case s => out += s
+      }
+      i += 1
     }
-    Some(out.mkString("/") + frag)
+    if (out.size < 2) "/" else out.mkString("/")
   }
 
   /** Scheme → loader registry — the reference's SchemeURLLoader
@@ -559,14 +593,28 @@ object Spec {
     */
   private[graft] def parse(root: JsonNode, compat: Boolean,
                            loadUrl: Option[String],
-                           jvAssert: Option[(Boolean, Boolean)]): Spec = {
+                           jvAssert: Option[(Boolean, Boolean)]): Spec =
+    parse(root, compat, loadUrl, jvAssert, defaultDraftUrl = None)
+
+  /** `defaultDraftUrl` = the compiler-wide default draft for documents
+    * lacking `$schema` (the reference's DefaultDraft / jv -d,
+    * /root/reference/compiler.go:30-36) — applied per external document in
+    * [[Spec.externalDoc]] and to this root when it carries no `$schema`.
+    */
+  private[graft] def parse(root: JsonNode, compat: Boolean,
+                           loadUrl: Option[String],
+                           jvAssert: Option[(Boolean, Boolean)],
+                           defaultDraftUrl: Option[String]): Spec = {
     if (!root.isObject) throw SpecError("#", "spec root must be an object")
     root.fieldNames().asScala.foreach { k =>
       if (!topKeywords.contains(k)) throw SpecError("#", s"unknown top-level keyword '$k'")
     }
-    val dialect0 = Dialect.ofDocument(root).copy(
+    val rootFallback = defaultDraftUrl.flatMap(Dialect.resolve)
+      .getOrElse(Dialect.Default)
+    val dialect0 = Dialect.ofDocument(root, rootFallback).copy(
       jvAssertFormat = jvAssert.map(_._1),
-      jvAssertContent = jvAssert.map(_._2))
+      jvAssertContent = jvAssert.map(_._2),
+      defaultDraftUrl = defaultDraftUrl)
     val base: Option[String] =
       Option(root.get("$id")).filter(_.isTextual).map(_.asText().stripSuffix("#"))
         .filter(_.matches("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"))
@@ -608,7 +656,7 @@ object Spec {
     val (anchors, dynAnchors) = collectAnchorsDoc(root)
     Spec(columns, required, rowRules, table, defs,
       raw = Some(root), anchors = anchors, dynAnchors = dynAnchors,
-      resources = collectResourcesDoc(root, base), dialect = dialect,
+      resources = collectResourcesDoc(root, base, dialect), dialect = dialect,
       baseUrl = base)
   }
 
@@ -776,29 +824,52 @@ object Spec {
     * rejected rather than shadowed).
     */
   private[spec] def collectResourcesDoc(root: JsonNode,
-                                        docBase: Option[String] = None)
+                                        docBase: Option[String] = None,
+                                        rootDialect: Dialect = Dialect.Default)
       : Map[String, (JsonNode, Vector[String], Option[String])] = {
     val absUri = "^[A-Za-z][A-Za-z0-9+.-]*:".r
-    // pass 1: every schema-position node carrying an id, in document order.
-    // The DOCUMENT ROOT is included too (when it declares an id): its
-    // resolved URI must be $ref-addressable without a loader round-trip —
-    // external documents whose root $id differs from their load URL rebase
-    // their inner refs onto that $id.
+    // pass 0: nested official-$schema DIALECT SWITCH points — honored iff
+    // the node carries the DECLARED draft's id spelling (the reference's
+    // rule, /root/reference/roots.go:107-113); the governing dialect of any
+    // node is then its nearest switching ancestor (itself included), else
+    // the root dialect. Only the governing draft's id spelling indexes a
+    // resource (getID, draft.go:165-179) — a 2020-12 document carrying an
+    // `id` annotation member must NOT become addressable.
+    val switchAt = scala.collection.mutable.Map.empty[Vector[String], Dialect]
+    walkDoc(root) { (n, path) =>
+      if (n.isObject && path.nonEmpty)
+        Option(n.get("$schema")).filter(_.isTextual)
+          .flatMap(u => Dialect.resolve(u.asText()))
+          .filter(_.hasIdOn(n))
+          .foreach(d => switchAt(path) = d)
+    }
+    def governingAt(path: Vector[String]): Dialect =
+      if (switchAt.isEmpty) rootDialect
+      else switchAt.keysIterator
+        .filter(p => p.length <= path.length && path.startsWith(p))
+        .maxByOption(_.length).map(switchAt).getOrElse(rootDialect)
+    // pass 1: every schema-position node carrying a GOVERNING-draft id, in
+    // document order. The DOCUMENT ROOT is included too (when it declares
+    // an id): its resolved URI must be $ref-addressable without a loader
+    // round-trip — external documents whose root $id differs from their
+    // load URL rebase their inner refs onto that $id.
     val found = Vector.newBuilder[(JsonNode, Vector[String], String, String)]
     walkDoc(root) { (n, path) =>
       if (n.isObject) {
-        Seq("$id", "id").foreach { kw =>
-          Option(n.get(kw)).filter(_.isTextual).map(_.asText()).foreach { u =>
-            found += ((n, path, kw, u))
+        val d = governingAt(path)
+        if (!(d.refVoidsId && n.hasNonNull("$ref")))
+          d.idKeywords.foreach { kw =>
+            Option(n.get(kw)).filter(_.isTextual).map(_.asText()).foreach { u =>
+              found += ((n, path, kw, u))
+            }
           }
-        }
       }
     }
     // base of the whole document: its own absolute root $id, else the load
     // URL (RFC 3986 §5.1)
     val rootBase: Option[String] =
       (if (root.isObject)
-        Seq("$id", "id").iterator.flatMap(k => Option(root.get(k)))
+        rootDialect.idKeywords.iterator.flatMap(k => Option(root.get(k)))
           .filter(_.isTextual).map(_.asText().stripSuffix("#"))
           .find(absUri.findFirstIn(_).isDefined)
       else None).orElse(docBase)

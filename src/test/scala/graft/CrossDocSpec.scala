@@ -1,5 +1,6 @@
 package graft
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import graft.compile.SuiteCompiler
 import graft.exec.Validator
 import graft.spec.{Spec, SpecError}
@@ -205,14 +206,17 @@ class CrossDocSpec extends SparkTestBase {
     assert(e.getMessage.contains("fromFile"), e.getMessage)
   }
 
-  test("../ escaping past the base root stays a lazy typed error") {
+  test("../ escaping past the base root resolves at the root and fails in the loader") {
+    // RFC 3986 §5.2.4: excess '..' segments are DROPPED — Go's
+    // url.ResolveReference yields file:///x.json here, and the failure is
+    // the loader's (file does not exist), not a resolution error
     val dir = java.nio.file.Files.createTempDirectory("graft_relesc")
     java.nio.file.Files.writeString(dir.resolve("spec.json"),
       """{"columns": {"sr_hz":
            {"$ref": "../../../../../../../../../x.json#/a"}}}""")
     val spec = Spec.fromFile(s"$dir/spec.json")
     val e = intercept[SpecError](SuiteCompiler.compile(spec, intRowSchema))
-    assert(e.getMessage.toLowerCase.contains("relative"), e.getMessage)
+    assert(e.getMessage.contains("file:///x.json"), e.getMessage)
   }
 
   test("relative nested $id resolves against the document base and is addressable") {
@@ -314,6 +318,114 @@ class CrossDocSpec extends SparkTestBase {
     assert(out(0)._1)
     // both arms resolved to the same minimum check \u2192 two violations
     assert(!out(1)._1 && out(1)._2.size == 2, out(1).toString)
+  }
+
+  test("tryResolveUrl never pops the authority and drops excess '..' (RFC 3986 \u00a75.2.4)") {
+    // the depth-1 case that used to yield 'https://other.json'
+    assert(Spec.tryResolveUrl("https://example.com/schema.json", "../other.json")
+      .contains("https://example.com/other.json"))
+    // excess leading '..' segments are dropped, not errors
+    assert(Spec.tryResolveUrl("https://example.com/a/schema.json", "../../../x.json")
+      .contains("https://example.com/x.json"))
+    // normal sibling / parent navigation
+    assert(Spec.tryResolveUrl("https://example.com/a/b/s.json", "../c/x.json")
+      .contains("https://example.com/a/c/x.json"))
+    assert(Spec.tryResolveUrl("https://example.com/a/s.json", "./x.json#/foo")
+      .contains("https://example.com/a/x.json#/foo"))
+    // path-absolute replaces the whole path, authority intact
+    assert(Spec.tryResolveUrl("https://example.com/a/b/s.json", "/x.json")
+      .contains("https://example.com/x.json"))
+    // authority with empty path merges at '/'
+    assert(Spec.tryResolveUrl("https://example.com", "x.json")
+      .contains("https://example.com/x.json"))
+    // file:// bases resolve the same way
+    assert(Spec.tryResolveUrl("file:///tmp/a/s.json", "../x.json")
+      .contains("file:///tmp/x.json"))
+    // opaque bases stay unresolvable
+    assert(Spec.tryResolveUrl("urn:graft:x", "y.json").isEmpty)
+    // absolute references pass through untouched (None = caller keeps rel)
+    assert(Spec.tryResolveUrl("https://example.com/s.json", "https://a.com/x").isEmpty)
+  }
+
+  test("relative $ref at a depth-1 base resolves host-preserving across documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_depth1")
+    java.nio.file.Files.writeString(dir.resolve("up.json"),
+      """{"minimum": 100}""")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("mid.json"),
+      """{"$ref": "../up.json"}""")
+    val spec = s"""{"columns": {"sr_hz": {"$$ref": "file://$dir/sub/mid.json"}}}"""
+    val out = validate(spec, intRowSchema, Seq(Row(0, 150), Row(1, 50)))
+    assert(out(0)._1 && !out(1)._1)
+  }
+
+  test("id spelling is draft-dependent: a 2020-12 'id' member is not addressable, a draft-4 one is") {
+    // 2020-12 document: 'id' is a plain annotation member, NOT a resource
+    // id (the reference's getID, draft.go:165-179) \u2014 a $ref to it must fail
+    val d2020 = java.nio.file.Files.createTempDirectory("graft_idkw")
+    java.nio.file.Files.writeString(d2020.resolve("lib.json"),
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+        |  "$defs": {"a": {"id": "urn:graft:notaresource", "minimum": 1}}}""".stripMargin)
+    val badSpec = s"""{"columns": {"sr_hz": {"allOf": [
+          {"$$ref": "file://$d2020/lib.json#/$$defs/a"},
+          {"$$ref": "urn:graft:notaresource"}]}}}"""
+    // compat parse (reference open-keyword semantics): the 'id' member is an
+    // ignored annotation, so the $ref to it must be UNRESOLVED — under
+    // strict parse the same document is rejected even earlier ('id' is
+    // out-of-dialect for 2020-12)
+    val e = intercept[SpecError] {
+      val spec = Spec.parse(new ObjectMapper().readTree(badSpec), compat = true)
+      SuiteCompiler.compile(spec, intRowSchema)
+    }
+    assert(e.getMessage.contains("urn:graft:notaresource"), e.getMessage)
+    val eStrict = intercept[SpecError] {
+      validate(badSpec, intRowSchema, Seq(Row(0, 5)))
+    }
+    assert(eStrict.getMessage.contains("'id' is not defined"), eStrict.getMessage)
+    // draft-4 document: 'id' IS the resource id and addressable
+    val d4 = java.nio.file.Files.createTempDirectory("graft_idkw4")
+    java.nio.file.Files.writeString(d4.resolve("lib.json"),
+      """{"$schema": "http://json-schema.org/draft-04/schema",
+        |  "definitions": {"a": {"id": "urn:graft:draft4res", "minimum": 1}}}""".stripMargin)
+    val okSpec = s"""{"columns": {"sr_hz": {"allOf": [
+          {"$$ref": "file://$d4/lib.json#/definitions/a"},
+          {"$$ref": "urn:graft:draft4res"}]}}}"""
+    val out = validate(okSpec, intRowSchema, Seq(Row(0, 5), Row(1, 0)))
+    assert(out(0)._1 && !out(1)._1)
+  }
+
+  test("jv --draft threads through the dialect: file base kept, relative $ref resolves") {
+    // a no-$schema file schema with a RELATIVE ref \u2014 under the old CLI
+    // behavior --draft rewrote the JSON and dropped the file:// base, so
+    // this ref became a typed error
+    val dir = java.nio.file.Files.createTempDirectory("graft_jvdraft")
+    java.nio.file.Files.writeString(dir.resolve("leaf.json"),
+      """{"minimum": 10}""")
+    java.nio.file.Files.writeString(dir.resolve("main.json"),
+      """{"allOf": [{"$ref": "leaf.json"}], "format": "uuid"}""")
+    // defaultDraftUrl = draft-7: format ASSERTS (jv draft<2019 default) and
+    // the relative ref resolves against the file location
+    val spec7 = Queries5.wrapSchemaUrl(s"file://$dir/main.json",
+      jvAssert = Some((false, false)),
+      defaultDraftUrl = Some("http://json-schema.org/draft-07/schema"))
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("j", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row(0, "15"), Row(1, "5"), Row(2, "\"not-a-uuid\"")).asJava, schema)
+    val suite = SuiteCompiler.compile(spec7, df.schema)
+    val out = Validator.annotate(df, suite).orderBy("idx")
+      .select("valid").collect().map(_.getBoolean(0)).toSeq
+    // 15 \u2265 10 ok; 5 < 10 fails; non-uuid string fails (format asserted)
+    assert(out == Seq(true, false, false), out.toString)
+    // same schema under --draft 2020: format is annotation-only \u2192 valid
+    val spec2020 = Queries5.wrapSchemaUrl(s"file://$dir/main.json",
+      jvAssert = Some((false, false)),
+      defaultDraftUrl = Some("https://json-schema.org/draft/2020-12/schema"))
+    val suite2020 = SuiteCompiler.compile(spec2020, df.schema)
+    val out2020 = Validator.annotate(df, suite2020).orderBy("idx")
+      .select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(out2020 == Seq(true, false, true), out2020.toString)
   }
 
   test("$dynamicRef with a JSON-pointer fragment behaves exactly like $ref (2020-12 \u00a78.2.3.2)") {

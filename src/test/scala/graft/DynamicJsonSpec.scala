@@ -75,6 +75,15 @@ class DynamicJsonSpec extends SparkTestBase {
       """[1, 2]""",
       """[1, 1]"""
     )) == Seq(false, true, false))
+    // numeric canonicalization: 2 == 2.0 (reference numeric equality), but
+    // numbers differing only BEYOND 12 fractional digits stay distinct —
+    // the decimal(38,12) rendering alone would merge them
+    assert(validsOf(uniq, Seq(
+      """[2, 2.0]""",
+      """[1.0000000000001, 1.0000000000002]""",
+      """[1.0000000000001, 1.0000000000001]""",
+      """[1e308, 2e308]"""               // beyond decimal range: raw-text arm
+    )) == Seq(false, true, false, true))
   }
 
   test("nested object properties + required via variant paths") {
