@@ -21,7 +21,9 @@ object Queries4 {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def vios(df: DataFrame, specJson: String, keys: Seq[String]): DataFrame = {
-    val suite = SuiteCompiler.compile(Spec.fromJson(specJson), df.schema)
+    // depth-ADAPTIVE: recursive specs unroll to the corpus' real document
+    // depth (one codegen'd pre-pass); non-recursive specs compile identically
+    val suite = SuiteCompiler.compileAdaptive(Spec.fromJson(specJson), df)
     Validator.violations(df, suite, keys)
       .select((keys :+ "keyword" :+ "instance_path").map(col): _*)
       .orderBy((keys :+ "keyword").map(col): _*)
@@ -66,11 +68,14 @@ object Queries4 {
           WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr', 'es'))
         ORDER BY doc_id, keyword"""
 
-  // ---- recursive $ref with bounded unroll: a per-doc linked-list JSON
-  // column of depth (doc_id % 6 + 1); leaf value -1 every 5th doc. Depth
-  // <= 4 validates fully (leaf minimum violations surface at their exact
-  // nesting path); deeper chains fail the typed $ref depth cut at
-  // /next/next/next/next ----
+  // ---- recursive $ref with DEPTH-ADAPTIVE unroll: a per-doc linked-list
+  // JSON column of depth (doc_id % 12 + 1) — well past the default unroll
+  // of 4; leaf value -1 every 5th doc. compileAdaptive's corpus depth
+  // pre-pass sizes the inline to 12, so EVERY document validates fully
+  // (leaf minimum violations surface at their exact nesting path; no
+  // DepthExceeded cut fires in-corpus) ----
+
+  private val chainMaxDepth = 12
 
   private def chainJson(depthCol: Column, leafCol: Column): Column = {
     // depth d: (d-1) wrappers '{"v":0,"next":' + leaf '{"v":<leaf>}' + '}'*(d-1)
@@ -78,7 +83,7 @@ object Queries4 {
       lit("""{"v":0,"next":""" * (d - 1)),
       lit("""{"v":"""), leafCol.cast("string"), lit("}"),
       lit("}" * (d - 1)))
-    (1 to 6).foldLeft(lit(null).cast("string")) { (acc, d) =>
+    (1 to chainMaxDepth).foldLeft(lit(null).cast("string")) { (acc, d) =>
       when(depthCol === d, js(d)).otherwise(acc)
     }
   }
@@ -88,7 +93,7 @@ object Queries4 {
     val derived = docs.select(
       col("doc_id"),
       chainJson(
-        (pmod(col("doc_id"), lit(6)) + 1).cast("int"),
+        (pmod(col("doc_id"), lit(chainMaxDepth)) + 1).cast("int"),
         when(pmod(col("doc_id"), lit(5)) === 0, lit(-1))
           .otherwise(pmod(col("doc_id"), lit(50)))).as("j"))
     vios(derived,
@@ -100,17 +105,12 @@ object Queries4 {
   }
 
   val sqlValidateRecursive: String =
-    """WITH d AS (SELECT doc_id, doc_id % 6 + 1 AS depth,
+    """WITH d AS (SELECT doc_id, doc_id % 12 + 1 AS depth,
                          (doc_id % 5 = 0) AS badleaf FROM documents)
-       SELECT doc_id, keyword, instance_path FROM (
-         SELECT doc_id, '$defs/item/properties/v/minimum' AS keyword,
-                'j!json' || repeat('/next', CAST(depth - 1 AS INT)) || '/v'
-                  AS instance_path
-         FROM d WHERE depth <= 4 AND badleaf
-         UNION ALL
-         SELECT doc_id, '$defs/item/properties/next/$ref',
-                'j!json/next/next/next/next'
-         FROM d WHERE depth > 4)
+       SELECT doc_id, '$defs/item/properties/v/minimum' AS keyword,
+              'j!json' || repeat('/next', CAST(depth - 1 AS INT)) || '/v'
+                AS instance_path
+       FROM d WHERE badleaf
        ORDER BY doc_id, keyword"""
 
   // ---- unevaluated* in DYNAMIC (variant) mode: runtime anyOf evaluated-key

@@ -133,7 +133,9 @@ object Queries5 {
     val df = spark.createDataFrame(
       docs.zipWithIndex.map { case (d, i) => Row(i, d) }.asJava, docSchema)
     try {
-      val suite = SuiteCompiler.compile(wrapSchema(schemaJson), df.schema)
+      // depth-adaptive: recursive suite schemas (tree/strict-tree etc.)
+      // unroll to the docs' real depth instead of the fixed default
+      val suite = SuiteCompiler.compileAdaptive(wrapSchema(schemaJson), df)
       Validator.annotate(df, suite).select(col("idx"), col("valid"))
     } catch {
       case e: SpecError if e.message.contains("cyclic") =>

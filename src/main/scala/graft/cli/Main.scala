@@ -298,21 +298,46 @@ object Main {
         }
       }
     }
-    val suite =
+    val (spec, suite) =
       try {
-        val spec = docUrl match {
+        val sp = docUrl match {
           case Some(u) => graft.Queries5.wrapSchemaUrl(u, jvAssert, draftUrl)
           case None    => graft.Queries5.wrapSchema(effectiveJson, jvAssert, draftUrl)
         }
-        val s = SuiteCompiler.compile(spec, instSchema)
+        val s = SuiteCompiler.compile(sp, instSchema)
         println(s"schema $schemaArg: ok")
-        s
+        (sp, s)
       } catch {
         case e: SpecError =>
           println(s"schema $schemaArg: failed")
           if (!quiet) println(e.getMessage)
           spark.stop()
           sys.exit(1)
+      }
+    // DEPTH-ADAPTIVE recursive validation: when the schema is recursive
+    // (the compiled suite carries a $ref depth cut), each instance gets a
+    // suite unrolled to ITS OWN nesting depth (memoized per depth) — the
+    // reference validates recursion at any instance depth at runtime
+    // (/root/reference/validator.go:767-811), and jv must match on e.g.
+    // a depth-10 tree document. Non-recursive schemas keep the one suite.
+    val suiteFor: String => graft.compile.CompiledSuite =
+      if (!SuiteCompiler.hasDepthCut(suite)) _ => suite
+      else {
+        val memo = scala.collection.concurrent.TrieMap.empty[Int, graft.compile.CompiledSuite]
+        text => {
+          val d = math.min(graft.functions.JsonDepthExpr.maxDepth(text),
+            graft.compile.CompileLimits.maxAdaptiveUnroll)
+          if (d <= graft.compile.CompileLimits.maxRefUnroll) suite
+          else try memo.getOrElseUpdate(d,
+            SuiteCompiler.compileWithUnroll(spec, instSchema, d))
+          catch {
+            // a highly-branchy schema can exceed the compile-node budget at
+            // this depth: fall back to the base suite, whose typed
+            // DepthExceeded cut reports the instance as too deep (loud,
+            // never silently valid)
+            case _: SpecError => suite
+          }
+        }
       }
     var allValid = true
     opts.get("instance").toSeq.flatMap(_.split("\u0000")).foreach { path =>
@@ -322,7 +347,7 @@ object Main {
       textOpt.foreach { text =>
         val df = spark.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(0, text)), instSchema)
-        val vios0 = Engine.allViolations(df, suite, Seq("idx"), Map.empty)
+        val vios0 = Engine.allViolations(df, suiteFor(text), Seq("idx"), Map.empty)
         // strip the synthetic inline-document URL and the wrapper column
         // from reported coordinates so output reads like the reference's:
         // '#/properties/x/type' at '/x'

@@ -111,7 +111,7 @@ object DynamicJson {
       if (stack.contains((key, depth)))
         throw SpecError(kw(kwName), s"cyclic $$ref chain: " +
           (key :: stack.map(_._1)).reverse.mkString(" -> "))
-      val unroll = CompileLimits.maxRefUnroll
+      val unroll = CompileLimits.effectiveUnroll
       if (stack.count(_._1 == key) >= unroll)
         add(kw(kwName), v.isNull,
           lit(s"$kwName: recursive schema '$r' unrolled $unroll deep; " +

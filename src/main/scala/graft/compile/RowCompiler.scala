@@ -78,6 +78,29 @@ object CompileLimits {
     */
   @volatile var maxRefUnroll: Int = 4
 
+  /** Ceiling on the CORPUS-DERIVED unroll chosen by
+    * [[SuiteCompiler.compileAdaptive]]: a depth-10^4 adversarial document
+    * must produce a typed error (the [[maxCompileNodes]] budget or the
+    * DepthExceeded cut), not a hung linear-growth compile. Real training
+    * corpora sit far below this.
+    */
+  @volatile var maxAdaptiveUnroll: Int = 256
+
+  // per-thread unroll override for depth-adaptive compiles — scoped with
+  // [[withUnroll]], never a global mutation (concurrent compiles with
+  // different corpora must not race)
+  private val unrollOverride = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+  private[compile] def effectiveUnroll: Int = {
+    val o = unrollOverride.get()
+    if (o > 0) o else maxRefUnroll
+  }
+  private[graft] def withUnroll[T](n: Int)(f: => T): T = {
+    unrollOverride.set(n)
+    try f finally unrollOverride.set(0)
+  }
+
   /** Ceiling on schema-node expansions per suite compile. Recursion unroll
     * multiplies: a schema where every one of K subschema positions re-enters
     * the root (the official 2020-12 meta-schema: K≈40) expands K^maxRefUnroll
@@ -655,7 +678,7 @@ object RowCompiler {
       if (stack.contains((key, depth)))
         throw SpecError(kw(kwName), s"cyclic $$ref chain: " +
           (key :: stack.map(_._1)).reverse.mkString(" -> "))
-      val unroll = CompileLimits.maxRefUnroll
+      val unroll = CompileLimits.effectiveUnroll
       if (stack.count(_._1 == key) >= unroll)
         add(kw(kwName), v.isNull,
           lstr(s"$kwName: recursive schema '$r' unrolled $unroll deep; " +

@@ -102,6 +102,81 @@ class ConformanceSpec extends SparkTestBase {
     }
   }
 
+  test("depth-adaptive recursive unroll: per-row depths 1..10 all validate fully") {
+    // linked-list docs of varying depth, leaf -1 every 3rd row: the default
+    // unroll (4) would fail rows deeper than 4 with DepthExceeded; the
+    // adaptive compile's corpus pre-pass must size the inline to 10 so each
+    // bad leaf surfaces at its EXACT nesting path and deep good rows pass
+    def chain(depth: Int, leaf: Int): String =
+      ("""{"v":0,"next":""" * (depth - 1)) + s"""{"v":$leaf}""" + ("}" * (depth - 1))
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", StringType)))
+    val rows = (1 to 10).map(d => Row(d, chain(d, if (d % 3 == 0) -1 else d)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val spec = Spec.fromJson(
+      """{"$defs": {"item": {"type": "object",
+           "properties": {"v": {"minimum": 0},
+                          "next": {"$ref": "#/$defs/item"}}}},
+         "columns": {"j": {"json": {"$ref": "#/$defs/item"}}}}""")
+    // the plain compile carries the typed cut; adaptive must erase it here
+    assert(SuiteCompiler.hasDepthCut(SuiteCompiler.compile(spec, schema)))
+    val suite = SuiteCompiler.compileAdaptive(spec, df)
+    val out = Validator.annotate(df, suite).orderBy("i")
+      .select(col("i"), col("valid"),
+        col("violations.keyword"), col("violations.instance_path"))
+      .collect()
+    out.foreach { r =>
+      val d = r.getInt(0)
+      if (d % 3 == 0) {
+        assert(!r.getBoolean(1), s"depth $d should fail on its -1 leaf")
+        val paths = r.getSeq[String](3)
+        val expected = "j!json" + ("/next" * (d - 1)) + "/v"
+        assert(paths == Seq(expected), s"depth $d: $paths != $expected")
+        assert(r.getSeq[String](2).forall(_.endsWith("minimum")),
+          s"depth $d keywords: ${r.getSeq[String](2)}")
+      } else assert(r.getBoolean(1), s"depth $d should be valid")
+    }
+  }
+
+  test("depth-adaptive unroll: corpus beyond the adaptive ceiling keeps the typed cut") {
+    val prev = graft.compile.CompileLimits.maxAdaptiveUnroll
+    graft.compile.CompileLimits.maxAdaptiveUnroll = 6
+    try {
+      def chain(depth: Int): String =
+        ("""{"v":0,"next":""" * (depth - 1)) + """{"v":1}""" + ("}" * (depth - 1))
+      val schema = StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", StringType)))
+      val df = spark.createDataFrame(
+        Seq(Row(1, chain(3)), Row(2, chain(9))).asJava, schema)
+      val spec = Spec.fromJson(
+        """{"$defs": {"item": {"type": "object",
+             "properties": {"v": {"minimum": 0},
+                            "next": {"$ref": "#/$defs/item"}}}},
+           "columns": {"j": {"json": {"$ref": "#/$defs/item"}}}}""")
+      val suite = SuiteCompiler.compileAdaptive(spec, df)
+      val out = Validator.annotate(df, suite).orderBy("i")
+        .select(col("valid"), col("violations.detail")).collect()
+      assert(out(0).getBoolean(0)) // depth 3: fine
+      // depth 9 > ceiling 6: must FAIL LOUDLY with the depth cut, never
+      // silently validate
+      assert(!out(1).getBoolean(0))
+      assert(out(1).getSeq[String](1).exists(_.contains("unrolled 6 deep")),
+        out(1).getSeq[String](1).toString)
+    } finally graft.compile.CompileLimits.maxAdaptiveUnroll = prev
+  }
+
+  test("json_max_depth: escape-aware structural depth") {
+    import graft.functions.JsonDepthExpr.maxDepth
+    assert(maxDepth("""{"v":1}""") == 1)
+    assert(maxDepth("""{"v":{"w":[1,2]}}""") == 3)
+    assert(maxDepth("""[[[{"a":"}"}]]]""") == 4) // brace inside a string
+    assert(maxDepth(""""just a string"""") == 0)
+    assert(maxDepth("""{"a":"\"{["}""") == 1)   // escaped quote then brackets in-string
+    assert(maxDepth("7") == 0)
+  }
+
   resource("invalid_specs.json").asScala.zipWithIndex.foreach { case (c, i) =>
     test(s"invalid_specs [$i] ${c.get("description").asText()}") {
       val schemaNode = c.get("schema")
