@@ -369,21 +369,37 @@ object Dedup {
     * standard last step of a dedup pipeline: candidate pairs → duplicate
     * CLUSTERS → one canonical document per cluster.
     *
-    * Algorithm: distributed min-label propagation — per round, every vertex
-    * takes the min label among itself and its neighbors (one equi-join +
-    * one partial-agg groupBy, both shuffling O(edges) small rows; the
-    * convergence test is folded into the same aggregation — old and new
-    * labels come out of one groupBy, so each round pays exactly one join +
-    * one agg). Rounds needed = graph diameter; near-dup graphs are unions of
-    * near-cliques (LSH buckets), so 2-4 rounds in practice. The loop is
-    * driver-bounded with an exact convergence check per round; hitting
-    * `maxIter` without
-    * convergence THROWS rather than silently returning partial components
-    * (no-silent-caps). For adversarial long-chain graphs prefer a
-    * large-star/small-star variant (O(log n) rounds) — out of scope here.
+    * Algorithm: distributed Shiloach–Vishkin — per round (1) PROPAGATE:
+    * every vertex takes the min label among itself and its neighbors (one
+    * equi-join + one partial-agg groupBy, both shuffling O(edges) small
+    * rows; the convergence test is folded into the same aggregation — old
+    * and new labels come out of one groupBy); (2) HOOK: every label-tree
+    * root receives the best candidate seen anywhere in its tree (one
+    * O(vertices) groupBy on the old label + one join back); (3) SHORTCUT:
+    * each label is replaced by its label's label (`comp ← comp(comp)`, one
+    * labels-sized self-join). Hook + shortcut make the number of label
+    * trees at least halve per round, so rounds are O(log n) on ANY graph
+    * shape — a 10^4-node path (diameter 9999) converges in ≲14 rounds
+    * where plain propagation needs the full diameter (PipelineSpec pins
+    * the ≤2·log2(n) bound against a union-find oracle). Near-dup LSH
+    * graphs (unions of near-cliques) still converge in 2-4 rounds. Each
+    * round is lineage-CUT through a persisted RDD round-trip (see the
+    * in-loop comment: the self-join would otherwise double the plan tree —
+    * and, under localCheckpoint, square the propagated size estimate —
+    * every round). The loop is driver-bounded with an exact convergence
+    * check per round; hitting `maxIter` without convergence THROWS rather
+    * than silently returning partial components (no-silent-caps).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, storage)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — exposed so
+    * tests can pin the O(log n) convergence bound.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 25,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, Int) = {
     val edges = maybePersist(
       pairs.select(col("a").as("u"), col("b").as("v"))
         .union(pairs.select(col("b").as("u"), col("a").as("v"))), storage)
@@ -395,8 +411,15 @@ object Dedup {
       storage)
     // `cached` tracks the frame actually persisted each round: unpersist on
     // a DERIVED frame (labels = next.drop("__old")) is a silent no-op —
-    // CacheManager only uncaches plans sameResult with the argument
+    // CacheManager only uncaches plans sameResult with the argument.
+    // From round 1 on, rounds live as persisted RDDs (`prevRdd`), freed one
+    // round later; the FINAL round's RDD stays persisted for the caller
+    // (same lifecycle as every other frame this module caches — see the
+    // note on maybePersist; RDD blocks are freed when the ContextCleaner
+    // collects the unreferenced RDD).
     var cached = labels
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+      None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -406,16 +429,74 @@ object Dedup {
       // frame directly instead of paying a second join per round
       val msgs = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("u").as("id"), col("comp"), lit(false).as("self"))
-      val next = maybePersist(
+      // persisted: both the hook aggregation and the shortcut self-join
+      // below re-read this frame; unpersisted they would recompute the
+      // edge-join+agg subtree once per consumer
+      val prop = maybePersist(
         labels.select(col("id"), col("comp"), lit(true).as("self"))
           .unionByName(msgs)
           .groupBy("id")
           .agg(min("comp").as("comp"),
             min(when(col("self"), col("comp"))).as("__old")),
         storage)
+      // HOOK (Shiloach–Vishkin): every tree root m receives the best
+      // candidate seen ANYWHERE in its tree this round — one groupBy on
+      // the old label. Propagation + shortcut alone is NOT O(log n): once
+      // a region collapses to a star, its root only learns a smaller label
+      // by 1-hop propagation from the region boundary, and the shortcut
+      // composes through the stalled root (measured on the 10^4 path:
+      // plateaus of doubling length, >40 rounds). Hooking moves boundary
+      // information to the root in one round, so trees merge every round
+      // and the tree count at least halves — the classic O(log n) bound.
+      val hooks = prop.groupBy(col("__old").as("__hid"))
+        .agg(min("comp").as("__hooked"))
+      val hooked = maybePersist(
+        prop.join(hooks, col("__old") === col("__hid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("__hooked"), col("comp")))
+              .as("comp"),
+            col("__old")),
+        storage)
+      // SHORTCUT: comp ← comp(comp) (pointer jumping). Labels are always
+      // vertex ids (mins over vertex sets), so the lookup hits; labels
+      // only ever decrease (comp(x) ≤ x), so least() is monotone-safe.
+      val jumped = hooked.as("a").join(
+          hooked.select(col("id").as("__jid"), col("comp").as("__jcomp"))
+            .as("b"),
+          col("a.comp") === col("b.__jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"),
+            coalesce(col("b.__jcomp"), col("a.comp"))).as("comp"),
+          col("a.__old").as("__old"))
+      // LINEAGE CUT, not a plain persist: the self-join references the
+      // previous round TWICE, so without a cut the logical plan tree (and
+      // every derived cost) DOUBLES per round — 2^rounds nodes by round 14,
+      // and Catalyst plan work dominates the job (measured: the 10^4-node
+      // path test ran 20 min pre-cut). localCheckpoint is NOT the right
+      // cut here: Spark copies the origin plan's Statistics onto the new
+      // LogicalRDD leaf, and join size estimation MULTIPLIES child
+      // sizeInBytes — the stat value then SQUARES every round (a BigInt
+      // doubling in bit-length per round; by round ~14 Catalyst multiplies
+      // million-bit integers — jstack showed BigInteger.multiplyToomCook3).
+      // The RDD round-trip below creates a fresh leaf with default stats:
+      // constant plan, constant stats, explicit block lifecycle. The round
+      // RDD is persisted even under storage = NONE — an unpersisted
+      // self-join chain recomputes 2^rounds times, so there is no
+      // persistence-free variant of this loop (round frames are O(vertices)
+      // slim rows; freed two rounds later below).
+      val roundLevel =
+        if (storage == StorageLevel.NONE) StorageLevel.MEMORY_AND_DISK
+        else storage
+      val nextRdd = jumped.rdd.persist(roundLevel)
+      val next = jumped.sparkSession.createDataFrame(nextRdd, jumped.schema)
       val changed = next.filter(col("comp") =!= col("__old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc-debug] round=$iter changed=$changed")
       if (storage != StorageLevel.NONE) cached.unpersist()
+      prevRdd.foreach(_.unpersist())
+      if (storage != StorageLevel.NONE) { prop.unpersist(); hooked.unpersist() }
       cached = next
+      prevRdd = Some(nextRdd)
       labels = next.drop("__old")
       converged = changed == 0
       iter += 1
@@ -423,9 +504,10 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "graph diameter exceeds the bound; raise maxIter")
+          "raise maxIter (Shiloach–Vishkin rounds are O(log n): the tree " +
+          "count at least halves per round, so 25 rounds cover ~2^25 trees)")
     if (storage != StorageLevel.NONE) edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Duplicate clusters from near-dup pairs: one row per component with the

@@ -266,6 +266,27 @@ class PipelineSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("connected components: 10^4-node path graph converges in O(log n) rounds, equals union-find") {
+    // adversarial chain (graph diameter = n-1): plain min-label propagation
+    // needs ~n rounds; the pointer-jumping variant must stay ≤ 2·log2(n).
+    // Ids are BIT-REVERSED so the min label sits mid-chain and labels
+    // cannot ride a convenient monotone ordering.
+    val n = 10000
+    def rev(x: Int): Long = java.lang.Integer.reverse(x).toLong & 0xffffffffL
+    val ids = (0 until n).map(rev)
+    val pairs = spark.createDataFrame(
+      (0 until n - 1).map(i => (ids(i), ids(i + 1)))).toDF("a", "b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, maxIter = 40)
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"$rounds rounds > 2·log2($n) = $bound")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mn = ids.min
+    assert(got.size == n)
+    assert(got.values.forall(_ == mn),
+      s"all labels must be the chain min $mn; got ${got.values.toSet.take(3)}")
+  }
+
   test("simhash: identical docs share codes; codes in 16-bit range") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
     assert(sh.filter($"simhash" < 0 || $"simhash" > 0xFFFFL).count() == 0)
