@@ -49,13 +49,17 @@ object Queries5 {
     * loader-registry analogue of the reference's test HTTP server), plus
     * whatever [[setDynamicRemotes]] currently holds. Idempotent.
     */
+  // suite tree whose remotes/ dir backs http://localhost:1234/ — the
+  // Extra-Test-Suite by default; [[SuiteRunner]] repoints it per run
+  @volatile private[graft] var remotesRoot: String = suiteRoot
+
   def registerRemotes(): Unit = synchronized {
     if (!remotesRegistered) {
       Spec.registerLoader("http", { url =>
         val prefix = "http://localhost:1234/"
         if (url.startsWith(prefix))
           mapper.readTree(
-            Paths.get(suiteRoot, "remotes", url.stripPrefix(prefix)).toFile)
+            Paths.get(remotesRoot, "remotes", url.stripPrefix(prefix)).toFile)
         else if (url.stripSuffix("#")
             .stripPrefix("http://json-schema.org/") != url.stripSuffix("#"))
           Spec.loadOfficialMeta(url) // bundled official metas stay served
@@ -126,7 +130,22 @@ object Queries5 {
     * engines refuse to validate anything against the schema.
     */
   private def verdictFrame(spark: SparkSession, schemaJson: String,
-                           docs: Seq[String]): DataFrame = {
+                           docs: Seq[String]): DataFrame =
+    verdictFrameWith(spark, schemaJson, docs, jvAssert = None,
+      defaultDraftUrl = None)
+
+  /** [[verdictFrame]] with the runner-level knobs exposed: `jvAssert` =
+    * the reference CLI / suite-harness assertion switches
+    * (AssertFormat/AssertContent), `defaultDraftUrl` = the dialect for
+    * documents lacking `$schema` (the per-directory DefaultDraft of
+    * suite_test.go:139-149). Used by [[SuiteRunner]] for arbitrary
+    * JSON-Schema-Test-Suite-format trees.
+    */
+  private[graft] def verdictFrameWith(spark: SparkSession, schemaJson: String,
+                                      docs: Seq[String],
+                                      jvAssert: Option[(Boolean, Boolean)],
+                                      defaultDraftUrl: Option[String])
+      : DataFrame = {
     val docSchema = StructType(Seq(
       StructField("idx", IntegerType, nullable = false),
       StructField("j", StringType)))
@@ -135,7 +154,8 @@ object Queries5 {
     try {
       // depth-adaptive: recursive suite schemas (tree/strict-tree etc.)
       // unroll to the docs' real depth instead of the fixed default
-      val suite = SuiteCompiler.compileAdaptive(wrapSchema(schemaJson), df)
+      val suite = SuiteCompiler.compileAdaptive(
+        wrapSchema(schemaJson, jvAssert, defaultDraftUrl), df)
       Validator.annotate(df, suite).select(col("idx"), col("valid"))
     } catch {
       case e: SpecError if e.message.contains("cyclic") =>

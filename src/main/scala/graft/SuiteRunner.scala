@@ -1,0 +1,110 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Replays ANY JSON-Schema-Test-Suite-format tree through the engine —
+  * the analogue of the reference's suite harness
+  * (/root/reference/suite_test.go:105-152):
+  *
+  *   - per-draft directories carry the DefaultDraft for schemas without
+  *     `$schema` (testSuite, suite_test.go:139-149);
+  *   - files under `optional/` run with format AND content assertions ON,
+  *     everything else with the draft defaults (suite_test.go:52-55);
+  *   - the reference's skip list is mirrored (suite_test.go:16-20 —
+  *     ecmascript-regex semantics, zero-terminated floats, idn formats);
+  *   - `remotes/` under the suite root backs `http://localhost:1234/`
+  *     (suiteRemotes, suite_test.go:152-163).
+  *
+  * The official JSON-Schema-Test-Suite is an empty git submodule in this
+  * checkout (.gitmodules), so the standing conformance gate replays the
+  * reference's own Extra-Test-Suite (OfficialSuiteSpec + the hash-checked
+  * q_refsuite query). When a full suite checkout is available, point
+  * `SPARK_GRAFT_SUITE_DIR` at it and run OfficialSuiteSpec — the runner
+  * needs no other wiring.
+  */
+object SuiteRunner {
+
+  private val mapper = new ObjectMapper()
+
+  /** The reference's skip list, by file name (suite_test.go:16-20). */
+  val skips: Set[String] = Set("ecmascript-regex.json",
+    "zeroTerminatedFloats.json", "idn-email.json", "idn-hostname.json")
+
+  /** Per-directory DefaultDraft (suite_test.go:139-149 order). */
+  val draftDirs: Seq[(String, String)] = Seq(
+    "draft4" -> "http://json-schema.org/draft-04/schema#",
+    "draft6" -> "http://json-schema.org/draft-06/schema#",
+    "draft7" -> "http://json-schema.org/draft-07/schema#",
+    "draft2019-09" -> "https://json-schema.org/draft/2019-09/schema",
+    "draft2020-12" -> "https://json-schema.org/draft/2020-12/schema")
+
+  /** One test group: (relative file, group index, description, schema
+    * JSON, optional-dir?, default draft URL, per-test (data, expected)).
+    */
+  def groups(suiteRoot: String)
+      : Seq[(String, Int, String, String, Boolean, String,
+             Vector[(String, Boolean)])] = {
+    val tests = Paths.get(suiteRoot, "tests")
+    draftDirs.flatMap { case (dir, draftUrl) =>
+      val base = tests.resolve(dir)
+      if (!Files.isDirectory(base)) Nil
+      else {
+        val files = {
+          val s = Files.walk(base)
+          try s.iterator().asScala
+            .filter(p => p.toString.endsWith(".json") &&
+              !skips(p.getFileName.toString))
+            .toVector.sortBy(_.toString)
+          finally s.close()
+        }
+        files.flatMap { f: Path =>
+          val rel = tests.relativize(f).toString
+          val optional = rel.contains("optional/") || rel.contains("optional\\")
+          mapper.readTree(f.toFile).asScala.zipWithIndex.map { case (g, gi) =>
+            val desc = Option(g.get("description")).map(_.asText()).getOrElse("")
+            val schema = g.get("schema").toString
+            val cases = Option(g.get("tests")).map(_.asScala.toVector)
+              .getOrElse(Vector.empty)
+              .map(t => (t.get("data").toString, t.get("valid").asBoolean()))
+            (rel, gi, desc, schema, optional, draftUrl, cases)
+          }
+        }
+      }
+    }
+  }
+
+  /** Run a suite tree: one row per test case with the engine verdict and
+    * the suite's expectation — (file, grp, idx, valid, want).
+    */
+  def run(spark: SparkSession, suiteRoot: String): DataFrame = {
+    Queries5.registerRemotes()
+    Queries5.remotesRoot = suiteRoot
+    val parts = groups(suiteRoot).map {
+      case (rel, gi, _, schemaJson, optional, draftUrl, tests) =>
+        // optional/ dirs assert format+content (suite_test.go:52-55);
+        // everything else runs the draft's own assertion defaults
+        Queries5.verdictFrameWith(spark, schemaJson, tests.map(_._1),
+            jvAssert = Some((optional, optional)),
+            defaultDraftUrl = Some(draftUrl))
+          .select(lit(rel).as("file"), lit(gi).as("grp"), col("idx"),
+            col("valid"))
+          .withColumn("want",
+            lit(tests.map(_._2).toArray)(col("idx")))
+    }
+    parts.reduce(_ unionAll _).orderBy("file", "grp", "idx")
+  }
+
+  /** Driver-side summary: (passed, total, mismatching case keys). */
+  def report(spark: SparkSession, suiteRoot: String)
+      : (Long, Long, Seq[String]) = {
+    val rows = run(spark, suiteRoot).collect()
+    val bad = rows.filter(r => r.getBoolean(3) != r.getBoolean(4))
+      .map(r => s"${r.getString(0)}[${r.getInt(1)}]#${r.getInt(2)}").toSeq
+    ((rows.length - bad.size).toLong, rows.length.toLong, bad)
+  }
+}

@@ -282,8 +282,13 @@ object Main {
         case _ => None
       }
       val lintUrl = docSchemaUrl match {
-        case Some(u) => // official → lint with it; custom → no gate
-          graft.spec.SchemaLint.draftVersion(u).map(_ => u)
+        case Some(u) =>
+          // official → lint with it; CUSTOM → lint through the default URL:
+          // the walker resolves the root's custom meta (composed
+          // $vocabulary suite, or the base draft's official meta when the
+          // custom meta has none; unreachable metas keep the skip)
+          Some(graft.spec.SchemaLint.draftVersion(u).map(_ => u).getOrElse(
+            draftUrl.getOrElse("https://json-schema.org/draft/2020-12/schema")))
         case None =>
           Some(draftUrl.getOrElse("https://json-schema.org/draft/2020-12/schema"))
       }

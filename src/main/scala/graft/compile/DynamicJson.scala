@@ -170,7 +170,9 @@ object DynamicJson {
         ErrorKind.ConstK(c.toString))
     }
     node.enumVals.foreach { vals =>
-      add(kw("enum"), vac(v, vals.map(constEqDyn).reduce(_ || _)),
+      // an empty enum matches nothing (legal under 2020-12)
+      add(kw("enum"), vac(v,
+          vals.map(constEqDyn).reduceOption(_ || _).getOrElse(lit(false))),
         concat(lit("enum: got "), canon(v), lit(s", want one of ${vals.mkString(", ")}")),
         ErrorKind.EnumK(vals.map(_.toString)))
     }

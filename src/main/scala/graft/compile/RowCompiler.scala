@@ -349,9 +349,9 @@ object RowCompiler {
       else if (node.minLength.nonEmpty || node.maxLength.nonEmpty ||
         node.pattern.nonEmpty || node.format.nonEmpty) Set("string")
       else if (node.const.exists(_.isNumber) ||
-        node.enumVals.exists(_.forall(_.isNumber))) Set("number")
+        node.enumVals.exists(e => e.nonEmpty && e.forall(_.isNumber))) Set("number")
       else if (node.const.exists(_.isTextual) ||
-        node.enumVals.exists(_.forall(_.isTextual))) Set("string")
+        node.enumVals.exists(e => e.nonEmpty && e.forall(_.isTextual))) Set("string")
       else throw SpecError(at, "contentSchema subschemas need an explicit 'type'"))
     t.toSeq match {
       case Seq("integer") => LongType

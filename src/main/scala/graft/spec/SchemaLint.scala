@@ -62,8 +62,9 @@ object SchemaLint {
     * VALUES are schemas; singles: keywords whose value IS a schema; arrays:
     * keywords whose value is an ARRAY of schemas.
     */
-  private final case class Walk(maps: Vector[String], singles: Vector[String],
-                                arrays: Vector[String])
+  private[graft] final case class Walk(maps: Vector[String],
+                                       singles: Vector[String],
+                                       arrays: Vector[String])
 
   private def walkOf(version: Int): Walk = {
     var m = Vector("definitions", "properties", "patternProperties",
@@ -112,7 +113,10 @@ object SchemaLint {
     * meta (boolean `exclusiveMinimum` legal inside, not outside).
     */
   def nodes(doc: JsonNode, version: Int,
-            pinned: Boolean = false): Vector[(String, Int, JsonNode)] = {
+            pinned: Boolean = false,
+            customs: Map[String, Int] = Map.empty,
+            customWalks: Map[Int, Walk] = Map.empty)
+      : Vector[(String, Int, JsonNode)] = {
     val out = Vector.newBuilder[(String, Int, JsonNode)]
     def emit(path: String, v0: Int, n: JsonNode): Unit = {
       // nested `$schema` is honored IFF the node carries the DECLARED
@@ -139,7 +143,24 @@ object SchemaLint {
             // declared draft's id spelling is unknowable without loading
             // the meta — accept either, with getID's string/fragment rules)
             if (path == "#" || hasDraftId(n, 4) || hasDraftId(n, 2020))
-              return // out of the gate's scope
+              customs.get(u.stripSuffix("#")) match {
+                case Some(code) if code == badMetaCode =>
+                  // loadable meta with an unsupported must-understand
+                  // vocabulary: a synthetic row the catalog arms turn into
+                  // a violation / false verdict — never silently valid
+                  out += ((path, badMetaCode,
+                    mapper.getNodeFactory.textNode(u)))
+                  return
+                case Some(code) =>
+                  // RESOLVED custom meta: the subtree lints against the
+                  // composed vocabulary meta (a no-$vocabulary custom meta
+                  // resolves to its base draft's official version —
+                  // the reference's dialect.getSchema with vocabs == nil,
+                  // /root/reference/draft.go:266-270)
+                  code
+                case None =>
+                  return // unresolvable meta: out of the gate's scope
+              }
             else v0 // ignored annotation
         }
         case None => v0
@@ -150,7 +171,8 @@ object SchemaLint {
     def child(path: String, v: Int, n: JsonNode): Unit =
       if (n.isObject || n.isBoolean) emit(path, v, n)
     def descend(path: String, version: Int, n: JsonNode): Unit = {
-      val w = walkOf(version)
+      // custom codes carry their own vocabulary-gated position list
+      val w = customWalks.getOrElse(version, walkOf(version))
       w.maps.foreach { k =>
         val v = n.get(k)
         if (v != null && v.isObject)
@@ -268,6 +290,199 @@ object SchemaLint {
     }
   }
 
+  // ---------------------------------------------------- custom meta-schemas
+
+  /** Synthetic row tag for documents whose meta-schema loaded but requires
+    * an unsupported must-understand vocabulary — the catalog arms turn it
+    * into a violation / false verdict instead of a job-killing error (and
+    * instead of silent validity).
+    */
+  private[graft] val badMetaCode = -1
+
+  private val CUSTOM_BASE = 10000
+  private val customCodes =
+    new java.util.concurrent.atomic.AtomicInteger(CUSTOM_BASE)
+  // normalized meta URL → routing code: an official draft version (custom
+  // meta WITHOUT $vocabulary — the reference validates against the base
+  // draft's own meta then, draft.go:266-270) or a CUSTOM_BASE+ code whose
+  // composed vocabulary suite/walk live in the two maps below
+  private val customMetaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Int]]
+  private val customWalks =
+    scala.collection.concurrent.TrieMap.empty[Int, Walk]
+  private val customSuites =
+    scala.collection.concurrent.TrieMap.empty[Int, (CompiledSuite, String)]
+
+  /** Loaders are swappable in tests; cleared with [[Dialect.clearMetaCache]]. */
+  private[graft] def clearCustomMetas(): Unit = {
+    customMetaCache.clear(); customWalks.clear(); customSuites.clear()
+  }
+
+  private def baseVersionOf(dialectName: String): Int =
+    if (dialectName.startsWith("2020-12")) 2020
+    else if (dialectName.startsWith("2019-09")) 2019
+    else if (dialectName.startsWith("draft-07")) 7
+    else if (dialectName.startsWith("draft-06")) 6
+    else if (dialectName.startsWith("draft-04")) 4
+    else 2020 // no official ancestor on the meta chain → latest draft (the
+              // reference compiler's DefaultDraft)
+
+  private def officialVocabNames(version: Int): Set[String] =
+    if (version >= 2020)
+      Set("core", "applicator", "unevaluated", "validation", "meta-data",
+        "format-annotation", "format-assertion", "content")
+    else Set("core", "applicator", "validation", "meta-data", "format",
+      "content")
+
+  /** Subschema positions defined by the ACTIVE vocabularies — a custom
+    * meta that drops the applicator vocabulary stops `allOf`/`properties`
+    * values from being schemas, so the walker must not descend into them
+    * (they are unconstrained unknown-keyword values there). Keywords of no
+    * 2019+ vocabulary (`definitions`, draft≤7 `dependencies`) are dropped
+    * under vocabulary gating.
+    */
+  private def gatedWalk(version: Int, active: Set[String]): Walk = {
+    val byKw: Map[String, String] = {
+      val applicator = Vector("properties", "patternProperties",
+        "dependentSchemas", "not", "additionalProperties", "items",
+        "propertyNames", "contains", "if", "then", "else",
+        "allOf", "anyOf", "oneOf") ++
+        (if (version >= 2020) Vector("prefixItems")
+         else Vector("additionalItems", "unevaluatedProperties",
+           "unevaluatedItems"))
+      val uneval =
+        if (version >= 2020) Vector("unevaluatedProperties", "unevaluatedItems")
+        else Vector.empty
+      (applicator.map(_ -> "applicator") ++ uneval.map(_ -> "unevaluated") ++
+        Vector("$defs" -> "core", "contentSchema" -> "content")).toMap
+    }
+    val w = walkOf(version)
+    def keep(k: String) = byKw.get(k).exists(active)
+    Walk(w.maps.filter(keep), w.singles.filter(keep), w.arrays.filter(keep))
+  }
+
+  /** Rewrite a custom vocabulary arm's local `#/$defs/K` refs to the
+    * prefixed names its hoisted defs were merged under.
+    */
+  private def prefixLocalDefs(n: JsonNode, prefix: String): JsonNode = n match {
+    case o: ObjectNode =>
+      val c = mapper.createObjectNode()
+      o.fieldNames().asScala.foreach { f =>
+        val v = o.get(f)
+        if (f == "$ref" && v.isTextual && v.asText().startsWith("#/$defs/"))
+          c.put("$ref", "#/$defs/" + prefix + v.asText().stripPrefix("#/$defs/"))
+        else c.set[JsonNode](f, prefixLocalDefs(v, prefix))
+      }
+      c
+    case a: ArrayNode =>
+      val c = mapper.createArrayNode()
+      (0 until a.size()).foreach(i => c.add(prefixLocalDefs(a.get(i), prefix)))
+      c
+    case other => other
+  }
+
+  /** The composed flat node meta for a `$vocabulary`-bearing custom meta:
+    * the reference's dialect.getSchema (/root/reference/draft.go:266-305) —
+    * an allOf of the ACTIVE vocabularies' schemas (required-`true` entries
+    * plus core; `false` entries do NOT constrain), flattened and
+    * recursion-cut like the official path. Official vocab documents merge
+    * into one properties/$defs namespace (names disjoint); registered
+    * custom vocabulary schemas become self-contained allOf arms with their
+    * defs hoisted under a collision-proof prefix.
+    */
+  private def composeVocabMeta(version: Int, names: Vector[String],
+                               customArms: Vector[JsonNode],
+                               atUrl: String): JsonNode = {
+    val base = s"draft/${if (version == 2019) "2019-09" else "2020-12"}"
+    val combined = mapper.createObjectNode()
+    val ts = mapper.createArrayNode(); ts.add("object"); ts.add("boolean")
+    combined.set[JsonNode]("type", ts)
+    val props = mapper.createObjectNode()
+    val defs = mapper.createObjectNode()
+    names.foreach { nm =>
+      if (!officialVocabNames(version).contains(nm))
+        throw SpecError(atUrl,
+          s"meta-schema requires unsupported vocabulary " +
+            s"'https://json-schema.org/$base/vocab/$nm'")
+      val cut = cutRewrite(
+        Spec.loadOfficialMeta(s"https://json-schema.org/$base/meta/$nm"),
+        version)
+      Option(cut.get("properties")).filter(_.isObject).foreach { p =>
+        p.fieldNames().asScala.foreach(f => props.set[JsonNode](f, p.get(f)))
+      }
+      Option(cut.get("$defs")).filter(_.isObject).foreach { d =>
+        d.fieldNames().asScala.foreach(f => defs.set[JsonNode](f, d.get(f)))
+      }
+    }
+    val arms = mapper.createArrayNode()
+    customArms.zipWithIndex.foreach { case (arm0, i) =>
+      val prefix = s"v${i}_"
+      val cut = prefixLocalDefs(cutRewrite(arm0, version), prefix)
+        .asInstanceOf[ObjectNode]
+      Option(cut.get("$defs")).filter(_.isObject).foreach { d =>
+        d.fieldNames().asScala.foreach(f =>
+          defs.set[JsonNode](prefix + f, d.get(f)))
+      }
+      stripTop.foreach(cut.remove); cut.remove("$defs")
+      arms.add(cut)
+    }
+    combined.set[JsonNode]("properties", props)
+    combined.set[JsonNode]("$defs", defs)
+    if (arms.size() > 0) combined.set[JsonNode]("allOf", arms)
+    combined
+  }
+
+  /** Resolve a CUSTOM (non-official) meta-schema URL to a routing code:
+    * Some(official version) when the meta has no `$vocabulary` (its base
+    * draft's official meta governs — draft.go:266-270), Some(custom code)
+    * when vocabulary-composed, None when the meta is unreachable through
+    * the loader registry (the document stays out of the gate's scope).
+    * THROWS [[SpecError]] for a must-understand vocabulary that is neither
+    * official nor registered ([[Dialect.registerVocabularySchema]]), and
+    * for meta-chain cycles — the reference's UnsupportedVocabularyError /
+    * MetaSchemaCycleError.
+    */
+  private[graft] def resolveCustomMeta(url0: String): Option[Int] = {
+    val url = url0.stripSuffix("#")
+    customMetaCache.getOrElseUpdate(url, {
+      Dialect.resolve(url).flatMap { d =>
+        val version = baseVersionOf(d.name)
+        val doc =
+          try Some(Spec.documentFromUrl(url)) catch { case _: SpecError => None }
+        doc.filter(_.isObject).flatMap { o =>
+          val vocab = Option(o.get("$vocabulary")).filter(_.isObject)
+          if (vocab.isEmpty || version < 2019) Some(version)
+          else {
+            val fields = vocab.get.fieldNames().asScala.toVector
+              .map(k => k -> vocab.get.get(k))
+            val reqd = fields.collect {
+              case (uri, r) if r.isBoolean && r.asBoolean() =>
+                uri.stripSuffix("#")
+            }
+            val pre = s"https://json-schema.org/draft/${
+              if (version == 2019) "2019-09" else "2020-12"}/vocab/"
+            val names = (reqd.collect {
+              case u if u.startsWith(pre) => u.stripPrefix(pre)
+            } :+ "core").distinct
+            val customArms = reqd.filterNot(_.startsWith(pre)).map { u =>
+              Dialect.registeredVocabSchema(u).getOrElse(throw SpecError(url,
+                s"meta-schema requires unsupported vocabulary '$u'"))
+            }
+            val flat = composeVocabMeta(version, names, customArms, url)
+            val code = customCodes.getAndIncrement()
+            customWalks.put(code, gatedWalk(version, names.toSet))
+            customSuites.put(code, compileNodeMeta(flat))
+            Some(code)
+          }
+        }
+      }
+    })
+  }
+
+  private def walksFor(customs: Map[String, Int]): Map[Int, Walk] =
+    customs.values.filter(_ >= CUSTOM_BASE).toVector.distinct
+      .map(c => c -> customWalks(c)).toMap
+
   // ------------------------------------------------------- compiled suites
 
   /** Input shape: one row per (document, node pointer); `v` = the node's
@@ -291,15 +506,26 @@ object SchemaLint {
     * (draft.go:127-130; content has no assertion there either).
     */
   private[graft] def suiteFor(version: Int): (CompiledSuite, String) =
-    suiteCache.getOrElseUpdate(version, {
-      val url = inlineUrl(combinedNodeMeta(version).toString)
-      val wrapper = mapper.readTree(
-        s"""{"columns":{"node":{"json":{"$$ref":${
-          mapper.writeValueAsString(url)}}}}}""")
-      (SuiteCompiler.compile(
-        Spec.parse(wrapper, compat = true, None, jvAssert = Some((true, false))),
-        inputSchema), url)
-    })
+    suiteCache.getOrElseUpdate(version, compileNodeMeta(combinedNodeMeta(version)))
+
+  private def compileNodeMeta(flatDoc: JsonNode): (CompiledSuite, String) = {
+    val url = inlineUrl(flatDoc.toString)
+    val wrapper = mapper.readTree(
+      s"""{"columns":{"node":{"json":{"$$ref":${
+        mapper.writeValueAsString(url)}}}}}""")
+    (SuiteCompiler.compile(
+      Spec.parse(wrapper, compat = true, None, jvAssert = Some((true, false))),
+      inputSchema), url)
+  }
+
+  /** Suite for a routing code: an official draft version or a composed
+    * custom-meta code registered by [[resolveCustomMeta]].
+    */
+  private def suiteForCode(code: Int): (CompiledSuite, String) =
+    if (code >= CUSTOM_BASE)
+      customSuites.getOrElse(code, throw SpecError(s"code $code",
+        "custom-meta suite not registered — resolveCustomMeta must run first"))
+    else suiteFor(code)
 
   /** Report coordinates relative to the META document and the LINTED
     * document: keyword paths lose the internal inline-document URL and the
@@ -324,8 +550,17 @@ object SchemaLint {
     * JSON yields one root row whose node text fails the engine's parse
     * check like any other violation.
     */
+  /** Test hook: walk invocations (per document), so PlanShapeSpec can pin
+    * the one-walk-per-document catalog contract (local mode shares the JVM).
+    */
+  private[graft] val enumCalls = new java.util.concurrent.atomic.AtomicLong
+
   def enumerateRows(json: String, version: Int,
-                    pinned: Boolean = false): Seq[(String, Int, String)] = {
+                    pinned: Boolean = false,
+                    customs: Map[String, Int] = Map.empty,
+                    customWalks: Map[Int, Walk] = Map.empty)
+      : Seq[(String, Int, String)] = {
+    enumCalls.incrementAndGet()
     // only the PARSE is caught (malformed JSON → raw root row → the
     // engine's parse check flags it); a walker exception on a well-formed
     // document is a BUG and must surface, not read as "invalid document".
@@ -335,7 +570,7 @@ object SchemaLint {
       catch {
         case _: java.io.IOException => return Seq(("#", version, json))
       }
-    val ns = nodes(doc, version, pinned)
+    val ns = nodes(doc, version, pinned, customs, customWalks)
       .map { case (p, v, n) => (p, v, n.toString) }
     // a non-object/boolean ROOT yields no walked nodes — emit the raw
     // document as the root row so the meta's `type: object|boolean`
@@ -351,6 +586,51 @@ object SchemaLint {
   /** All draft versions a node row can carry. */
   private val allVersions = Vector(4, 6, 7, 2019, 2020)
 
+  /** Driver-side discovery of custom (non-official) root `$schema` URLs in
+    * a catalog: one cheap distinct projection, bounded loudly at 200
+    * distinct URLs. Each URL resolves through the loader registry once —
+    * unreachable metas stay out of the gate's scope (their documents keep
+    * the vacuous-valid root row, as before); a loadable meta with an
+    * unsupported must-understand vocabulary (or a meta-chain cycle) maps
+    * to [[badMetaCode]], so ITS documents fail loudly without killing the
+    * catalog job. Only ROOT-level `$schema` is discovered; an embedded
+    * resource declaring an undiscovered custom meta keeps the skip
+    * semantics.
+    */
+  private def discoverCustomMetas(schemas: DataFrame,
+                                  schemaCol: String): Map[String, Int] = {
+    import org.apache.spark.sql.functions._
+    val rows = schemas
+      .select(get_json_object(col(schemaCol), "$['$schema']").as("u"))
+      .filter(col("u").isNotNull).distinct().limit(201).collect()
+    if (rows.length > 200)
+      throw SpecError("catalog",
+        "more than 200 distinct $schema URLs — refusing unbounded " +
+          "custom-meta resolution")
+    rows.iterator.map(_.getString(0))
+      .filter(u => u != null && draftVersion(u).isEmpty)
+      .flatMap { u =>
+        val key = u.stripSuffix("#")
+        try resolveCustomMeta(u).map(key -> _)
+        catch { case _: SpecError => Some(key -> badMetaCode) }
+      }.toMap
+  }
+
+  /** Violation rows for [[badMetaCode]]-tagged documents (node column
+    * carries the offending meta URL as a JSON string literal).
+    */
+  private def badMetaViolations(exploded: DataFrame,
+                                keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    exploded.filter(col("v") === badMetaCode)
+      .select(keyCols.map(col) ++ Seq(
+        lit("#/$schema").as("keyword"),
+        lit("").as("instance_path"),
+        concat(lit("meta-schema "), col("node"),
+          lit(" requires an unsupported vocabulary or has a cyclic " +
+            "meta-chain")).as("detail")): _*)
+  }
+
   /** Lint a CATALOG of schema documents — one DataFrame pass:
     * (idCol, schemaCol:string) in, (idCol, path, keyword, instance_path,
     * detail) violation rows out. `metaUrl` is the DEFAULT draft for
@@ -363,23 +643,45 @@ object SchemaLint {
     val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
       "not an official json-schema.org meta-schema URL"))
     import org.apache.spark.sql.functions._
+    // custom metas declared at document roots resolve ONCE driver-side
+    // (composed vocabulary suites, walk gating); the walker routes their
+    // subtrees by code
+    val customs =
+      if (perResourceDialects) discoverCustomMetas(schemas, schemaCol)
+      else Map.empty[String, Int]
+    val cWalks = walksFor(customs)
     val enum0 = udf((json: String) =>
       if (json == null) Seq.empty[(String, Int, String)]
-      else enumerateRows(json, version, pinned = !perResourceDialects))
-    val exploded = schemas
+      else enumerateRows(json, version, pinned = !perResourceDialects,
+        customs, cWalks))
+    val exploded0 = schemas
       .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
       .select(col(idCol), col("__n._1").as("path"), col("__n._2").as("v"),
         col("__n._3").as("node"))
     // rows route to their GOVERNING draft's suite (per-resource $schema
     // switches): a homogeneous catalog leaves the other branches empty —
     // the filters keep each branch shuffle-free and AQE collapses empty
-    // ones; the enumeration UDF re-runs per branch (small-doc parse), the
-    // accepted cost of mixed-dialect correctness without a cache pin.
-    // perResourceDialects = false asserts a homogeneous catalog: one
+    // ones. perResourceDialects = false asserts a homogeneous catalog: one
     // branch, one suite compile — the scale path when the dialect is known.
-    val versions =
-      if (perResourceDialects) allVersions else Vector(version)
-    perVersion(exploded, Seq(idCol, "path"), versions)
+    val versions = (if (perResourceDialects) allVersions
+                    else Vector(version)) ++
+      customs.values.filter(_ >= CUSTOM_BASE).toVector.distinct
+    // ONE walk per document: with multiple draft branches the exploded
+    // node frame is persisted, so every branch scans the same in-memory
+    // blocks instead of re-running the parse+walk UDF once per draft
+    // (PlanShapeSpec pins the invocation count; graft.LintBench measures
+    // the before/after — SPARK_GRAFT_LINT_NO_CACHE restores the re-walk
+    // behavior as an ops valve for memory-starved runs). Cache lifecycle
+    // follows the module convention: blocks live until
+    // spark.catalog.clearCache() or session end.
+    val exploded =
+      if (versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE"))
+        exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
+    val main = perVersion(exploded, Seq(idCol, "path"), versions)
+    if (customs.valuesIterator.contains(badMetaCode))
+      main.unionByName(badMetaViolations(exploded, Seq(idCol, "path")))
+    else main
   }
 
   /** Validate (…, v, node) rows against each draft's flat meta, union of
@@ -389,7 +691,7 @@ object SchemaLint {
                          versions: Vector[Int]): DataFrame = {
     import org.apache.spark.sql.functions._
     versions.map { ver =>
-      val (suite, metaDocUrl) = suiteFor(ver)
+      val (suite, metaDocUrl) = suiteForCode(ver)
       normalized(
         Validator.violations(rows.filter(col("v") === ver), suite, keyCols),
         metaDocUrl)
@@ -408,19 +710,34 @@ object SchemaLint {
     val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
       "not an official json-schema.org meta-schema URL"))
     import org.apache.spark.sql.functions._
+    val customs =
+      if (perResourceDialects) discoverCustomMetas(schemas, schemaCol)
+      else Map.empty[String, Int]
+    val cWalks = walksFor(customs)
     val enum0 = udf((json: String) =>
       if (json == null) Seq.empty[(String, Int, String)]
-      else enumerateRows(json, version, pinned = !perResourceDialects))
-    val exploded = schemas
+      else enumerateRows(json, version, pinned = !perResourceDialects,
+        customs, cWalks))
+    val exploded0 = schemas
       .select(col(idCol), explode(enum0(col(schemaCol))).as("__n"))
       .select(col(idCol), col("__n._2").as("v"), col("__n._3").as("node"))
-    val versions =
-      if (perResourceDialects) allVersions else Vector(version)
-    versions.map { ver =>
+    val versions = (if (perResourceDialects) allVersions
+                    else Vector(version)) ++
+      customs.values.filter(_ >= CUSTOM_BASE).toVector.distinct
+    // one walk per document — see violationsForCatalog
+    val exploded =
+      if (versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE"))
+        exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
+    val branches = versions.map { ver =>
       Validator.annotate(exploded.filter(col("v") === ver),
-          suiteFor(ver)._1)
+          suiteForCode(ver)._1)
         .select(col(idCol), col("valid"))
-    }.reduce(_ unionByName _)
+    } ++ (if (customs.valuesIterator.contains(badMetaCode))
+            Seq(exploded.filter(col("v") === badMetaCode)
+              .select(col(idCol), lit(false).as("valid")))
+          else Nil)
+    branches.reduce(_ unionByName _)
       .groupBy(col(idCol)).agg(min(col("valid")).as("valid"))
   }
 
@@ -438,7 +755,22 @@ object SchemaLint {
                     metaUrl: String): DataFrame = {
     val version = draftVersion(metaUrl).getOrElse(throw SpecError(metaUrl,
       "not an official json-schema.org meta-schema URL"))
-    val enumerated = enumerateRows(schemaJson, version)
+    // a CUSTOM root $schema resolves driver-side: composed vocabulary
+    // suite, or the base draft's official meta when the custom meta has no
+    // $vocabulary; an unsupported must-understand vocabulary THROWS the
+    // typed SpecError here (the reference jv exits 2). Unreachable metas
+    // keep the document out of the gate's scope, as before.
+    val customs = (try Option(mapper.readTree(schemaJson))
+                   catch { case _: java.io.IOException => None })
+      .filter(_.isObject)
+      .flatMap(o => Option(o.get("$schema")).filter(_.isTextual)
+        .map(_.asText()))
+      .filter(u => draftVersion(u).isEmpty)
+      .flatMap(u => resolveCustomMeta(u).map(u.stripSuffix("#") -> _))
+      .toMap
+    val enumerated =
+      enumerateRows(schemaJson, version, customs = customs,
+        customWalks = walksFor(customs))
     val rows: Seq[Row] = enumerated.map { case (p, v, n) => Row(p, v, n) }
     val df = spark.createDataFrame(rows.asJava, inputSchema)
     // versions present are known driver-side: only those suites compile

@@ -327,7 +327,30 @@ object Dialect {
   /** Test hook: loaders are swappable in tests (per-case remote maps), so
     * the memoized meta-schema dialects must be clearable with them.
     */
-  def clearMetaCache(): Unit = metaCache.clear()
+  def clearMetaCache(): Unit = {
+    metaCache.clear()
+    SchemaLint.clearCustomMetas()
+  }
+
+  // custom vocabulary URI → its vocabulary SCHEMA (the reference's
+  // Vocabulary.Schema, /root/reference/vocab.go:19-25 +
+  // compiler.RegisterVocabulary): a meta-schema may REQUIRE the URI, and
+  // meta-validation (SchemaLint) applies the registered schema as one arm
+  // of the composed lint meta (draft.go:275-283)
+  private val vocabSchemas =
+    scala.collection.concurrent.TrieMap.empty[String, com.fasterxml.jackson.databind.JsonNode]
+
+  /** Register a custom vocabulary's schema (JSON Schema text) so meta-
+    * schemas may list its URI as must-understand — the reference's
+    * `Vocabulary{URL, Schema}` registration. The schema must be
+    * self-contained (its own `$defs`, no external refs).
+    */
+  def registerVocabularySchema(uri: String, schemaJson: String): Unit =
+    vocabSchemas.put(uri.stripSuffix("#"),
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(schemaJson))
+
+  private[graft] def registeredVocabSchema(uri: String) =
+    vocabSchemas.get(uri.stripSuffix("#"))
 
   /** The vocabulary URIs a draft defines — `$vocabulary` entries marked
     * must-understand (`true`) outside this set are typed errors, mirroring
@@ -391,7 +414,8 @@ object Dialect {
             val fields = v.fieldNames().asScala.toVector.map(k => k -> v.get(k))
             fields.foreach { case (uri, req) =>
               if (req.isBoolean && req.asBoolean() && !allowed.contains(uri) &&
-                  !uri.contains("/vocab/core"))
+                  !uri.contains("/vocab/core") &&
+                  registeredVocabSchema(uri).isEmpty)
                 throw SpecError(url,
                   s"meta-schema requires unsupported vocabulary '$uri'")
             }
@@ -646,9 +670,15 @@ object SchemaNode {
 
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
     def optInt(k: String): Option[Int] = opt(k).map { v =>
-      if (!v.canConvertToInt || !v.isIntegralNumber)
-        throw SpecError(s"$at/$k", s"expected non-negative integer, got $v")
-      val i = v.asInt()
+      // a zero-fraction number IS an integer (2.0 ≡ 2): the official
+      // metas' `type: integer` semantics and the reference's big.Rat
+      // IsInt read (objcompiler.go:495-501) — the meta-gate and the typed
+      // parser must agree on these documents
+      val i =
+        try { if (!v.isNumber) throw new ArithmeticException
+              v.decimalValue().intValueExact() }
+        catch { case _: ArithmeticException =>
+          throw SpecError(s"$at/$k", s"expected non-negative integer, got $v") }
       if (i < 0) throw SpecError(s"$at/$k", s"expected non-negative integer, got $i")
       i
     }
@@ -685,7 +715,12 @@ object SchemaNode {
     }
 
     val enumVals = opt("enum").map { e =>
-      if (!e.isArray || e.size() == 0) throw SpecError(s"$at/enum", "expected non-empty array")
+      // an EMPTY enum is legal (matches nothing): the 2020-12 meta allows
+      // it ({"type": "array", "items": true}) and the reference compiles
+      // it (objcompiler.go:147 newEnum); only draft-4's meta requires
+      // minItems 1 — an arity rule the META-GATE enforces per draft, not
+      // the typed parser
+      if (!e.isArray) throw SpecError(s"$at/enum", "expected array")
       e.asScala.toVector
     }
 

@@ -105,6 +105,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "verdict fold must not join")
   }
 
+  test("mixed-dialect catalog lint walks each document ONCE (persisted node frame)") {
+    import graft.spec.SchemaLint
+    import spark.implicits._
+    // perResourceDialects = true fans the node rows out to 5 draft
+    // branches; without the persisted exploded frame the parse+walk UDF
+    // re-ran once per branch (5 walks per document)
+    val n = 40
+    val df = (0 until n).map { i =>
+      val schema = if (i % 3 == 0)
+        s"""{"$$schema": "https://json-schema.org/draft-07/schema#", "minLength": $i}"""
+      else s"""{"properties": {"f$i": {"type": "string"}}}"""
+      (s"s$i", schema)
+    }.toDF("id", "schema_json")
+    val before = SchemaLint.enumCalls.get()
+    val verdicts = SchemaLint.verdictsForCatalog(df, "id", "schema_json",
+      "https://json-schema.org/draft/2020-12/schema")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val walks = SchemaLint.enumCalls.get() - before
+    assert(verdicts.size == n && verdicts.values.forall(identity))
+    assert(walks == n, s"expected $n walk invocations (one per document), got $walks")
+  }
+
   test("flat unevaluatedProperties keeps the STATIC lowering (no branch-set algebra)") {
     import graft.compile.SuiteCompiler
     import graft.spec.Spec

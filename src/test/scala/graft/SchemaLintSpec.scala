@@ -230,4 +230,117 @@ class SchemaLintSpec extends SparkTestBase {
     assert(lint("""{"properties": {"a": true}}""", m4).nonEmpty)
     assert(lint("""{"properties": {"a": true}}""", m7).isEmpty)
   }
+
+  // ------------------------------------------------------- custom metas
+
+  // custom metas must live at real URLs ($schema is format: uri under the
+  // official meta) — served through the test remote loader
+  private def q(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+  private var served = Map.empty[String, String]
+  private def serveMeta(name: String, json: String): String = {
+    Queries5.registerRemotes()
+    val url = s"http://example.com/lint-metas/$name"
+    served += url -> json
+    Queries5.setDynamicRemotes(served)
+    url
+  }
+
+  test("custom meta without $vocabulary lints under its base draft's official meta") {
+    // the reference validates against the base draft's own meta then
+    // (dialect.getSchema with vocabs == nil, draft.go:266-270) — these
+    // documents were previously skipped as vacuously valid
+    val u = serveMeta("novocab",
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "title": "house style, no extra vocab"}""")
+    assert(lint(s"""{"$$schema": ${q(u)}, "type": "object"}""").isEmpty)
+    val bad = lint(s"""{"$$schema": ${q(u)}, "minLength": -3}""")
+    assert(bad.nonEmpty && bad.exists(_.detail.contains("minimum")),
+      bad.toString)
+  }
+
+  test("custom meta $vocabulary gating: dropped applicator legalizes allOf, active validation still flags") {
+    val u = serveMeta("gated",
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/core": true,
+        "https://json-schema.org/draft/2020-12/vocab/validation": true}}""")
+    // applicator NOT active: allOf is an unconstrained unknown keyword —
+    // `allOf: [1]` is legal here where the official meta flags it
+    assert(lint(s"""{"$$schema": ${q(u)}, "allOf": [1], "minLength": 3}""")
+      .isEmpty)
+    assert(lint("""{"allOf": [1]}""").nonEmpty) // control: official flags it
+    // validation IS active: its shapes still bind
+    val v = lint(s"""{"$$schema": ${q(u)}, "allOf": [1], "minLength": "no"}""")
+    assert(v.nonEmpty && v.forall(_.path == "#"), v.toString)
+    // and applicator positions are not walked: a number under properties
+    // is legal (unknown keyword), where the official meta flags the parent
+    assert(lint(s"""{"$$schema": ${q(u)}, "properties": {"a": 1}}""").isEmpty)
+  }
+
+  test("unknown must-understand vocabulary: typed error single-doc, false verdict in catalog") {
+    val u = serveMeta("madeup",
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$vocabulary": {"https://example.com/vocab/made-up-lint": true}}""")
+    val doc = s"""{"$$schema": ${q(u)}, "type": "object"}"""
+    val e = intercept[SpecError](lint(doc))
+    assert(e.message.contains("unsupported vocabulary"), e.message)
+    // catalog arm: the document fails LOUDLY, the rest of the catalog lints
+    import spark.implicits._
+    val df = Seq(("bad", doc), ("good", """{"type": "object"}"""))
+      .toDF("id", "schema_json")
+    val got = SchemaLint.verdictsForCatalog(df, "id", "schema_json", m2020)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("bad" -> false, "good" -> true), got.toString)
+    val vios = SchemaLint.violationsForCatalog(df, "id", "schema_json", m2020)
+      .collect()
+    assert(vios.exists(r => r.getString(0) == "bad" &&
+      r.getString(2) == "#/$schema" &&
+      r.getString(4).contains("unsupported vocabulary")), vios.mkString("\n"))
+  }
+
+  test("registered custom vocabulary schema becomes an arm of the composed meta") {
+    graft.spec.Dialect.registerVocabularySchema(
+      "https://example.com/vocab/titled-lint",
+      """{"required": ["title"],
+         "properties": {"title": {"$ref": "#/$defs/longStr"}},
+         "$defs": {"longStr": {"type": "string", "minLength": 5}}}""")
+    val u = serveMeta("titled",
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/validation": true,
+        "https://example.com/vocab/titled-lint": true}}""")
+    assert(lint(s"""{"$$schema": ${q(u)}, "title": "long enough"}""").isEmpty)
+    val short = lint(s"""{"$$schema": ${q(u)}, "title": "ab"}""")
+    assert(short.nonEmpty && short.exists(_.detail.contains("minLength")),
+      short.toString)
+    val missing = lint(s"""{"$$schema": ${q(u)}, "minimum": 3}""")
+    assert(missing.nonEmpty && missing.exists(_.keyword.contains("required")),
+      missing.toString)
+  }
+
+  test("catalog with a custom-meta shard: per-document routing in one pass") {
+    import spark.implicits._
+    val gated = serveMeta("shard-gated",
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/core": true,
+        "https://json-schema.org/draft/2020-12/vocab/validation": true}}""")
+    val plain = serveMeta("shard-plain",
+      """{"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "title": "no vocab - base official governs"}""")
+    val df = Seq(
+      ("official_ok", """{"type": "object"}"""),
+      ("official_bad", """{"allOf": [1]}"""),
+      ("gated_ok", s"""{"$$schema": ${q(gated)}, "allOf": [1]}"""),
+      ("gated_bad", s"""{"$$schema": ${q(gated)}, "minLength": "x"}"""),
+      ("plain_ok", s"""{"$$schema": ${q(plain)}, "type": "object"}"""),
+      ("plain_bad", s"""{"$$schema": ${q(plain)}, "minLength": -1}""")
+    ).toDF("id", "schema_json")
+    val got = SchemaLint.verdictsForCatalog(df, "id", "schema_json", m2020)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("official_ok" -> true, "official_bad" -> false,
+      "gated_ok" -> true, "gated_bad" -> false,
+      "plain_ok" -> true, "plain_bad" -> false), got.toString)
+  }
 }
