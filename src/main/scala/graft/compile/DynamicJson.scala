@@ -1,6 +1,6 @@
 package graft.compile
 
-import graft.functions.Formats
+import graft.functions.{ExactRatPredExpr, Formats}
 import graft.spec.{SchemaNode, Spec, SpecError}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -84,7 +84,6 @@ object DynamicJson {
     def b(c: Column): Column = binder.map(_.bind(c)).getOrElse(c)
     val t = b(jsonTypeFrom(v, b(schema_of_variant(v))))
     lazy val vNum = b(asNum(v))
-    lazy val vDec = b(asDec(v))
     lazy val vStr = b(asStr(v))
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
     CompileLimits.tickVisit(if (kwBase.isEmpty) "#" else kwBase)
@@ -145,16 +144,14 @@ object DynamicJson {
     // const / enum — deep equality over canonical JSON with numeric
     // cross-type handling (2 == 2.0 compares as decimal)
     def constEqDyn(jn: com.fasterxml.jackson.databind.JsonNode): Column =
-      if (jn.isNumber) {
-        // decimal-exact compare, double fallback for magnitudes beyond
-        // decimal(38,12); constants not exactly representable there take
-        // the double arm directly (the cast would round them)
-        val dblEq = vNum === lit(jn.decimalValue().doubleValue())
-        (t === "number") && (
-          if (RowCompiler.fitsDec(BigDecimal(jn.decimalValue())))
-            coalesce(vDec === lit(jn.decimalValue()).cast(RowCompiler.Dec), dblEq)
-          else dblEq)
-      }
+      if (jn.isNumber)
+        // exact rational equality over the canonical number text
+        // (compareTo, so 2 == 2.0 across renderings) — no Decimal(38,12)
+        // rounding, no double approximation at any magnitude or scale
+        (t === "number") && coalesce(
+          ExactRatPredExpr.pred(b(canon(v)), ExactRatPredExpr.Eq,
+            jn.decimalValue()),
+          lit(false))
       else if (jn.isTextual) (t === "string") && (vStr === lit(jn.asText()))
       else if (jn.isBoolean) (t === "boolean") && (asBool(v) === lit(jn.asBoolean()))
       else if (jn.isNull) t === "null"
@@ -177,42 +174,35 @@ object DynamicJson {
         ErrorKind.EnumK(vals.map(_.toString)))
     }
 
-    // number keywords — gated on runtime number type (vacuous otherwise)
-    // decimal-exact bound compare (integers past 2^53 stay exact), double
-    // fallback only when the decimal cast overflows to NULL
-    def boundCheck(name: String, bd: BigDecimal,
-                   cmp: (Column, Column) => Column, want: String,
+    // number keywords — gated on runtime number type (vacuous otherwise).
+    // Exact rational compare over the canonical number text: digit-exact
+    // for variant-decimal numbers, shortest-repr for variant-double ones —
+    // the reference's json.Number / float64 decode modes respectively
+    // (validator.go:519 feeds fmt.Sprint to big.Rat). Replaces the former
+    // Decimal(38,12) extract whose cast ROUNDED >12-dp values before
+    // comparing. canon(v) is already on this row path (messages, const).
+    def boundCheck(name: String, bd: BigDecimal, opCode: Int, want: String,
                    kind: ErrorKind): Unit = {
-      val core =
-        if (RowCompiler.fitsDec(bd))
-          coalesce(
-            cmp(vDec, lit(bd.bigDecimal).cast(RowCompiler.Dec)),
-            cmp(vNum, lit(bd.toDouble)))
-        else cmp(vNum, lit(bd.toDouble)) // bound not Decimal(38,12)-exact
+      val core = ExactRatPredExpr.pred(b(canon(v)), opCode, bd.bigDecimal)
       add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
         concat(lit(s"$name: got "), vNum.cast(StringType), lit(s", want $want")),
         kind)
     }
     node.minimum.foreach(bd =>
-      boundCheck("minimum", bd, _ >= _, s">= $bd", ErrorKind.Minimum(bd)))
+      boundCheck("minimum", bd, ExactRatPredExpr.Ge, s">= $bd", ErrorKind.Minimum(bd)))
     node.maximum.foreach(bd =>
-      boundCheck("maximum", bd, _ <= _, s"<= $bd", ErrorKind.Maximum(bd)))
+      boundCheck("maximum", bd, ExactRatPredExpr.Le, s"<= $bd", ErrorKind.Maximum(bd)))
     node.exclusiveMinimum.foreach(bd =>
-      boundCheck("exclusiveMinimum", bd, _ > _, s"> $bd", ErrorKind.ExclusiveMinimum(bd)))
+      boundCheck("exclusiveMinimum", bd, ExactRatPredExpr.Gt, s"> $bd",
+        ErrorKind.ExclusiveMinimum(bd)))
     node.exclusiveMaximum.foreach(bd =>
-      boundCheck("exclusiveMaximum", bd, _ < _, s"< $bd", ErrorKind.ExclusiveMaximum(bd)))
+      boundCheck("exclusiveMaximum", bd, ExactRatPredExpr.Lt, s"< $bd",
+        ErrorKind.ExclusiveMaximum(bd)))
     node.multipleOf.foreach { m =>
-      val core =
-        if (RowCompiler.fitsDec(m))
-          coalesce(
-            pmod(vDec, lit(m.bigDecimal).cast(RowCompiler.Dec)) ===
-              lit(java.math.BigDecimal.ZERO).cast(RowCompiler.Dec),
-            // decimal overflow (>26 integer digits): approximate double check
-            pmod(vNum, lit(m.toDouble)) === lit(0.0),
-            lit(false))
-        // divisor not Decimal(38,12)-exact (would round, possibly to ZERO —
-        // ANSI DIVIDE_BY_ZERO): approximate double arm only
-        else coalesce(pmod(vNum, lit(m.toDouble)) === lit(0.0), lit(false))
+      val core = coalesce(
+        ExactRatPredExpr.pred(b(canon(v)), ExactRatPredExpr.MultipleOf,
+          m.bigDecimal),
+        lit(false))
       add(kw("multipleOf"), vac(v, (t =!= "number") || core),
         concat(lit("multipleOf: got "), canon(v), lit(s", want multiple of $m")),
         ErrorKind.MultipleOf(m))

@@ -1,7 +1,7 @@
 package graft.compile
 
 import com.fasterxml.jackson.databind.JsonNode
-import graft.functions.Formats
+import graft.functions.{ExactRatPredExpr, Formats}
 import graft.spec.{SchemaNode, Spec, SpecError}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -315,24 +315,36 @@ object RowCompiler {
     * compare otherwise (keeps parquet predicate pushdown for the common
     * integer-bound case — verified via explain/PushedFilters).
     */
-  private def boundCmp(v: Column, dt: DataType, bd: BigDecimal)(
+  private def boundCmp(v: Column, dt: DataType, bd: BigDecimal, op: Int)(
       native: (Column, Column) => Column): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType if bd.isValidLong =>
       native(v, lit(bd.toLong))
     case FloatType | DoubleType if bd.isExactDouble =>
+      // exact-double bound: the IEEE compare agrees with big.Rat — shortest
+      // decimal repr is order-preserving against an exactly-representable
+      // bound (reference feeds fmt.Sprint(float64), validator.go:519)
       native(v, lit(bd.toDouble))
-    case d: DecimalType => native(v, lit(bd.bigDecimal).cast(d))
-    case _ if fitsDec(bd) =>
-      // decimal-exact compare; double fallback when the VALUE overflows
-      // Decimal(38,12) — try_cast yields NULL there (a plain cast would
-      // THROW under ANSI), so 1e30 on a double column still bound-checks
-      coalesce(
-        native(v.try_cast(Dec), lit(bd.bigDecimal).try_cast(Dec)),
-        native(v.cast(DoubleType), lit(bd.toDouble)))
+    case d: DecimalType if decExact(bd, d) =>
+      native(v, lit(bd.bigDecimal).cast(d))
+    case ByteType | ShortType | IntegerType | LongType if fitsDec(bd) =>
+      // fractional bound over an integral column: both Dec casts are exact
+      // (≤19 integer digits always fit Decimal(38,12))
+      native(v.cast(Dec), lit(bd.bigDecimal).cast(Dec))
     case _ =>
-      // bound itself not representable in Decimal(38,12) (the cast would
-      // round it): approximate double compare
-      native(v.cast(DoubleType), lit(bd.toDouble))
+      // float/double against a non-exact-double bound (a Dec cast of the
+      // VALUE would round >12-dp shortest reprs before comparing), a
+      // decimal column whose type can't hold the bound, or a bound outside
+      // Decimal(38,12): big.Rat-exact compare (validator.go:522-543)
+      ExactRatPredExpr.pred(v, op, bd.bigDecimal)
+  }
+
+  /** Is `bd` exactly representable in DecimalType `d` (no rounding, no
+    * overflow)? Trailing zeros stripped first so 2.50 fits scale 1.
+    */
+  private def decExact(bd: BigDecimal, d: DecimalType): Boolean = {
+    val n = bd.bigDecimal.stripTrailingZeros
+    n.scale <= d.scale &&
+      (n.precision - n.scale) <= (d.precision - d.scale)
   }
 
   /** Spark type inferred from a schema node's `type` keyword — used to give
@@ -755,60 +767,62 @@ object RowCompiler {
     // number keywords (/root/reference/validator.go:513-550)
     if (isNumeric(dt)) {
       node.minimum.foreach { b =>
-        add(kw("minimum"), vac(v, boundCmp(v, dt, b)(_ >= _)),
+        add(kw("minimum"), vac(v, boundCmp(v, dt, b, ExactRatPredExpr.Ge)(_ >= _)),
           concat(lstr("minimum: got "), v.cast(StringType), lstr(s", want >= $b")),
           ErrorKind.Minimum(b))
       }
       node.maximum.foreach { b =>
-        add(kw("maximum"), vac(v, boundCmp(v, dt, b)(_ <= _)),
+        add(kw("maximum"), vac(v, boundCmp(v, dt, b, ExactRatPredExpr.Le)(_ <= _)),
           concat(lstr("maximum: got "), v.cast(StringType), lstr(s", want <= $b")),
           ErrorKind.Maximum(b))
       }
       node.exclusiveMinimum.foreach { b =>
-        add(kw("exclusiveMinimum"), vac(v, boundCmp(v, dt, b)(_ > _)),
+        add(kw("exclusiveMinimum"), vac(v, boundCmp(v, dt, b, ExactRatPredExpr.Gt)(_ > _)),
           concat(lstr("exclusiveMinimum: got "), v.cast(StringType), lstr(s", want > $b")),
           ErrorKind.ExclusiveMinimum(b))
       }
       node.exclusiveMaximum.foreach { b =>
-        add(kw("exclusiveMaximum"), vac(v, boundCmp(v, dt, b)(_ < _)),
+        add(kw("exclusiveMaximum"), vac(v, boundCmp(v, dt, b, ExactRatPredExpr.Lt)(_ < _)),
           concat(lstr("exclusiveMaximum: got "), v.cast(StringType), lstr(s", want < $b")),
           ErrorKind.ExclusiveMaximum(b))
       }
-      // exact rational divisibility via DecimalType
-      // (/root/reference/validator.go:545-549 uses big.Rat; Decimal(38,12) is
-      // exact for this engine's declared numeric domain)
+      // exact rational divisibility: native pmod fast arms where provably
+      // exact, big.Rat-equivalent BigDecimal remainder everywhere else
+      // (/root/reference/validator.go:545-549; ExactRatPredExpr has the
+      // fidelity argument)
       node.multipleOf.foreach { m =>
+        val decZero = lit(java.math.BigDecimal.ZERO).cast(Dec)
         val core = dt match {
           case ByteType | ShortType | IntegerType | LongType if m.isValidLong =>
             pmod(v, lit(m.toLong)) === lit(0L)
-          case FloatType | DoubleType if m.isValidLong && m.toLong != 0L =>
+          case ByteType | ShortType | IntegerType | LongType if fitsDec(m) =>
+            // fractional divisor over an integral column: both Dec casts
+            // exact (≤19 integer digits always fit)
+            pmod(v.cast(Dec), lit(m.bigDecimal).cast(Dec)) === decZero
+          case FloatType | DoubleType if m.isValidLong =>
             // integer divisor over a float column: the common case (integral
             // value within 2^53) needs no decimal at all — IEEE fmod is
-            // EXACT, and the decimal(38,12) arm agrees on integral doubles.
-            // Non-integral or huge values fall through to the decimal-exact
-            // arm (identical semantics to the general case below). Cuts the
-            // per-row cost ~3x on TPC-H-style quantity columns.
+            // EXACT. Cuts the per-row cost ~3x on TPC-H-style quantity
+            // columns. Non-integral or huge values take the exact-rational
+            // arm: a Decimal(38,12) cast would ROUND shortest reprs with
+            // >12 fractional digits (1.0000000000001 would silently PASS
+            // multipleOf 1e-12 where validator.go:546 fails it).
             val dv = v.cast(DoubleType)
-            val decArm = coalesce(
-              pmod(v.try_cast(Dec), lit(m.bigDecimal).try_cast(Dec)) ===
-                lit(java.math.BigDecimal.ZERO).cast(Dec),
-              pmod(dv, lit(m.toDouble)) === lit(0.0))
             when(pmod(dv, lit(1.0)) === lit(0.0) &&
                 abs(dv) < lit(9.007199254740992e15),
               pmod(dv, lit(m.toDouble)) === lit(0.0))
-              .otherwise(decArm)
-          case _ if fitsDec(m) =>
-            // decimal-exact; approximate double fallback past Decimal(38,12)
-            // range, matching the dynamic compiler
-            coalesce(
-              pmod(v.try_cast(Dec), lit(m.bigDecimal).try_cast(Dec)) ===
-                lit(java.math.BigDecimal.ZERO).cast(Dec),
-              pmod(v.cast(DoubleType), lit(m.toDouble)) === lit(0.0))
+              .otherwise(
+                ExactRatPredExpr.pred(v, ExactRatPredExpr.MultipleOf, m.bigDecimal))
+          case d: DecimalType
+              if d.scale <= 12 && d.precision - d.scale <= 26 && fitsDec(m) =>
+            // narrow-enough decimal column: the widening casts are exact
+            pmod(v.cast(Dec), lit(m.bigDecimal).cast(Dec)) === decZero
           case _ =>
-            // divisor not representable in Decimal(38,12): the cast would
-            // ROUND it (a sub-5e-13 divisor rounds to ZERO — ANSI
-            // DIVIDE_BY_ZERO on every row) — approximate double arm only
-            pmod(v.cast(DoubleType), lit(m.toDouble)) === lit(0.0)
+            // float/double with a fractional divisor, wide decimal columns,
+            // divisors outside Decimal(38,12) (a cast would round — a
+            // sub-5e-13 divisor rounds to ZERO, ANSI DIVIDE_BY_ZERO on
+            // every row), or huge integral columns: exact rational remainder
+            ExactRatPredExpr.pred(v, ExactRatPredExpr.MultipleOf, m.bigDecimal)
         }
         add(kw("multipleOf"), vac(v, core),
           concat(lstr("multipleOf: got "), v.cast(StringType), lstr(s", want multiple of $m")),

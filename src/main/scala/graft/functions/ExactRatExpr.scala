@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Arbitrary-precision rational numeric predicate — the engine's stand-in
+  * for the reference's `big.Rat` arithmetic (/root/reference/schema.go:78-82,
+  * validator.go:516-549, util.go:322-325).
+  *
+  * Every JSON number is a finite decimal, so both operands always have a
+  * power-of-10 denominator and exact `java.math.BigDecimal`
+  * remainder/compareTo is semantically identical to big.Rat: no rounding,
+  * no scale/precision ceiling (unlike the Decimal(38,12) fast arms this
+  * expression backstops).
+  *
+  * Conversion fidelity: the reference feeds values to big.Rat through Go's
+  * `fmt.Sprint(float64)` (validator.go:519), i.e. the SHORTEST decimal
+  * string that round-trips the IEEE value. `java.lang.Double.toString` /
+  * `Float.toString` produce exactly that shortest form, so float/double
+  * inputs here see the same rational the reference sees — NOT the full
+  * binary expansion. String inputs (the dynamic compiler's canonical JSON
+  * number text) parse digit-exactly, matching the reference's
+  * `json.Number` decode mode where the raw text feeds big.Rat.
+  *
+  * Codegen'd (no UDF boxing); used only on the fallback arms where the
+  * Decimal(38,12) pmod/compare fast paths would round, so the hot
+  * integral/low-scale paths keep their native plans.
+  */
+case class ExactRatPredExpr(child: Expression, op: Int, operand: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "exact_rat_pred"
+
+  @transient private lazy val m = new java.math.BigDecimal(operand)
+
+  private def convExpr(c: String): String = child.dataType match {
+    case StringType => s"graft.functions.ExactRatPredExpr.ofString($c)"
+    case DoubleType => s"graft.functions.ExactRatPredExpr.ofDouble($c)"
+    case FloatType  => s"graft.functions.ExactRatPredExpr.ofFloat($c)"
+    case _: DecimalType => s"$c.toJavaBigDecimal()"
+    case ByteType | ShortType | IntegerType | LongType =>
+      s"java.math.BigDecimal.valueOf((long)$c)"
+    case dt => throw new IllegalStateException(
+      s"exact_rat_pred: unsupported input type $dt")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bd: java.math.BigDecimal = child.dataType match {
+      case StringType => ExactRatPredExpr.ofString(input.asInstanceOf[UTF8String])
+      case DoubleType => ExactRatPredExpr.ofDouble(input.asInstanceOf[Double])
+      case FloatType  => ExactRatPredExpr.ofFloat(input.asInstanceOf[Float])
+      case _: DecimalType =>
+        input.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+      case ByteType    => java.math.BigDecimal.valueOf(input.asInstanceOf[Byte].toLong)
+      case ShortType   => java.math.BigDecimal.valueOf(input.asInstanceOf[Short].toLong)
+      case IntegerType => java.math.BigDecimal.valueOf(input.asInstanceOf[Int].toLong)
+      case LongType    => java.math.BigDecimal.valueOf(input.asInstanceOf[Long])
+      case dt => throw new IllegalStateException(
+        s"exact_rat_pred: unsupported input type $dt")
+    }
+    ExactRatPredExpr.test(bd, op, m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("exactRatOperand", m, "java.math.BigDecimal")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExactRatPredExpr.test(${convExpr(c)}, $op, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExactRatPredExpr =
+    copy(child = newChild)
+}
+
+object ExactRatPredExpr {
+  // op codes (kept tiny so the generated call site stays a single static
+  // invoke inside WholeStageCodegen)
+  final val MultipleOf = 0
+  final val Ge = 1
+  final val Le = 2
+  final val Gt = 3
+  final val Lt = 4
+  final val Eq = 5
+
+  /** NaN/Infinity are not JSON numbers and are never a multiple of / within
+    * bounds of anything — false, not null, so the verdict stays loud. */
+  def ofDouble(d: Double): java.math.BigDecimal =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
+    else new java.math.BigDecimal(java.lang.Double.toString(d))
+
+  def ofFloat(f: Float): java.math.BigDecimal =
+    if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) null
+    else new java.math.BigDecimal(java.lang.Float.toString(f))
+
+  def ofString(s: UTF8String): java.math.BigDecimal =
+    try new java.math.BigDecimal(s.toString)
+    catch { case _: NumberFormatException => null }
+
+  def test(v: java.math.BigDecimal, op: Int, m: java.math.BigDecimal): Boolean =
+    if (v == null) false
+    else op match {
+      case MultipleOf => v.remainder(m).signum() == 0
+      case Ge => v.compareTo(m) >= 0
+      case Le => v.compareTo(m) <= 0
+      case Gt => v.compareTo(m) > 0
+      case Lt => v.compareTo(m) < 0
+      case Eq => v.compareTo(m) == 0
+      case other => throw new IllegalArgumentException(s"op $other")
+    }
+
+  /** Column-level builder. `operand` keeps full precision via plain string. */
+  def pred(c: Column, op: Int, operand: java.math.BigDecimal): Column =
+    GraftColumnBridge.column(
+      ExactRatPredExpr(GraftColumnBridge.expression(c), op, operand.toPlainString))
+}

@@ -57,7 +57,7 @@ class ConformanceSpec extends SparkTestBase {
   private val caseFiles = Seq("bounds.json", "strings.json",
     "composition.json", "arrays_content.json", "dynamic.json",
     "dependent_unevaluated.json", "scalars_extra.json", "dynamic_objects.json",
-    "refs.json", "draft7_compat.json", "crossdoc.json")
+    "refs.json", "draft7_compat.json", "crossdoc.json", "exact_rationals.json")
 
   caseFiles.foreach { file =>
     val groups = resource(file)

@@ -243,9 +243,11 @@ class PropertySpec extends SparkTestBase {
       .orderBy("k").collect().map(_.toString)
     assert(a.sameElements(b))
   }
-  test("multipleOf double fast path == decimal(38,12) semantics (integer divisor)") {
-    // the guarded fmod fast arm must agree with the decimal-exact arm on
-    // every double: integral, fractional, scale-12-boundary, huge, negative
+  test("multipleOf fast arms == big.Rat shortest-repr semantics (integer divisor)") {
+    // the guarded fmod fast arm and the exact-rational arm must both agree
+    // with the reference's semantics — big.Rat over the double's SHORTEST
+    // decimal repr (fmt.Sprint, validator.go:519) — on every double:
+    // integral, fractional, scale-12-boundary, huge, negative
     val gen = Gen.oneOf(
       Gen.chooseNum(-1000000L, 1000000L).map(_.toDouble),            // integral
       Gen.chooseNum(-1000000L, 1000000L).map(_ + 0.5),               // fractional
@@ -260,13 +262,12 @@ class PropertySpec extends SparkTestBase {
     val got = graft.exec.Validator.flag(df, suite).select("x", "valid").collect()
       .map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
     vals.distinct.foreach { v =>
-      // reference semantics: shortest-repr decimal of the double, rounded to
-      // scale 12 HALF_UP (Spark's double->decimal cast), divisible by 5;
-      // out-of-decimal-range magnitudes take the double-fmod arm
-      val bd = BigDecimal.valueOf(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      // oracle: exact rational remainder of the shortest decimal repr —
+      // Double.toString IS Go's fmt.Sprint shortest form (so e.g. 1e30,
+      // whose IEEE expansion ends ...838656 and fmods to 1, is a CLEAN
+      // multiple of 5 as the rational 10^30 the reference sees)
       val expected =
-        if (bd.precision - bd.scale <= 26) (bd % 5).signum == 0
-        else (v % 5.0) == 0.0
+        (BigDecimal(java.lang.Double.toString(v)) % 5).signum == 0
       assert(got(v) == expected, s"value $v: got ${got(v)}, want $expected")
     }
   }
