@@ -237,7 +237,7 @@ object Bench {
     // schema COMPILES against ~5 rows. It gates correctness in Verify; in a
     // throughput battery it would only time the driver-side compiler, so it
     // is excluded here (pass SPARK_GRAFT_QUERY_FILTER=refsuite to time it).
-    val benchExcluded = Set("q_refsuite")
+    val benchExcluded = Set("q_refsuite", "q_exact_rationals")
     val queryStats = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         queryFilter.forall(_.exists(name.contains)) &&
@@ -314,7 +314,7 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_SKIP_SF1")) "null"
       else {
         val sf1Dir = synthSf1(spark, sfDir)
-        val sf1Excluded = Set("q_refsuite", "q_dedup_jaccard")
+        val sf1Excluded = Set("q_refsuite", "q_exact_rationals", "q_dedup_jaccard")
         val ts = SparkEntry.queries.toSeq.sortBy(_._1)
           .filterNot { case (n, _) => sf1Excluded(n) }
           .map { case (n, fn) =>
