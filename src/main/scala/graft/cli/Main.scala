@@ -37,6 +37,7 @@ object Main {
           |  --json-schema <file|url|->  --instance <file|-> [--instance ...]
           |  [--draft 4|6|7|2019|2020] [--map url_prefix=dir]... [--quiet]
           |  [--assert-format] [--assert-content] [--no-metaspec]
+          |  [--insecure] [--cacert pem-file]
           |  [--output simple|alt|flag|basic|detailed]
           |  An OFFICIAL meta-schema URL as --json-schema lints the
           |  instance files as JSON Schema documents.
@@ -61,6 +62,24 @@ object Main {
 
     try {
       AudioGen.registerFormats()
+      // --insecure / --cacert → loader-layer TLS options (jv -k / --cacert,
+      // /root/reference/cmd/jv/loader.go:17-35). A missing/unreadable PEM
+      // file is a usage-level error (exit 2), like the reference's
+      // newLoader failure path (main.go:136-140); the PEM content itself is
+      // not validated here (the reference's AppendCertsFromPEM is likewise
+      // silent on malformed input).
+      if (opts.contains("insecure") || opts.contains("cacert")) {
+        val pem = opt("cacert").map { f =>
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+          catch { case e: java.io.IOException =>
+            System.err.println(s"error: --cacert $f: ${e.getMessage}")
+            sys.exit(2)
+          }
+        }
+        Spec.setTlsOptions(Spec.TlsOptions(
+          insecureSkipVerify = opts.contains("insecure"), caCertPem = pem))
+      }
       // jv-parity mode: validate standalone JSON instances against a bare
       // JSON Schema document (the reference CLI's primary UX,
       // /root/reference/cmd/jv/main.go: `jv [OPTIONS] SCHEMA [INSTANCE...]`)
@@ -466,6 +485,8 @@ object Main {
         parseArgs(rest, acc + ("assert-format" -> "true"))
       case "--assert-content" :: rest => // value-less flag (jv -c)
         parseArgs(rest, acc + ("assert-content" -> "true"))
+      case "--insecure" :: rest => // value-less flag (jv -k)
+        parseArgs(rest, acc + ("insecure" -> "true"))
       case k :: v :: rest if k == "--instance" || k == "--map" =>
         // repeatable flags accumulate (jv takes INSTANCE... and -m ...)
         val key = k.stripPrefix("--")

@@ -534,6 +534,23 @@ object Spec {
   def registerLoader(scheme: String, load: String => JsonNode): Unit =
     synchronized { loaders = loaders + (scheme -> load) }
 
+  /** TLS client options for http(s) loaders — the reference jv's
+    * `--insecure` / `--cacert` pair threaded into its HTTPLoader transport
+    * (/root/reference/cmd/jv/loader.go:17-35). The BUILT-IN http(s)
+    * loaders serve only bundled official metaschemas (zero egress) and
+    * never open a TLS connection, so these are inert for them; a custom
+    * loader registered via [[registerLoader]] should consult
+    * [[tlsOptions]] to configure its client, exactly as the reference's
+    * loader does. `caCertPem` holds the already-read PEM text (may contain
+    * multiple CA certificates); when set it takes precedence over
+    * `insecureSkipVerify`, mirroring the reference's if/else-if.
+    */
+  final case class TlsOptions(insecureSkipVerify: Boolean = false,
+                              caCertPem: Option[String] = None)
+  @volatile private var tls: TlsOptions = TlsOptions()
+  def setTlsOptions(o: TlsOptions): Unit = tls = o
+  def tlsOptions: TlsOptions = tls
+
   def knownSchemes: Set[String] = loaders.keySet
 
   /** Load a spec document from a scheme URL via the loader registry. */

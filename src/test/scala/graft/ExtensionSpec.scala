@@ -203,4 +203,14 @@ class ExtensionSpec extends SparkTestBase {
     assert(SpecShape.violations(m.readTree("""[{"x":1,"y":2}, {"y":2,"x":1}]"""), uniq).nonEmpty)
     assert(SpecShape.violations(m.readTree("""[1, 2]"""), uniq).isEmpty)
   }
+
+  test("TLS loader options round-trip for custom-loader authors (jv -k/--cacert)") {
+    val before = graft.spec.Spec.tlsOptions
+    try {
+      graft.spec.Spec.setTlsOptions(graft.spec.Spec.TlsOptions(
+        insecureSkipVerify = true, caCertPem = Some("PEM")))
+      val o = graft.spec.Spec.tlsOptions
+      assert(o.insecureSkipVerify && o.caCertPem.contains("PEM"))
+    } finally graft.spec.Spec.setTlsOptions(before)
+  }
 }
