@@ -83,20 +83,32 @@ object SuiteRunner {
     */
   def run(spark: SparkSession, suiteRoot: String): DataFrame = {
     Queries5.registerRemotes()
+    // repoint http://localhost:1234/ remotes at THIS suite's remotes/ dir
+    // only for the duration of the run (verdict frames materialize inside
+    // report/collect-style callers; the restore keeps later compiles in
+    // this JVM — q_refsuite, conformance groups — on their own remotes)
+    val prevRoot = Queries5.remotesRoot
     Queries5.remotesRoot = suiteRoot
-    val parts = groups(suiteRoot).map {
-      case (rel, gi, _, schemaJson, optional, draftUrl, tests) =>
-        // optional/ dirs assert format+content (suite_test.go:52-55);
-        // everything else runs the draft's own assertion defaults
-        Queries5.verdictFrameWith(spark, schemaJson, tests.map(_._1),
-            jvAssert = Some((optional, optional)),
-            defaultDraftUrl = Some(draftUrl))
-          .select(lit(rel).as("file"), lit(gi).as("grp"), col("idx"),
-            col("valid"))
-          .withColumn("want",
-            lit(tests.map(_._2).toArray)(col("idx")))
-    }
-    parts.reduce(_ unionAll _).orderBy("file", "grp", "idx")
+    try {
+      val parts = groups(suiteRoot).map {
+        case (rel, gi, _, schemaJson, optional, draftUrl, tests) =>
+          // optional/ dirs assert format+content (suite_test.go:52-55);
+          // everything else runs the draft's own assertion defaults
+          Queries5.verdictFrameWith(spark, schemaJson, tests.map(_._1),
+              jvAssert = Some((optional, optional)),
+              defaultDraftUrl = Some(draftUrl))
+            .select(lit(rel).as("file"), lit(gi).as("grp"), col("idx"),
+              col("valid"))
+            .withColumn("want",
+              lit(tests.map(_._2).toArray)(col("idx")))
+      }
+      if (parts.isEmpty)
+        throw graft.spec.SpecError(suiteRoot,
+          s"no suite test files found under $suiteRoot/tests — is the " +
+            "suite checkout present? (the official JSON-Schema-Test-Suite " +
+            "is an empty submodule in the reference checkout)")
+      parts.reduce(_ unionAll _).orderBy("file", "grp", "idx")
+    } finally Queries5.remotesRoot = prevRoot
   }
 
   /** Driver-side summary: (passed, total, mismatching case keys). */

@@ -246,22 +246,14 @@ object DynamicJson {
       ErrorKind.MaxItems(n)))
     if (node.uniqueItems) {
       // canonical-JSON dedup = deep equality incl. sorted object keys;
-      // NUMBERS canonicalize through decimal so 2 and 2.0 are the same
-      // element (the reference's numeric equality, exercised by
-      // Extra-Test-Suite uniqueItems.json "zero fraction"). The decimal
-      // rendering alone rounds at 12 fractional digits, which would merge
-      // distinct numbers like 1.0000000000001 vs 1.0000000000002 — so the
-      // key is decimal|double: equal numbers agree on both renderings,
-      // sub-1e-12 differences split on the double arm, and anything the
-      // decimal range can't hold falls back to the raw canonical text.
+      // NUMBERS canonicalize through the exact-rational rendering so 2 and
+      // 2.0 are the same element (the reference's numeric equality,
+      // Extra-Test-Suite uniqueItems.json "zero fraction") while
+      // digit-distinct numbers at ANY scale stay distinct — no Decimal or
+      // double rounding at any magnitude (util.go:322-325 semantics)
       val canonArr = transform(arr, e =>
         when(jsonTypeOf(e) === lit("number"),
-          coalesce(
-            concat(asDec(e).cast(org.apache.spark.sql.types.StringType),
-              lit("|"),
-              try_variant_get(e, "$", "double")
-                .cast(org.apache.spark.sql.types.StringType)),
-            canon(e)))
+          graft.functions.ExactRatCanonExpr.canon(canon(e)))
           .otherwise(canon(e)))
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
         lit("uniqueItems: duplicate items found"),

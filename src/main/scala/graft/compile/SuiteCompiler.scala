@@ -136,8 +136,14 @@ object SuiteCompiler {
       if (unroll <= CompileLimits.maxRefUnroll) base
       else CompileLimits.withUnroll(unroll)(compile(spec, df.schema))
     } catch {
-      case e: org.apache.spark.sql.AnalysisException =>
+      case _: org.apache.spark.sql.AnalysisException =>
         base // unresolvable depth source: keep the typed DepthExceeded cut
+      case _: graft.spec.SpecError =>
+        // the corpus-sized recompile blew the compile-node budget (branchy
+        // recursive schemas grow ~K^depth): keep the base suite — deep rows
+        // fail LOUDLY with typed DepthExceeded instead of crashing the job
+        // (same fallback the CLI takes)
+        base
     }
   }
 }

@@ -118,3 +118,44 @@ object ExactRatPredExpr {
     GraftColumnBridge.column(
       ExactRatPredExpr(GraftColumnBridge.expression(c), op, operand.toPlainString))
 }
+
+/** Canonical exact-rational rendering of a JSON number text — the engine's
+  * big.Rat-equality GROUPING KEY (the predicate form above answers yes/no
+  * against one constant; this one makes equal-rational texts collapse to
+  * one string for distinct/group operations like uniqueItems).
+  *
+  * BigDecimal parse → stripTrailingZeros → toString: injective over
+  * rationals (the normalized (unscaledValue, scale) pair is unique and
+  * toString round-trips it), so "2", "2.0", "2e0", "0.2e1" all render "2"
+  * while digit-distinct numbers at ANY scale — 1.0000000000000001 vs
+  * 1.00000000000000011 — stay distinct, exactly the reference's numeric
+  * equality (/root/reference/util.go:322-325). Unparseable text passes
+  * through unchanged (callers feed canonical JSON number text, so this arm
+  * never fires in practice; total-ness keeps codegen null handling simple).
+  */
+case class ExactRatCanonExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "exact_rat_canon"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExactRatCanonExpr.canonNum(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExactRatCanonExpr.canonNum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExactRatCanonExpr =
+    copy(child = newChild)
+}
+
+object ExactRatCanonExpr {
+  def canonNum(s: UTF8String): UTF8String =
+    try UTF8String.fromString(
+      new java.math.BigDecimal(s.toString).stripTrailingZeros().toString)
+    catch { case _: NumberFormatException => s }
+
+  def canon(c: Column): Column =
+    GraftColumnBridge.column(ExactRatCanonExpr(GraftColumnBridge.expression(c)))
+}

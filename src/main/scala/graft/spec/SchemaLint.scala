@@ -37,6 +37,28 @@ object SchemaLint {
 
   private val mapper = new ObjectMapper()
 
+  // the one live node-frame cache for mixed-dialect catalog lints: the
+  // returned frames are lazy so the blocks must outlive the call, but a
+  // long-lived session linting catalog after catalog must not accumulate
+  // them — each new lint releases the previous cache (recompute-correct:
+  // unpersist only drops caching, never data)
+  @volatile private var lastPersisted: Option[DataFrame] = None
+
+  private def persistTracked(df: DataFrame): DataFrame = synchronized {
+    lastPersisted.foreach(_.unpersist(blocking = false))
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastPersisted = Some(p)
+    p
+  }
+
+  /** Free the node-frame cache held for the most recent catalog lint (the
+    * caller is done with its result frames).
+    */
+  def releaseCache(): Unit = synchronized {
+    lastPersisted.foreach(_.unpersist(blocking = false))
+    lastPersisted = None
+  }
+
   /** Official ROOT meta-schema URL → draft version (http/https, optional
     * trailing '#'; bare `/schema` = latest, loader.go:86-88). Single source
     * of truth: [[Dialect.fromUrl]]'s recognition table.
@@ -671,12 +693,13 @@ object SchemaLint {
     // blocks instead of re-running the parse+walk UDF once per draft
     // (PlanShapeSpec pins the invocation count; graft.LintBench measures
     // the before/after — SPARK_GRAFT_LINT_NO_CACHE restores the re-walk
-    // behavior as an ops valve for memory-starved runs). Cache lifecycle
-    // follows the module convention: blocks live until
-    // spark.catalog.clearCache() or session end.
+    // behavior as an ops valve for memory-starved runs). Cache lifecycle:
+    // the returned frame is lazy, so the blocks must outlive this call —
+    // each NEW catalog lint releases the previous call's cache (at most one
+    // node frame resident per process), and releaseCache() frees the last.
     val exploded =
       if (versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE"))
-        exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistTracked(exploded0)
       else exploded0
     val main = perVersion(exploded, Seq(idCol, "path"), versions)
     if (customs.valuesIterator.contains(badMetaCode))
@@ -724,10 +747,10 @@ object SchemaLint {
     val versions = (if (perResourceDialects) allVersions
                     else Vector(version)) ++
       customs.values.filter(_ >= CUSTOM_BASE).toVector.distinct
-    // one walk per document — see violationsForCatalog
+    // one walk per document — see violationsForCatalog (incl. lifecycle)
     val exploded =
       if (versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE"))
-        exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistTracked(exploded0)
       else exploded0
     val branches = versions.map { ver =>
       Validator.annotate(exploded.filter(col("v") === ver),

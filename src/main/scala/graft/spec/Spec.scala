@@ -424,16 +424,19 @@ object Spec {
     val baseNoFrag = { val i = base.indexOf('#'); if (i >= 0) base.substring(0, i) else base }
     if (relPath.isEmpty) return Some(baseNoFrag + frag)
     // Split the base into root (scheme + authority, untouchable) and path.
-    val schemeSep = baseNoFrag.indexOf("://")
+    // The authority form is recognized only when "://" immediately follows
+    // the scheme — an "://" deeper in the string (e.g. a URL embedded in an
+    // inline+json: document payload) must not make an opaque base look
+    // hierarchical.
+    val schemeEnd = baseNoFrag.indexOf(':')
+    if (schemeEnd < 0) return None
+    val schemeSep =
+      if (baseNoFrag.startsWith("://", schemeEnd)) schemeEnd else -1
     val rootEnd =
       if (schemeSep >= 0) {
         val j = baseNoFrag.indexOf('/', schemeSep + 3)
         if (j < 0) baseNoFrag.length else j
-      } else {
-        val c = baseNoFrag.indexOf(':')
-        if (c < 0) return None
-        c + 1
-      }
+      } else schemeEnd + 1
     val root = baseNoFrag.substring(0, rootEnd)
     val basePath = baseNoFrag.substring(rootEnd)
     if (relPath.startsWith("/")) // path-absolute: replace the whole path

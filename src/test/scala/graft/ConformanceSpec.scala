@@ -167,6 +167,34 @@ class ConformanceSpec extends SparkTestBase {
     } finally graft.compile.CompileLimits.maxAdaptiveUnroll = prev
   }
 
+  test("depth-adaptive unroll: branchy recursion blowing the node budget falls back to the base suite") {
+    // 3 recursive positions → the corpus-sized recompile expands ~3^depth
+    // nodes; depth 12 blows maxCompileNodes (20000) with a SpecError that
+    // compileAdaptive must CATCH, returning the base suite — deep rows then
+    // fail loudly with the typed depth cut instead of the job crashing
+    def deep(depth: Int): String =
+      ("""{"a":""" * (depth - 1)) + """{"v":1}""" + ("}" * (depth - 1))
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", StringType)))
+    val df = spark.createDataFrame(
+      Seq(Row(1, deep(2)), Row(2, deep(12))).asJava, schema)
+    val spec = Spec.fromJson(
+      """{"$defs": {"n": {"type": "object",
+           "properties": {"a": {"$ref": "#/$defs/n"},
+                          "b": {"$ref": "#/$defs/n"},
+                          "c": {"$ref": "#/$defs/n"},
+                          "v": {"minimum": 0}}}},
+         "columns": {"j": {"json": {"$ref": "#/$defs/n"}}}}""")
+    val suite = SuiteCompiler.compileAdaptive(spec, df) // must not throw
+    val out = Validator.annotate(df, suite).orderBy("i")
+      .select(col("valid"), col("violations.detail")).collect()
+    assert(out(0).getBoolean(0)) // depth 2: within the base unroll
+    assert(!out(1).getBoolean(0)) // depth 12: loud typed cut, never silent
+    assert(out(1).getSeq[String](1).exists(_.contains("deep")),
+      out(1).getSeq[String](1).toString)
+  }
+
   test("json_max_depth: escape-aware structural depth") {
     import graft.functions.JsonDepthExpr.maxDepth
     assert(maxDepth("""{"v":1}""") == 1)

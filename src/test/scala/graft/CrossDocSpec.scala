@@ -345,6 +345,12 @@ class CrossDocSpec extends SparkTestBase {
     assert(Spec.tryResolveUrl("urn:graft:x", "y.json").isEmpty)
     // absolute references pass through untouched (None = caller keeps rel)
     assert(Spec.tryResolveUrl("https://example.com/s.json", "https://a.com/x").isEmpty)
+    // an inline+json base stays OPAQUE even when the embedded document
+    // contains a "://" (e.g. a $schema URL) — '://' only marks an authority
+    // when it immediately follows the scheme
+    assert(Spec.tryResolveUrl(
+      """inline+json:{"$schema": "https://json-schema.org/draft/2020-12/schema", "x": 1}""",
+      "other.json").isEmpty)
   }
 
   test("relative $ref at a depth-1 base resolves host-preserving across documents") {

@@ -29,4 +29,18 @@ class OfficialSuiteSpec extends SparkTestBase {
     assert(gs.size == Queries5.suiteGroups.size)
     assert(gs.map(_._7.size).sum == Queries5.suiteGroups.map(_._5.size).sum)
   }
+
+  test("empty/missing suite root is a clear typed error, remotes root restored") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_suite")
+    java.nio.file.Files.createDirectory(empty.resolve("tests"))
+    val before = Queries5.remotesRoot
+    val e = intercept[graft.spec.SpecError] {
+      SuiteRunner.run(spark, empty.toString)
+    }
+    assert(e.getMessage.contains("no suite test files"))
+    // the localhost:1234 remotes mapping must NOT stay pointed at this
+    // suite after the run (success or failure) — later compiles in the
+    // same JVM (q_refsuite, conformance remotes) use the default root
+    assert(Queries5.remotesRoot == before)
+  }
 }
