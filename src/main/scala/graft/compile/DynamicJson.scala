@@ -250,11 +250,18 @@ object DynamicJson {
       // 2.0 are the same element (the reference's numeric equality,
       // Extra-Test-Suite uniqueItems.json "zero fraction") while
       // digit-distinct numbers at ANY scale stay distinct — no Decimal or
-      // double rounding at any magnitude (util.go:322-325 semantics)
-      val canonArr = transform(arr, e =>
-        when(jsonTypeOf(e) === lit("number"),
+      // double rounding at any magnitude (util.go:322-325 semantics).
+      // Containers take the DEEP canonicalizer (numbers normalized at any
+      // nesting level, keys sorted: {"a":1.0} duplicates {"a":1}); other
+      // scalars keep the raw canonical text.
+      val canonArr = transform(arr, e => {
+        val et = jsonTypeOf(e)
+        when(et === lit("number"),
           graft.functions.ExactRatCanonExpr.canon(canon(e)))
-          .otherwise(canon(e)))
+          .when(et === lit("array") || et === lit("object"),
+            graft.functions.JsonNumCanonExpr.canon(canon(e)))
+          .otherwise(canon(e))
+      })
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
         lit("uniqueItems: duplicate items found"),
         ErrorKind.UniqueItemsK)

@@ -265,14 +265,26 @@ object RowCompiler {
     if (node.isNull) return v.isNull
     dt match {
       case _ if node.isNumber && isNumeric(dt) =>
-        // try_cast: ANSI mode would otherwise THROW past Decimal(38,12);
-        // double fallback keeps cross-type equality working out of range;
-        // constants not exactly representable in Decimal(38,12) take the
-        // double arm directly (the cast would ROUND them)
-        val dblEq = v.cast(DoubleType) === lit(node.decimalValue().doubleValue())
-        if (fitsDec(BigDecimal(node.decimalValue())))
-          coalesce(v.try_cast(Dec) === lit(node.decimalValue()).try_cast(Dec), dblEq)
-        else dblEq
+        // exact rational equality (util.go:322-325) with provably-exact
+        // native fast arms, mirroring boundCmp: an integral column only
+        // ever equals a long-valued constant; a double column compares
+        // natively when the constant is EXACTLY a double (shortest-repr
+        // injectivity: doubles equal ⟺ rationals equal); everything else
+        // — >12-digit values that a Decimal(38,12) cast would round onto
+        // the constant, floats, wide decimals — takes the exact arm
+        val bd = BigDecimal(node.decimalValue())
+        dt match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            if (bd.isValidLong) v === lit(bd.toLong)
+            else lit(false) // fractional or out-of-long-range: never equal
+          case DoubleType if bd.isExactDouble => v === lit(bd.toDouble)
+          case d: DecimalType if decExact(bd, d) =>
+            v === lit(bd.bigDecimal).cast(d)
+          case _ =>
+            coalesce(
+              ExactRatPredExpr.pred(v, ExactRatPredExpr.Eq, bd.bigDecimal),
+              lit(false))
+        }
       case StringType if node.isTextual  => v === lit(node.asText())
       case BooleanType if node.isBoolean => v === lit(node.asBoolean())
       case at2: ArrayType if node.isArray =>

@@ -159,3 +159,81 @@ object ExactRatCanonExpr {
   def canon(c: Column): Column =
     GraftColumnBridge.column(ExactRatCanonExpr(GraftColumnBridge.expression(c)))
 }
+
+/** Deep canonical JSON for uniqueItems grouping of CONTAINER elements:
+  * every number at ANY depth rewritten to its exact-rational canonical
+  * rendering (see [[ExactRatCanonExpr]]), object keys sorted, strings
+  * re-escaped deterministically — so `{"a": 1.0}` and `{"a": 1}` collapse
+  * to one key (the reference's deep numeric equality,
+  * /root/reference/util.go:286-329) while digit-distinct nested numbers
+  * stay distinct. Unparseable text passes through unchanged. Scalar
+  * elements take the cheaper [[ExactRatCanonExpr]]/raw-text arms — this
+  * expression is only on the array/object branch.
+  */
+case class JsonNumCanonExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "json_num_canon"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonNumCanonExpr.canonJson(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JsonNumCanonExpr.canonJson($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): JsonNumCanonExpr =
+    copy(child = newChild)
+}
+
+object JsonNumCanonExpr {
+  // USE_BIG_DECIMAL_FOR_FLOATS: fractional numbers parse digit-exact (a
+  // DoubleNode would round >17-significant-digit inputs before we ever see
+  // them); ObjectMapper is thread-safe for configured reads
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS,
+      true)
+    m
+  }
+
+  def canonJson(s: UTF8String): UTF8String =
+    try {
+      val sb = new java.lang.StringBuilder(s.numChars() + 8)
+      write(mapper.readTree(s.toString), sb)
+      UTF8String.fromString(sb.toString)
+    } catch { case _: Exception => s }
+
+  private def write(n: com.fasterxml.jackson.databind.JsonNode,
+                    sb: java.lang.StringBuilder): Unit =
+    if (n.isNumber)
+      sb.append(n.decimalValue().stripTrailingZeros().toString)
+    else if (n.isTextual)
+      sb.append(mapper.writeValueAsString(n.asText()))
+    else if (n.isBoolean) sb.append(n.asBoolean())
+    else if (n.isNull) sb.append("null")
+    else if (n.isArray) {
+      sb.append('[')
+      var first = true
+      n.forEach { e => if (!first) sb.append(','); first = false; write(e, sb) }
+      sb.append(']')
+    } else { // object: sorted keys for rendering-independent equality
+      sb.append('{')
+      val keys = new java.util.ArrayList[String]()
+      n.fieldNames().forEachRemaining(k => { keys.add(k); () })
+      java.util.Collections.sort(keys)
+      var first = true
+      keys.forEach { k =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(mapper.writeValueAsString(k)).append(':')
+        write(n.get(k), sb)
+      }
+      sb.append('}')
+    }
+
+  def canon(c: Column): Column =
+    GraftColumnBridge.column(JsonNumCanonExpr(GraftColumnBridge.expression(c)))
+}
