@@ -267,17 +267,19 @@ object RowCompiler {
       case _ if node.isNumber && isNumeric(dt) =>
         // exact rational equality (util.go:322-325) with provably-exact
         // native fast arms, mirroring boundCmp: an integral column only
-        // ever equals a long-valued constant; a double column compares
-        // natively when the constant is EXACTLY a double (shortest-repr
-        // injectivity: doubles equal ⟺ rationals equal); everything else
-        // — >12-digit values that a Decimal(38,12) cast would round onto
-        // the constant, floats, wide decimals — takes the exact arm
+        // ever equals a long-valued constant; a float/double column
+        // compares natively when the constant ROUND-TRIPS through that
+        // width's shortest decimal repr (r is injective, so r(x) == B ==
+        // r(double(B)) ⟺ x == double(B)); everything else — full-expansion
+        // constants, values a Decimal(38,12) cast would round onto the
+        // constant, wide decimals — takes the exact arm
         val bd = BigDecimal(node.decimalValue())
         dt match {
           case ByteType | ShortType | IntegerType | LongType =>
             if (bd.isValidLong) v === lit(bd.toLong)
             else lit(false) // fractional or out-of-long-range: never equal
-          case DoubleType if bd.isExactDouble => v === lit(bd.toDouble)
+          case DoubleType if roundTripsDouble(bd) => v === lit(bd.toDouble)
+          case FloatType if roundTripsFloat(bd) => v === lit(bd.toFloat)
           case d: DecimalType if decExact(bd, d) =>
             v === lit(bd.bigDecimal).cast(d)
           case _ =>
@@ -331,11 +333,24 @@ object RowCompiler {
       native: (Column, Column) => Column): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType if bd.isValidLong =>
       native(v, lit(bd.toLong))
-    case FloatType | DoubleType if bd.isExactDouble =>
-      // exact-double bound: the IEEE compare agrees with big.Rat — shortest
-      // decimal repr is order-preserving against an exactly-representable
-      // bound (reference feeds fmt.Sprint(float64), validator.go:519)
+    case DoubleType if roundTripsDouble(bd) =>
+      // round-tripping bound: the IEEE compare agrees with big.Rat. Both
+      // engine (ExactRatPredExpr.ofDouble) and reference (fmt.Sprint,
+      // validator.go:519) convert instances via the SHORTEST decimal repr
+      // r(·), which is strictly monotone over doubles (each repr lies
+      // uniquely inside its double's rounding interval), so when the bound
+      // B satisfies r(double(B)) == B, double(B) is the exact pivot:
+      // r(x) op B  ⟺  x op double(B) for op ∈ {<,≤,=,≥,>}. Strictly wider
+      // than isExactDouble (dyadic only) — covers 0.08, 1e-3, every bound a
+      // schema author writes — keeping the hot path native/codegen'd.
       native(v, lit(bd.toDouble))
+    case FloatType if roundTripsFloat(bd) =>
+      // same argument at float precision (ofFloat uses Float.toString):
+      // bounds that round-trip through DOUBLE but not float — e.g. the full
+      // printed expansion of a double near 0.1 — must NOT take this arm
+      // (the float shortest repr can sit on the other side of such a bound
+      // than the promoted IEEE value), so the gate is the float round trip
+      native(v, lit(bd.toFloat))
     case d: DecimalType if decExact(bd, d) =>
       native(v, lit(bd.bigDecimal).cast(d))
     case ByteType | ShortType | IntegerType | LongType if fitsDec(bd) =>
@@ -348,6 +363,26 @@ object RowCompiler {
       // decimal column whose type can't hold the bound, or a bound outside
       // Decimal(38,12): big.Rat-exact compare (validator.go:522-543)
       ExactRatPredExpr.pred(v, op, bd.bigDecimal)
+  }
+
+  /** Does `bd`'s exact rational value survive a value→nearest-double→
+    * shortest-repr round trip? When true, native IEEE comparison against
+    * `bd.toDouble` is exactly big.Rat-equivalent (see boundCmp). NaN never
+    * reaches here (schema bounds parse from JSON numbers); ±Inf overflow of
+    * huge bounds fails the text compare and falls to the exact arm.
+    */
+  private def roundTripsDouble(bd: BigDecimal): Boolean = {
+    val d = bd.toDouble
+    !java.lang.Double.isInfinite(d) &&
+      new java.math.BigDecimal(java.lang.Double.toString(d))
+        .compareTo(bd.bigDecimal) == 0
+  }
+
+  private def roundTripsFloat(bd: BigDecimal): Boolean = {
+    val f = bd.toFloat
+    !java.lang.Float.isInfinite(f) &&
+      new java.math.BigDecimal(java.lang.Float.toString(f))
+        .compareTo(bd.bigDecimal) == 0
   }
 
   /** Is `bd` exactly representable in DecimalType `d` (no rounding, no

@@ -271,4 +271,45 @@ class PropertySpec extends SparkTestBase {
       assert(got(v) == expected, s"value $v: got ${got(v)}, want $expected")
     }
   }
+
+  test("bound fast arms == big.Rat shortest-repr semantics (round-trip gate)") {
+    // three bound classes: dyadic (0.25, old isExactDouble arm), decimal
+    // round-trip but NOT dyadic (0.08 — the common human bound, must stay
+    // native), and a full-IEEE-expansion bound that does NOT round-trip
+    // (must take the exact arm: no double's shortest repr ever sits between
+    // it and its neighbours' reprs the way the naive promote would assume)
+    val bounds = Seq("0.25", "0.08", "0.1000000000000000055511151231257827")
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-100L, 100L).map(_ * 0.01),
+      Gen.chooseNum(-100L, 100L).map(_ * 0.08),
+      Gen.const(0.08), Gen.const(0.1), Gen.const(0.25),
+      Gen.const(java.lang.Math.nextUp(0.08)),
+      Gen.const(java.lang.Math.nextDown(0.08)),
+      Gen.const(java.lang.Math.nextUp(0.1)), Gen.const(0.0))
+    val vals = Gen.listOfN(600, gen)
+      .apply(Gen.Parameters.default, Seed(7L)).get.distinct
+    val df = vals.toDF("x")
+    bounds.foreach { b =>
+      val suite = SuiteCompiler.compile(
+        Spec.fromJson(s"""{"columns":{"x":{"maximum":$b,"minimum":-$b}}}"""),
+        df.schema)
+      val got = graft.exec.Validator.flag(df, suite).select("x", "valid")
+        .collect().map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
+      val bRat = BigDecimal(b)
+      vals.foreach { v =>
+        val r = BigDecimal(java.lang.Double.toString(v)) // shortest repr
+        val expected = r <= bRat && r >= -bRat
+        assert(got(v) == expected,
+          s"bound $b value $v (repr $r): got ${got(v)}, want $expected")
+      }
+    }
+    // plan shape: the round-tripping 0.08 bound must stay NATIVE (no
+    // exact_rat_pred in the plan) — this is the sf1 hot-path guarantee
+    val fastSuite = SuiteCompiler.compile(
+      Spec.fromJson("""{"columns":{"x":{"maximum":0.08}}}"""), df.schema)
+    val plan = graft.exec.Validator.flag(df, fastSuite)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("exact_rat_pred"),
+      "0.08 bound fell off the native fast arm:\n" + plan.take(2000))
+  }
 }
