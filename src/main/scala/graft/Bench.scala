@@ -335,7 +335,7 @@ object Bench {
         val re = """"(q_[a-z0-9_]+)":(-?\d+\.\d+)""".r
         re.findAllMatchIn(sf1Json).collect {
           case m if queryTimes.toMap.get(m.group(1))
-            .exists(t0 => m.group(2).toDouble > 10.0 * t0 &&
+            .exists(t0 => t0 > 0 && m.group(2).toDouble > 10.0 * t0 &&
               m.group(2).toDouble > 1.0) =>
             "\"" + m.group(1) + "\""
         }.mkString("[", ",", "]")

@@ -1,6 +1,6 @@
 package graft
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.JsonNode
 import graft.compile.SuiteCompiler
 import graft.exec.Validator
 import graft.spec.Spec
@@ -23,7 +23,8 @@ import scala.jdk.CollectionConverters._
   */
 object Queries7 {
 
-  private val mapper = new ObjectMapper()
+  // digit-exact: corpus specs carry >17-significant-digit constants
+  private val mapper = graft.spec.Spec.jsonMapper
 
   private def corpus: JsonNode =
     mapper.readTree(getClass.getResourceAsStream(
@@ -34,6 +35,7 @@ object Queries7 {
     case "long"   => LongType
     case "double" => DoubleType
     case "string" => StringType
+    case "array_double" => ArrayType(DoubleType)
     case other => throw new IllegalArgumentException(
       s"exact_rationals corpus: unsupported column type '$other'")
   }
@@ -45,6 +47,7 @@ object Queries7 {
       case LongType    => n.asLong()
       case DoubleType  => n.asDouble()
       case StringType  => n.asText()
+      case ArrayType(et, _) => n.asScala.map(valueOf(_, et)).toSeq
       case _ => throw new IllegalArgumentException(s"unsupported $dt")
     }
 

@@ -1,6 +1,5 @@
 package graft
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,7 +28,8 @@ import scala.jdk.CollectionConverters._
   */
 object SuiteRunner {
 
-  private val mapper = new ObjectMapper()
+  // schemas inside suite files must keep their digits (loader.go:255-266)
+  private val mapper = graft.spec.Spec.jsonMapper
 
   /** The reference's skip list, by file name (suite_test.go:16-20). */
   val skips: Set[String] = Set("ecmascript-regex.json",

@@ -155,11 +155,18 @@ object DynamicJson {
       else if (jn.isTextual) (t === "string") && (vStr === lit(jn.asText()))
       else if (jn.isBoolean) (t === "boolean") && (asBool(v) === lit(jn.asBoolean()))
       else if (jn.isNull) t === "null"
-      else
-        // arrays/objects: canonicalize BOTH sides through the same variant
-        // engine (sorted keys, minimal number rendering) — comparing against
-        // Jackson's raw text would never match
-        canon(v) === to_json(try_parse_json(lit(jn.toString)))
+      else {
+        // arrays/objects: deep canonical JSON on BOTH sides — nested
+        // numbers rewritten to their exact-rational rendering and object
+        // keys sorted through the SAME Jackson writer, so {"a":1.0} equals
+        // const {"a":1} (the reference's deep numeric equality,
+        // util.go:286-329) while digit-distinct nested numbers stay
+        // distinct. The constant side canonicalizes once at COMPILE time.
+        val constCanon = graft.functions.JsonNumCanonExpr.canonJson(
+          org.apache.spark.unsafe.types.UTF8String.fromString(jn.toString)
+        ).toString
+        graft.functions.JsonNumCanonExpr.canon(canon(v)) === lit(constCanon)
+      }
 
     node.const.foreach { c =>
       add(kw("const"), vac(v, constEqDyn(c)),
@@ -251,17 +258,14 @@ object DynamicJson {
       // Extra-Test-Suite uniqueItems.json "zero fraction") while
       // digit-distinct numbers at ANY scale stay distinct — no Decimal or
       // double rounding at any magnitude (util.go:322-325 semantics).
-      // Containers take the DEEP canonicalizer (numbers normalized at any
-      // nesting level, keys sorted: {"a":1.0} duplicates {"a":1}); other
-      // scalars keep the raw canonical text.
-      val canonArr = transform(arr, e => {
-        val et = jsonTypeOf(e)
-        when(et === lit("number"),
-          graft.functions.ExactRatCanonExpr.canon(canon(e)))
-          .when(et === lit("array") || et === lit("object"),
-            graft.functions.JsonNumCanonExpr.canon(canon(e)))
-          .otherwise(canon(e))
-      })
+      // EVERY element takes the deep canonicalizer (numbers normalized at
+      // any nesting level, keys sorted, strings re-escaped through one
+      // writer: {"a":1.0} duplicates {"a":1}, 2.0 duplicates 2, "2" stays
+      // distinct from 2) — one Jackson pass per element, no per-branch
+      // schema_of_variant type dispatch (jsonTypeOf costs up to 5 variant
+      // traversals per call and HOF lambdas get no codegen CSE).
+      val canonArr = transform(arr,
+        e => graft.functions.JsonNumCanonExpr.canon(canon(e)))
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
         lit("uniqueItems: duplicate items found"),
         ErrorKind.UniqueItemsK)

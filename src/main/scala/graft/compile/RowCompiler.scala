@@ -290,8 +290,15 @@ object RowCompiler {
       case StringType if node.isTextual  => v === lit(node.asText())
       case BooleanType if node.isBoolean => v === lit(node.asBoolean())
       case at2: ArrayType if node.isArray =>
-        val elems = node.asScala.toSeq.map(e => constLit(e, at2.elementType, at))
-        v === array(elems: _*).cast(at2)
+        // element-wise recursion (NOT a literal-array cast, whose
+        // lit(decimalValue).cast(double) would ROUND a full-expansion
+        // constant onto the instance value): each element gets the same
+        // exact-rational fast/exact arms as a scalar const
+        val elems = node.asScala.toSeq
+        val eqs = elems.zipWithIndex.map { case (e, i) =>
+          constEq(element_at(v, i + 1), at2.elementType, e, at)
+        }
+        (Seq(size(v) === elems.size: Column) ++ eqs).reduce(_ && _)
       case DateType | TimestampType | TimestampNTZType if node.isTextual =>
         v.cast(StringType) === lit(node.asText())
       case st: StructType if node.isObject =>
@@ -317,13 +324,6 @@ object RowCompiler {
       case _ => lit(false) // type can never match the constant
     }
   }
-
-  private def constLit(node: JsonNode, dt: DataType, at: String): Column =
-    if (node.isNumber) lit(node.decimalValue()).cast(dt)
-    else if (node.isTextual) lit(node.asText()).cast(dt)
-    else if (node.isBoolean) lit(node.asBoolean()).cast(dt)
-    else if (node.isNull) lit(null).cast(dt)
-    else throw SpecError(at, s"unsupported constant element: $node")
 
   /** Pushdown-friendly numeric literal: native type when exact, decimal
     * compare otherwise (keeps parquet predicate pushdown for the common

@@ -166,9 +166,10 @@ object ExactRatCanonExpr {
   * re-escaped deterministically — so `{"a": 1.0}` and `{"a": 1}` collapse
   * to one key (the reference's deep numeric equality,
   * /root/reference/util.go:286-329) while digit-distinct nested numbers
-  * stay distinct. Unparseable text passes through unchanged. Scalar
-  * elements take the cheaper [[ExactRatCanonExpr]]/raw-text arms — this
-  * expression is only on the array/object branch.
+  * stay distinct. Unparseable text passes through unchanged. Scalars are
+  * handled too (numbers canonicalize, strings re-escape through one
+  * writer), so callers route every JSON value through this one expression
+  * with no per-element type dispatch.
   */
 case class JsonNumCanonExpr(child: Expression) extends UnaryExpression {
 

@@ -346,8 +346,7 @@ object Dialect {
     * self-contained (its own `$defs`, no external refs).
     */
   def registerVocabularySchema(uri: String, schemaJson: String): Unit =
-    vocabSchemas.put(uri.stripSuffix("#"),
-      new com.fasterxml.jackson.databind.ObjectMapper().readTree(schemaJson))
+    vocabSchemas.put(uri.stripSuffix("#"), Spec.jsonMapper.readTree(schemaJson))
 
   private[graft] def registeredVocabSchema(uri: String) =
     vocabSchemas.get(uri.stripSuffix("#"))

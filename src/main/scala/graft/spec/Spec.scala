@@ -370,10 +370,31 @@ final case class Spec(
 }
 
 object Spec {
-  private val mapper = new ObjectMapper()
+  /** Schema-side JSON mapper: fractional numbers parse DIGIT-EXACT
+    * (DecimalNode), the analogue of the reference decoding schema documents
+    * through json.Number (/root/reference/loader.go:255-266). Without it a
+    * >17-significant-digit bound/const/divisor would round to its nearest
+    * double at PARSE time — before the exact-rational predicate arms ever
+    * see the digits. Integer literals still parse as Int/LongNode, so
+    * integral-keyword checks are unaffected.
+    */
+  private[graft] val jsonMapper = {
+    val m = new ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS,
+      true)
+    m
+  }
+  private val mapper = jsonMapper
 
-  private val yamlMapper = new ObjectMapper(
-    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+  private val yamlMapper = {
+    val m = new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS,
+      true)
+    m
+  }
 
   def fromJson(json: String): Spec = parse(mapper.readTree(json))
 

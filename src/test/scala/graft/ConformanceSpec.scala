@@ -22,7 +22,15 @@ import scala.jdk.CollectionConverters._
   */
 class ConformanceSpec extends SparkTestBase {
 
-  private val mapper = new ObjectMapper()
+  // digit-exact fractional parse — corpus specs carry >17-significant-digit
+  // constants that must reach Spec.parse unrounded (loader.go:255-266)
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS,
+      true)
+    m
+  }
 
   private def resource(name: String): JsonNode =
     mapper.readTree(getClass.getResourceAsStream(s"/conformance/$name"))

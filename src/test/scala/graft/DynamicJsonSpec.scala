@@ -141,6 +141,20 @@ class DynamicJsonSpec extends SparkTestBase {
       == Seq(true, true, false))
   }
 
+  test("container const/enum: NESTED numbers compare with deep exact equality") {
+    // {"a":1} must equal const {"a":1.0} (the reference's deep numeric
+    // equality, util.go:286-329) while digit-distinct nested numbers stay
+    // distinct — both sides go through the deep canonicalizer
+    val spec = """{"columns":{"j":{"json":{"const":{"a":1.0}}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"a":1}""", """{"a":1.0}""", """{"a":1.0000000000001}"""
+    )) == Seq(true, true, false))
+    val precise = """{"columns":{"j":{"json":{"const":[{"a":1.0000000000001}]}}}}"""
+    assert(validsOf(precise, Seq(
+      """[{"a":1.0000000000001}]""", """[{"a":1.0000000000002}]""", """[{"a":1}]"""
+    )) == Seq(true, false, false))
+  }
+
   test("bounds stay exact past 2^53 (decimal compare, double fallback)") {
     val spec = """{"columns":{"j":{"json":{"minimum":9007199254740993}}}}"""
     assert(validsOf(spec, Seq("9007199254740992", "9007199254740993", "9007199254740994"))

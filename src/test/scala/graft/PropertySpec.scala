@@ -312,4 +312,38 @@ class PropertySpec extends SparkTestBase {
     assert(!plan.contains("exact_rat_pred"),
       "0.08 bound fell off the native fast arm:\n" + plan.take(2000))
   }
+
+  test("FloatType bound fast arm: float round-trip gate vs big.Rat oracle") {
+    // bound classes: dyadic float-exact (0.25), decimal float-round-trip
+    // (0.08), and the FULL dyadic expansion of double(0.1f) — isExactDouble
+    // TRUE, so the old promote-to-double arm compared value(0.1f) < B as
+    // FALSE where the reference's shortest-repr rational 0.1 < B is TRUE;
+    // the float round-trip gate must route it to the exact arm
+    val vals: Seq[Float] = Seq(0.1f, 0.08f, 0.25f,
+      java.lang.Math.nextUp(0.08f), java.lang.Math.nextDown(0.08f),
+      0.0f, -0.1f, 0.05f)
+    val df = vals.toDF("x")
+    val dyadicOfFloat =
+      new java.math.BigDecimal(0.1f.toDouble).toPlainString
+    Seq("0.25", "0.08", dyadicOfFloat).foreach { b =>
+      val suite = SuiteCompiler.compile(
+        Spec.fromJson(s"""{"columns":{"x":{"exclusiveMaximum":$b}}}"""),
+        df.schema)
+      val got = graft.exec.Validator.flag(df, suite).select("x", "valid")
+        .collect().map(r => r.getFloat(0) -> r.getBoolean(1)).toMap
+      val bRat = BigDecimal(b)
+      vals.foreach { v =>
+        val expected = BigDecimal(java.lang.Float.toString(v)) < bRat
+        assert(got(v) == expected,
+          s"bound $b value $v: got ${got(v)}, want $expected")
+      }
+    }
+    // 0.08 round-trips through float → must stay native
+    val fastSuite = SuiteCompiler.compile(
+      Spec.fromJson("""{"columns":{"x":{"maximum":0.08}}}"""), df.schema)
+    val plan = graft.exec.Validator.flag(df, fastSuite)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("exact_rat_pred"),
+      "float 0.08 bound fell off the native fast arm:\n" + plan.take(2000))
+  }
 }
