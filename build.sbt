@@ -26,6 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Java 17 derives the default charset from the locale (JEP 400 lands in
+  // 18); under a POSIX/C locale that is US-ASCII, and Spark's variant
+  // parse_json/variant_get path decodes string bytes through the DEFAULT
+  // charset — every non-ASCII byte becomes U+FFFD, silently corrupting
+  // multibyte strings in dynamic-mode validation. Pin UTF-8 everywhere.
+  "-Dfile.encoding=UTF-8", "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // G1's default tiny young gen collapses under allocation-heavy local[32]
   // runs (measured 14x slowdown on the decode pass); ParallelGC with a

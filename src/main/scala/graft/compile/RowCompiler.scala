@@ -760,14 +760,18 @@ object RowCompiler {
         if (ts.contains(s)) None
         else if (ts.contains("number") && s == "integer") None
         else if (ts.contains("integer") && s == "number")
-          // zero-fraction rule, util.go:272-275 — double fallback for
-          // magnitudes beyond Decimal(38,12) (where the cast yields NULL),
-          // matching the dynamic compiler
-          // double arm uses pmod-1 (not floor, whose LONG result overflows
-          // past 2^63)
-          Some(coalesce(
-            v.try_cast(Dec) === floor(v.try_cast(Dec)).cast(Dec),
-            pmod(v.cast(DoubleType), lit(1.0)) === lit(0.0)))
+          // zero-fraction rule, util.go:272-275. Decimal columns compare
+          // against floor IN THEIR OWN type (exact, no (38,12) recast that
+          // would round >12-fractional-digit values onto integers — the
+          // old arm read 1.0000000000001 as an integer). Float/double use
+          // pmod-1, which is EXACTLY the shortest-repr rule: IEEE fmod is
+          // exact, every double >= 2^52 is integral, and an integer
+          // shortest repr round-trips only to an integral double. (pmod,
+          // not floor, whose LONG result overflows past 2^63.)
+          Some(dt match {
+            case _: DecimalType => v === floor(v)
+            case _ => pmod(v.cast(DoubleType), lit(1.0)) === lit(0.0)
+          })
         else Some(lit(false))
       ok.foreach { core =>
         add(kw("type"), vac(v, core),

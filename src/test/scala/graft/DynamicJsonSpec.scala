@@ -141,6 +141,23 @@ class DynamicJsonSpec extends SparkTestBase {
       == Seq(true, true, false))
   }
 
+  test("multibyte strings survive the variant path (rune-exact length, pattern, const)") {
+    // Spark's parse_json/variant_get decodes string bytes through the JVM
+    // DEFAULT charset; under a POSIX locale on Java 17 that is US-ASCII and
+    // every non-ASCII byte silently became U+FFFD (found by
+    // DifferentialFuzzSpec; build.sbt pins -Dfile.encoding=UTF-8). Length
+    // counts RUNES: "héllo" is 5, an astral emoji is 1
+    // (/root/reference/validator.go:435-445).
+    val spec = """{"columns":{"j":{"json":{"minLength":5}}}}"""
+    assert(validsOf(spec, Seq("\"héllo\"", "\"h\\u00e9llo\"", "\"héll\""))
+      == Seq(true, true, false))
+    val one = """{"columns":{"j":{"json":{"maxLength":3}}}}"""
+    assert(validsOf(one, Seq("\"\\ud83d\\ude00ok\"", "\"héllo\""))
+      == Seq(true, false))
+    val cst = """{"columns":{"j":{"json":{"const":"héllo"}}}}"""
+    assert(validsOf(cst, Seq("\"héllo\"", "\"hello\"")) == Seq(true, false))
+  }
+
   test("container const/enum: NESTED numbers compare with deep exact equality") {
     // {"a":1} must equal const {"a":1.0} (the reference's deep numeric
     // equality, util.go:286-329) while digit-distinct nested numbers stay
