@@ -194,11 +194,23 @@ object Bench {
     // running the level cycle twice and taking each level's min exposes
     // every level to every window
     val batteryOnly = sys.env.contains("SPARK_GRAFT_BATTERY_ONLY")
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SCALING_SWEEPS", "2").toInt
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SCALING_SWEEPS", "3").toInt
     val shAcc = scala.collection.mutable.Map.empty[Int, Double]
     val dpAcc = scala.collection.mutable.Map.empty[Int, Double]
+    // per-sweep level timings, kept PAIRED: the min-based estimator below
+    // pairs each level's best-ever rep, which can come from DIFFERENT steal
+    // windows — a lucky-clean local[2] min against a still-contended
+    // local[8] min biases the ratio DOWN (observed 0.785 vs 0.865 on
+    // identical code). Within one sweep the levels run minutes apart in the
+    // same part of the run, so the per-sweep paired ratio is the honest
+    // "what does one window say" estimate; max across sweeps = the least
+    // contended window's answer.
+    val shSweeps = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
+    val dpSweeps = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
     if (!batteryOnly) {
       (1 to sweeps).foreach { _ =>
+        val shRow = scala.collection.mutable.Map.empty[Int, Double]
+        val dpRow = scala.collection.mutable.Map.empty[Int, Double]
         Seq(2, 8, 32).foreach { c =>
           // one session per level visit times BOTH arms: halves session
           // spins and measures shallow and deep in the same steal window
@@ -207,7 +219,11 @@ object Bench {
           val td = fullSuiteTimed(spark, corpus, deep = true, reps = 5)
           shAcc(c) = math.min(shAcc.getOrElse(c, Double.MaxValue), ts)
           dpAcc(c) = math.min(dpAcc.getOrElse(c, Double.MaxValue), td)
+          shRow(c) = ts
+          dpRow(c) = td
         }
+        shSweeps += shRow.toMap
+        dpSweeps += dpRow.toMap
       }
       spark = freshSession(cpus)
     }
@@ -359,11 +375,17 @@ object Bench {
     val contendedJson = contendedQueries.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val queriesTotal = queryTimes.map(_._2).sum
-    def block(t: Map[Int, Double]): String =
-      f""""t_local2_sec":${t(2)}%.3f,"t_local8_sec":${t(8)}%.3f,"t_local32_sec":${t(32)}%.3f,""" +
+    // best same-window paired efficiency across sweeps (see sweep-loop
+    // comment: the cross-window min-based ratio is biased down)
+    def bestPaired(rows: Seq[Map[Int, Double]], a: Int, b: Int): Double =
+      if (rows.isEmpty) 0.0 else rows.map(eff(_, a, b)).max
+    def block(t: Map[Int, Double], rows: Seq[Map[Int, Double]]): String =
+      if (t.isEmpty) """"skipped":"SPARK_GRAFT_BATTERY_ONLY""""
+      else f""""t_local2_sec":${t(2)}%.3f,"t_local8_sec":${t(8)}%.3f,"t_local32_sec":${t(32)}%.3f,""" +
         f""""throughput_local8":${nClips / t(8)}%.1f,"throughput_local32":${nClips / t(32)}%.1f,""" +
-        f""""efficiency_2_to_8":${eff(t, 2, 8)}%.3f,"efficiency_8_to_32":${eff(t, 8, 32)}%.3f"""
+        f""""efficiency_2_to_8":${eff(t, 2, 8)}%.3f,"efficiency_8_to_32":${eff(t, 8, 32)}%.3f,""" +
+        f""""efficiency_2_to_8_paired_best":${bestPaired(rows, 2, 8)}%.3f,"efficiency_8_to_32_paired_best":${bestPaired(rows, 8, 32)}%.3f"""
     println(
-      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"cpu_control":{"spin_1t_sec":$spin1%.3f,"spin_${cpus}%dt_sec":$spinN%.3f,"parallel_overhead":${spinN / spin1}%.3f},"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"signal_suite_sec":$tSignal%.3f,"signal_clips_per_sec":${nClips / tSignal}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"contended_queries":$contendedJson,"queries":$qs,"queries_spread":$spreads,"ivf_recall":$recallJson,"sf1_queries":$sf1Json,"sf1_superlinear_flags":$sf1Flags,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh)}},"deep_with_audio_decode":{${block(dp)}}}}""")
+      f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"cpu_control":{"spin_1t_sec":$spin1%.3f,"spin_${cpus}%dt_sec":$spinN%.3f,"parallel_overhead":${spinN / spin1}%.3f},"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"signal_suite_sec":$tSignal%.3f,"signal_clips_per_sec":${nClips / tSignal}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"contended_queries":$contendedJson,"queries":$qs,"queries_spread":$spreads,"ivf_recall":$recallJson,"sf1_queries":$sf1Json,"sf1_superlinear_flags":$sf1Flags,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh, shSweeps.toSeq)}},"deep_with_audio_decode":{${block(dp, dpSweeps.toSeq)}}}}""")
   }
 }
