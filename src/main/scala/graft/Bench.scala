@@ -375,16 +375,27 @@ object Bench {
     val contendedJson = contendedQueries.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val queriesTotal = queryTimes.map(_._2).sum
-    // best same-window paired efficiency across sweeps (see sweep-loop
-    // comment: the cross-window min-based ratio is biased down)
-    def bestPaired(rows: Seq[Map[Int, Double]], a: Int, b: Int): Double =
-      if (rows.isEmpty) 0.0 else rows.map(eff(_, a, b)).max
+    // same-window paired efficiency per sweep (see sweep-loop comment: the
+    // cross-window min-based ratio is biased DOWN). The full list is
+    // emitted because single paired values can be biased UP too — a sweep
+    // whose low-parallelism leg caught a steal window reads >1.0 efficiency
+    // (impossible physically) — so the honest reading is the largest
+    // plausible (≤1) value, with >1 entries self-flagging their window.
+    def pairedList(rows: Seq[Map[Int, Double]], a: Int, b: Int): Seq[Double] =
+      rows.map(eff(_, a, b))
+    def bestPaired(rows: Seq[Map[Int, Double]], a: Int, b: Int): Double = {
+      val l = pairedList(rows, a, b)
+      if (l.isEmpty) 0.0
+      else l.filter(_ <= 1.0).maxOption.getOrElse(l.min)
+    }
     def block(t: Map[Int, Double], rows: Seq[Map[Int, Double]]): String =
       if (t.isEmpty) """"skipped":"SPARK_GRAFT_BATTERY_ONLY""""
       else f""""t_local2_sec":${t(2)}%.3f,"t_local8_sec":${t(8)}%.3f,"t_local32_sec":${t(32)}%.3f,""" +
         f""""throughput_local8":${nClips / t(8)}%.1f,"throughput_local32":${nClips / t(32)}%.1f,""" +
         f""""efficiency_2_to_8":${eff(t, 2, 8)}%.3f,"efficiency_8_to_32":${eff(t, 8, 32)}%.3f,""" +
-        f""""efficiency_2_to_8_paired_best":${bestPaired(rows, 2, 8)}%.3f,"efficiency_8_to_32_paired_best":${bestPaired(rows, 8, 32)}%.3f"""
+        f""""efficiency_2_to_8_paired_best":${bestPaired(rows, 2, 8)}%.3f,"efficiency_8_to_32_paired_best":${bestPaired(rows, 8, 32)}%.3f,""" +
+        s""""efficiency_2_to_8_paired":[${pairedList(rows, 2, 8).map(v => f"$v%.3f").mkString(",")}],""" +
+        s""""efficiency_8_to_32_paired":[${pairedList(rows, 8, 32).map(v => f"$v%.3f").mkString(",")}]"""
     println(
       f"""{"metric":"clips validated/sec, full constraint suite (row keywords + unique + referential + drift + stats)","value":$clipsPerSec%.1f,"unit":"clips/sec","sf":"$sfDir","n_clips":$nClips,"cpu_control":{"spin_1t_sec":$spin1%.3f,"spin_${cpus}%dt_sec":$spinN%.3f,"parallel_overhead":${spinN / spin1}%.3f},"suite_sec":$tHead%.3f,"deep_suite_sec":$tDeep%.3f,"deep_clips_per_sec":${nClips / tDeep}%.1f,"signal_suite_sec":$tSignal%.3f,"signal_clips_per_sec":${nClips / tSignal}%.1f,"query_reps":$queryReps,"queries_total_sec":$queriesTotal%.3f,"contended_queries":$contendedJson,"queries":$qs,"queries_spread":$spreads,"ivf_recall":$recallJson,"sf1_queries":$sf1Json,"sf1_superlinear_flags":$sf1Flags,"scaling":{"input":"$corpus (memory-resident)","shallow":{${block(sh, shSweeps.toSeq)}},"deep_with_audio_decode":{${block(dp, dpSweeps.toSeq)}}}}""")
   }

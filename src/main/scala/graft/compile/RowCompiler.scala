@@ -345,7 +345,7 @@ object RowCompiler {
       // schema author writes — keeping the hot path native/codegen'd.
       native(v, lit(bd.toDouble))
     case FloatType if roundTripsFloat(bd) =>
-      // same argument at float precision (ofFloat uses Float.toString):
+      // same argument at float precision (ofFloat = float shortest repr):
       // bounds that round-trip through DOUBLE but not float — e.g. the full
       // printed expansion of a double near 0.1 — must NOT take this arm
       // (the float shortest repr can sit on the other side of such a bound
@@ -367,21 +367,26 @@ object RowCompiler {
 
   /** Does `bd`'s exact rational value survive a value→nearest-double→
     * shortest-repr round trip? When true, native IEEE comparison against
-    * `bd.toDouble` is exactly big.Rat-equivalent (see boundCmp). NaN never
+    * `bd.toDouble` is exactly big.Rat-equivalent (see boundCmp). The repr
+    * MUST be the same function the exact arm applies to instances
+    * (ExactRatPredExpr.shortestDouble — true correctly-rounded shortest,
+    * not Java 17's legacy toString, which emits an excess digit for ~0.3%
+    * of doubles and is a different rational): gate and conversion using
+    * one r(·) is what makes the monotonicity argument close. NaN never
     * reaches here (schema bounds parse from JSON numbers); ±Inf overflow of
-    * huge bounds fails the text compare and falls to the exact arm.
+    * huge bounds fails the value compare and falls to the exact arm.
     */
   private def roundTripsDouble(bd: BigDecimal): Boolean = {
     val d = bd.toDouble
     !java.lang.Double.isInfinite(d) &&
-      new java.math.BigDecimal(java.lang.Double.toString(d))
+      graft.functions.ExactRatPredExpr.shortestDouble(d)
         .compareTo(bd.bigDecimal) == 0
   }
 
   private def roundTripsFloat(bd: BigDecimal): Boolean = {
     val f = bd.toFloat
     !java.lang.Float.isInfinite(f) &&
-      new java.math.BigDecimal(java.lang.Float.toString(f))
+      graft.functions.ExactRatPredExpr.shortestFloat(f)
         .compareTo(bd.bigDecimal) == 0
   }
 

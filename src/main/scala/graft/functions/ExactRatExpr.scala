@@ -19,12 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Conversion fidelity: the reference feeds values to big.Rat through Go's
   * `fmt.Sprint(float64)` (validator.go:519), i.e. the SHORTEST decimal
-  * string that round-trips the IEEE value. `java.lang.Double.toString` /
-  * `Float.toString` produce exactly that shortest form, so float/double
-  * inputs here see the same rational the reference sees — NOT the full
-  * binary expansion. String inputs (the dynamic compiler's canonical JSON
-  * number text) parse digit-exactly, matching the reference's
-  * `json.Number` decode mode where the raw text feeds big.Rat.
+  * string that round-trips the IEEE value. Java 17's legacy
+  * `Double.toString` is NOT that form — it emits one excess digit for
+  * ~0.3% of doubles (JDK-4511638, fixed only in JDK 19), which is a
+  * DIFFERENT rational (e.g. 2.6814475343671142E18 vs the true shortest
+  * ...114E18) — so float/double inputs here go through
+  * [[ExactRatPredExpr.shortestDouble]]/[[ExactRatPredExpr.shortestFloat]],
+  * the correctly-rounded shortest repr (the JDK 19+ spec, matching Go),
+  * and see the same rational the reference sees — NOT the full binary
+  * expansion. String inputs (the dynamic compiler's canonical JSON number
+  * text) parse digit-exactly, matching the reference's `json.Number`
+  * decode mode where the raw text feeds big.Rat.
   *
   * Codegen'd (no UDF boxing); used only on the fallback arms where the
   * Decimal(38,12) pmod/compare fast paths would round, so the hot
@@ -91,11 +96,70 @@ object ExactRatPredExpr {
     * bounds of anything — false, not null, so the verdict stays loud. */
   def ofDouble(d: Double): java.math.BigDecimal =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
-    else new java.math.BigDecimal(java.lang.Double.toString(d))
+    else shortestDouble(d)
 
   def ofFloat(f: Float): java.math.BigDecimal =
     if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) null
-    else new java.math.BigDecimal(java.lang.Float.toString(f))
+    else shortestFloat(f)
+
+  /** Shortest correctly-rounded decimal repr of an IEEE double, as an exact
+    * BigDecimal — what Go's strconv shortest mode (fmt.Sprint) and JDK 19+
+    * `Double.toString` produce: the fewest significant digits that parse
+    * back to `d`, the candidate at that length being the one CLOSEST to
+    * `d`'s exact binary value (ties to even). Java 17's legacy toString
+    * emits one excess digit for ~0.3% of doubles (JDK-4511638), a different
+    * rational, so it only serves as the round-tripping upper bound here.
+    *
+    * Scan DOWN from the legacy digit count: rounding the exact binary value
+    * to p significant digits half-even yields the nearest p-digit decimal,
+    * and round-tripping is monotone in p (every p-digit decimal is also a
+    * (p+1)-digit decimal, so the nearest (p+1)-digit candidate is at least
+    * as close to d and round-trips whenever the p-digit one does) — the
+    * last round-tripping candidate is the shortest repr. The candidate at
+    * the STARTING precision is recomputed too (not anchored on the legacy
+    * value): even at equal length the legacy string need not be the
+    * correctly-rounded candidate (~0.001% of doubles), and the spec picks
+    * the one closest to d. Legacy excess is ≤1 digit, so this is two
+    * roundings + two parses on the common path (validated 0/5M mismatches
+    * against the definitional linear-scan oracle).
+    */
+  def shortestDouble(d: Double): java.math.BigDecimal = {
+    if (d == 0.0d) return java.math.BigDecimal.ZERO // covers -0.0: rational 0
+    val legacy = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros()
+    val exact = new java.math.BigDecimal(d)
+    var best: java.math.BigDecimal = null
+    var p = legacy.precision()
+    while (p >= 1) {
+      val cand = exact.round(
+        new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (cand.doubleValue() == d) { best = cand; p -= 1 }
+      else p = 0
+    }
+    // best == null only if even the full-length nearest candidate fails the
+    // round trip (an equidistant tie at an asymmetric binade boundary):
+    // the legacy value is then a valid round-tripping repr of the same length
+    (if (best == null) legacy else best).stripTrailingZeros()
+  }
+
+  /** Float analogue of [[shortestDouble]] (float → double widening is
+    * exact, so `new BigDecimal(f.toDouble)` is the exact binary value;
+    * candidates round-trip through `floatValue`). */
+  def shortestFloat(f: Float): java.math.BigDecimal = {
+    if (f == 0.0f) return java.math.BigDecimal.ZERO
+    val legacy = new java.math.BigDecimal(java.lang.Float.toString(f))
+      .stripTrailingZeros()
+    val exact = new java.math.BigDecimal(f.toDouble)
+    var best: java.math.BigDecimal = null
+    var p = legacy.precision()
+    while (p >= 1) {
+      val cand = exact.round(
+        new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (cand.floatValue() == f) { best = cand; p -= 1 }
+      else p = 0
+    }
+    (if (best == null) legacy else best).stripTrailingZeros()
+  }
 
   def ofString(s: UTF8String): java.math.BigDecimal =
     try new java.math.BigDecimal(s.toString)

@@ -263,11 +263,17 @@ class PropertySpec extends SparkTestBase {
       .map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
     vals.distinct.foreach { v =>
       // oracle: exact rational remainder of the shortest decimal repr —
-      // Double.toString IS Go's fmt.Sprint shortest form (so e.g. 1e30,
-      // whose IEEE expansion ends ...838656 and fmods to 1, is a CLEAN
-      // multiple of 5 as the rational 10^30 the reference sees)
+      // Go's fmt.Sprint form (so e.g. 1e30, whose IEEE expansion ends
+      // ...838656 and fmods to 1, is a CLEAN multiple of 5 as the rational
+      // 10^30 the reference sees; likewise 4*2^53's shortest repr
+      // ...68963970 IS a multiple of 5 though its exact integer value is
+      // not). NOT legacy Double.toString, which prints the 17-digit exact
+      // integer for the k*2^53 class — a different rational (JDK-4511638);
+      // shortestDouble itself is pinned against the definitional
+      // linear-scan oracle in its own test below.
       val expected =
-        (BigDecimal(java.lang.Double.toString(v)) % 5).signum == 0
+        (BigDecimal(graft.functions.ExactRatPredExpr.shortestDouble(v)) % 5)
+          .signum == 0
       assert(got(v) == expected, s"value $v: got ${got(v)}, want $expected")
     }
   }
@@ -297,7 +303,8 @@ class PropertySpec extends SparkTestBase {
         .collect().map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
       val bRat = BigDecimal(b)
       vals.foreach { v =>
-        val r = BigDecimal(java.lang.Double.toString(v)) // shortest repr
+        val r = BigDecimal( // true shortest repr (== legacy on this range)
+          graft.functions.ExactRatPredExpr.shortestDouble(v))
         val expected = r <= bRat && r >= -bRat
         assert(got(v) == expected,
           s"bound $b value $v (repr $r): got ${got(v)}, want $expected")
@@ -333,7 +340,8 @@ class PropertySpec extends SparkTestBase {
         .collect().map(r => r.getFloat(0) -> r.getBoolean(1)).toMap
       val bRat = BigDecimal(b)
       vals.foreach { v =>
-        val expected = BigDecimal(java.lang.Float.toString(v)) < bRat
+        val expected = BigDecimal(
+          graft.functions.ExactRatPredExpr.shortestFloat(v)) < bRat
         assert(got(v) == expected,
           s"bound $b value $v: got ${got(v)}, want $expected")
       }
@@ -345,5 +353,90 @@ class PropertySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("exact_rat_pred"),
       "float 0.08 bound fell off the native fast arm:\n" + plan.take(2000))
+  }
+
+  test("shortestDouble == brute-force shortest correctly-rounded repr") {
+    // Java 17's legacy Double.toString emits one excess digit for ~0.3% of
+    // doubles (JDK-4511638): a DIFFERENT rational than the reference's
+    // fmt.Sprint shortest repr. The scan-down implementation must match the
+    // definitional oracle: smallest p whose half-even rounding of the exact
+    // binary value round-trips.
+    def oracle(d: Double): java.math.BigDecimal = {
+      val exact = new java.math.BigDecimal(d)
+      (1 to 17).iterator.map { p =>
+        exact.round(new java.math.MathContext(
+          p, java.math.RoundingMode.HALF_EVEN))
+      }.find(_.doubleValue() == d)
+        .getOrElse(exact).stripTrailingZeros()
+    }
+    val rnd = new java.util.Random(20260818L)
+    var legacyDiffers = 0
+    var i = 0
+    while (i < 20000) {
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN && !d.isInfinite) {
+        val got = graft.functions.ExactRatPredExpr.shortestDouble(d)
+        val want = oracle(d)
+        assert(got.compareTo(want) == 0, s"d=$d got=$got want=$want")
+        // every result must itself round-trip
+        assert(got.doubleValue() == d, s"no round trip: d=$d got=$got")
+        if (new java.math.BigDecimal(java.lang.Double.toString(d))
+              .compareTo(got) != 0) legacyDiffers += 1
+      }
+      i += 1
+    }
+    // the sample must actually exercise the legacy-divergence class
+    assert(legacyDiffers > 10, s"sample too tame: $legacyDiffers diverging")
+    // float arm: same property at float precision
+    def oracleF(f: Float): java.math.BigDecimal = {
+      val exact = new java.math.BigDecimal(f.toDouble)
+      (1 to 9).iterator.map { p =>
+        exact.round(new java.math.MathContext(
+          p, java.math.RoundingMode.HALF_EVEN))
+      }.find(_.floatValue() == f)
+        .getOrElse(exact).stripTrailingZeros()
+    }
+    i = 0
+    while (i < 20000) {
+      val f = java.lang.Float.intBitsToFloat(rnd.nextInt())
+      if (!f.isNaN && !f.isInfinite) {
+        val got = graft.functions.ExactRatPredExpr.shortestFloat(f)
+        assert(got.compareTo(oracleF(f)) == 0, s"f=$f got=$got")
+        assert(got.floatValue() == f, s"no round trip: f=$f got=$got")
+      }
+      i += 1
+    }
+    // zeroes: rational 0 either sign
+    assert(graft.functions.ExactRatPredExpr.shortestDouble(-0.0)
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(graft.functions.ExactRatPredExpr.shortestFloat(-0.0f)
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
+  }
+
+  test("legacy-repr divergence class: verdicts follow the TRUE shortest repr") {
+    // d's legacy Java repr is 5.7223519193314771E17 (17 digits) but the
+    // shortest round-tripping repr — what Go's fmt.Sprint prints and the
+    // reference feeds big.Rat — is 5.722351919331477E17 (16). A schema
+    // whose constant IS that shortest rational must treat d as EQUAL.
+    val d = java.lang.Double.parseDouble("5.722351919331477E17")
+    assert(java.lang.Double.toString(d) == "5.7223519193314771E17",
+      "pinned double no longer exercises the legacy-excess-digit class")
+    val df = Seq(d).toDF("x")
+    def valid(spec: String): Boolean =
+      graft.exec.Validator.flag(df,
+        SuiteCompiler.compile(Spec.fromJson(spec), df.schema))
+        .select("valid").collect().head.getBoolean(0)
+    val s = "5.722351919331477E17"
+    assert(valid(s"""{"columns":{"x":{"const":$s}}}"""),
+      "const == true-shortest repr must match (reference big.Rat equality)")
+    assert(valid(s"""{"columns":{"x":{"minimum":$s}}}"""))
+    assert(valid(s"""{"columns":{"x":{"maximum":$s}}}"""))
+    assert(!valid(s"""{"columns":{"x":{"exclusiveMinimum":$s}}}"""))
+    assert(valid(s"""{"columns":{"x":{"multipleOf":$s}}}"""))
+    // and the legacy 17-digit text is a DIFFERENT rational: not equal
+    val legacy = "5.7223519193314771E17"
+    assert(!valid(s"""{"columns":{"x":{"const":$legacy}}}"""))
+    assert(valid(s"""{"columns":{"x":{"maximum":$legacy}}}"""),
+      "d's shortest repr is BELOW the legacy rational")
   }
 }
