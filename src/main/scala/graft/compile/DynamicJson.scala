@@ -31,8 +31,9 @@ import org.apache.spark.sql.types.StringType
   * dynamic semantics. content* keywords apply to any runtime-string
   * instance via the same pluggable registries as the static compiler
   * (decode → mediaType → contentSchema over the decoded value,
-  * /root/reference/validator.go:468-510). Unsupported here (out-of-scope
-  * territory): unevaluated* (static lowering only), nested `json`.
+  * /root/reference/validator.go:468-510). unevaluated* runs the same
+  * static-lowering + runtime branch-set walkers as the typed compiler.
+  * Unsupported here (out-of-scope territory): nested `json`.
   */
 object DynamicJson {
 
@@ -63,6 +64,25 @@ object DynamicJson {
   /** Deep-equality key: canonical JSON text (sorted object keys). */
   private def canon(v: Column): Column = to_json(v)
 
+  /** Canonical NUMBER text of a variant value, exact-rational-faithful:
+    * variant-decimal numbers keep their digit-exact `to_json` text, but a
+    * variant that stores the number as DOUBLE (negative-scale scientific
+    * notation ≥ ~1e16, or >38 digits — decimal storage impossible) renders
+    * through the shortest correctly-rounded repr instead of `to_json`'s
+    * legacy Jackson form, which is a DIFFERENT rational on the excess-digit
+    * class (JDK-4511638) and flipped bound/const/multipleOf verdicts vs
+    * both the typed compiler and the reference (found by the differential
+    * fuzz). Non-number values fall through to the plain canonical JSON.
+    * Residual (storage boundary, documented): numbers NESTED inside
+    * container values that overflow variant decimal still render legacy
+    * inside `to_json(container)` — deep-container const/uniqueItems on
+    * that class compare by the double's legacy text.
+    */
+  private def numCanon(v: Column, sv: Column): Column =
+    when(sv === "DOUBLE",
+      graft.functions.ShortestReprExpr.col(asNum(v)))
+      .otherwise(to_json(v))
+
   /** missing values are vacuous for every keyword (absent property —
     * subschema not applied, validator.go semantics); a type-gated core
     * passes vacuously for other types.
@@ -82,9 +102,12 @@ object DynamicJson {
     // and the typed extraction, so without binding a 3-keyword node walks
     // the variant 6+ times per row (schema_of_variant is a full traversal)
     def b(c: Column): Column = binder.map(_.bind(c)).getOrElse(c)
-    val t = b(jsonTypeFrom(v, b(schema_of_variant(v))))
+    val sv = b(schema_of_variant(v))
+    val t = b(jsonTypeFrom(v, sv))
     lazy val vNum = b(asNum(v))
     lazy val vStr = b(asStr(v))
+    // exact-rational number text (shortest-repr for variant-double storage)
+    lazy val vCanon = b(numCanon(v, sv))
     val kwBase = if (node.path.isEmpty) "" else node.path.mkString("/")
     CompileLimits.tickVisit(if (kwBase.isEmpty) "#" else kwBase)
     def kw(parts: String*): String =
@@ -132,9 +155,16 @@ object DynamicJson {
         .reduceOption(_ || _).getOrElse(lit(false))
       val intOk =
         if (ts.contains("integer") && !ts.contains("number"))
-          // pmod-1, not floor: floor(double) returns LONG and overflows
-          // past 2^63, so 1e30 would wrongly fail the zero-fraction rule
-          (t === "number") && (pmod(vNum, lit(1.0)) === lit(0.0))
+          // exact zero-fraction rule: multipleOf-1 over the canonical
+          // number text (util.go:272-275 / big.Rat IsInt). NOT pmod-1 on
+          // the double extract, whose decimal→double cast rounds
+          // >16-fractional-digit texts (1.00000000000000001) onto an
+          // integer the reference rejects; 1e30-class values stay integral
+          // (their shortest repr has no fraction)
+          (t === "number") && coalesce(
+            ExactRatPredExpr.pred(vCanon, ExactRatPredExpr.MultipleOf,
+              java.math.BigDecimal.ONE),
+            lit(false))
         else lit(false)
       add(kw("type"), vac(v, base || intOk),
         concat(lit("type: got "), t, lit(s", want ${ts.mkString("|")}")),
@@ -149,7 +179,7 @@ object DynamicJson {
         // (compareTo, so 2 == 2.0 across renderings) — no Decimal(38,12)
         // rounding, no double approximation at any magnitude or scale
         (t === "number") && coalesce(
-          ExactRatPredExpr.pred(b(canon(v)), ExactRatPredExpr.Eq,
+          ExactRatPredExpr.pred(vCanon, ExactRatPredExpr.Eq,
             jn.decimalValue()),
           lit(false))
       else if (jn.isTextual) (t === "string") && (vStr === lit(jn.asText()))
@@ -190,7 +220,7 @@ object DynamicJson {
     // comparing. canon(v) is already on this row path (messages, const).
     def boundCheck(name: String, bd: BigDecimal, opCode: Int, want: String,
                    kind: ErrorKind): Unit = {
-      val core = ExactRatPredExpr.pred(b(canon(v)), opCode, bd.bigDecimal)
+      val core = ExactRatPredExpr.pred(vCanon, opCode, bd.bigDecimal)
       add(kw(name), vac(v, (t =!= "number") || coalesce(core, lit(false))),
         concat(lit(s"$name: got "), vNum.cast(StringType), lit(s", want $want")),
         kind)
@@ -207,7 +237,7 @@ object DynamicJson {
         ErrorKind.ExclusiveMaximum(bd)))
     node.multipleOf.foreach { m =>
       val core = coalesce(
-        ExactRatPredExpr.pred(b(canon(v)), ExactRatPredExpr.MultipleOf,
+        ExactRatPredExpr.pred(vCanon, ExactRatPredExpr.MultipleOf,
           m.bigDecimal),
         lit(false))
       add(kw("multipleOf"), vac(v, (t =!= "number") || core),
@@ -264,8 +294,13 @@ object DynamicJson {
       // distinct from 2) — one Jackson pass per element, no per-branch
       // schema_of_variant type dispatch (jsonTypeOf costs up to 5 variant
       // traversals per call and HOF lambdas get no codegen CSE).
+      // scalar-number elements route through numCanon so variant-double
+      // storage groups by the shortest repr (one schema_of_variant per
+      // element in the when-guard — the 5-traversal jsonTypeOf dispatch
+      // the comment above avoids is not needed, the guard is one call)
       val canonArr = transform(arr,
-        e => graft.functions.JsonNumCanonExpr.canon(canon(e)))
+        e => graft.functions.JsonNumCanonExpr.canon(
+          numCanon(e, schema_of_variant(e))))
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
         lit("uniqueItems: duplicate items found"),
         ErrorKind.UniqueItemsK)

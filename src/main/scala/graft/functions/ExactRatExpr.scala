@@ -183,6 +183,45 @@ object ExactRatPredExpr {
       ExactRatPredExpr(GraftColumnBridge.expression(c), op, operand.toPlainString))
 }
 
+/** Shortest-repr decimal text of an IEEE double — the dynamic compiler's
+  * number canon for variant-DOUBLE-stored values. Spark's variant cannot
+  * hold a decimal with negative scale or >38 digits (e.g. scientific
+  * notation ≥ ~1e16), stores such numbers as DOUBLE, and `to_json` renders
+  * that double via Jackson's legacy form (the JDK-4511638 excess-digit
+  * class) — a DIFFERENT rational than the value's shortest repr. This
+  * expression renders the double the way the reference's float64 decode
+  * would print it (fmt.Sprint shortest, validator.go:519), so the dynamic
+  * exact-rational arms see the same rational as the typed arms.
+  * NaN/±Inf (unreachable from JSON) render as their Java names, which the
+  * downstream BigDecimal parse rejects into null → predicate false.
+  */
+case class ShortestReprExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shortest_repr"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShortestReprExpr.render(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShortestReprExpr.render($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShortestReprExpr =
+    copy(child = newChild)
+}
+
+object ShortestReprExpr {
+  def render(d: Double): UTF8String =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      UTF8String.fromString(java.lang.Double.toString(d))
+    else UTF8String.fromString(
+      ExactRatPredExpr.shortestDouble(d).toString)
+
+  def col(c: Column): Column =
+    GraftColumnBridge.column(ShortestReprExpr(GraftColumnBridge.expression(c)))
+}
+
 /** Canonical exact-rational rendering of a JSON number text — the engine's
   * big.Rat-equality GROUPING KEY (the predicate form above answers yes/no
   * against one constant; this one makes equal-rational texts collapse to

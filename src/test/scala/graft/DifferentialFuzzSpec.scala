@@ -16,10 +16,18 @@ import org.scalacheck.rng.Seed
   * so a typed/dynamic disagreement means at least one side diverged).
   *
   * Instances are flat rows (long, double, string, array<double>) JSON-encoded
-  * via to_json for the dynamic side; to_json omits SQL NULLs, which matches
-  * the typed NULL=absent convention. Generators aim at the precision and
-  * vacuousness cliffs: one-ulp bound neighbours, full-expansion constants,
-  * >2^53 integrals, duplicate-bearing arrays, empty strings/arrays, nulls.
+  * on the driver for the dynamic side, omitting null fields (the typed
+  * NULL=absent convention), with doubles rendered via
+  * ExactRatPredExpr.shortestDouble — the same shortest-repr rational the
+  * typed exact arms see. Spark's to_json is NOT used: it routes doubles
+  * through Jackson's legacy Double.toString, whose excess-digit class
+  * (JDK-4511638, ~0.3% of doubles) encodes a DIFFERENT rational than the
+  * double's shortest repr, making typed and dynamic verdicts legitimately
+  * disagree on text the engine never chose. Generators aim at the precision
+  * and vacuousness cliffs: one-ulp bound neighbours, full-expansion
+  * constants, >2^53 integrals (including 4*2^53, whose shortest repr IS a
+  * multiple of 5 though its exact integer value is not), duplicate-bearing
+  * arrays, empty strings/arrays, nulls.
   *
   * Pinned seeds (offline cache has no scalatestplus bridge); 40 random
   * specs x 48 rows per run.
@@ -42,7 +50,11 @@ class DifferentialFuzzSpec extends SparkTestBase {
   private val doubleBoundLit: Gen[String] = Gen.oneOf(
     "0.08", "0.1", "0.25", "1e-3", "2.5", "100",
     "0.1000000000000000055511151231257827", // full expansion of double(0.1)
-    "0.09999999999999999")
+    "0.09999999999999999",
+    "3.602879701896397e16",  // shortest repr of 4*2^53 (round-trips: native)
+    "36028797018963968")     // 4*2^53 exact integer text: a DIFFERENT
+                             // rational than that double's shortest repr
+                             // (legacy-excess-digit class) — exact arm
 
   private val doubleKw: Gen[String] = Gen.oneOf(
     doubleBoundLit.map(b => s""""minimum":$b"""),
@@ -100,7 +112,9 @@ class DifferentialFuzzSpec extends SparkTestBase {
   private val doubleGen: Gen[java.lang.Double] = Gen.frequency(
     5 -> Gen.oneOf(Seq(0.0, 0.08, 0.1, 0.25, 2.0, 2.5, 30.5, 100.0, -0.5,
       1.0000000000001, 0.09999999999999999, 0.10000000000000002,
-      java.lang.Math.nextUp(0.08), 1e-12, 5e-13, 1e30, -15.0, 4.0, 5.0)
+      java.lang.Math.nextUp(0.08), 1e-12, 5e-13, 1e30, -15.0, 4.0, 5.0,
+      3.602879701896397e16,   // 4*2^53: legacy-excess-digit repr class
+      5.722351919331477e17)   // 17-digit legacy vs 16-digit shortest class
       .map(java.lang.Double.valueOf)),
     2 -> Gen.chooseNum(-50, 150).map(n => java.lang.Double.valueOf(n.toDouble)),
     1 -> Gen.chooseNum(-500, 1500).map(n =>
@@ -114,7 +128,8 @@ class DifferentialFuzzSpec extends SparkTestBase {
 
   private val doubleGenNN: Gen[java.lang.Double] = Gen.oneOf(
     Seq(0.0, 0.08, 0.1, 0.25, 2.0, 2.5, 30.5, -0.5, 1.0000000000001,
-      0.10000000000000002, 1e-12, 1e30, 4.0, 5.0, 7.5, 150.0)
+      0.10000000000000002, 1e-12, 1e30, 4.0, 5.0, 7.5, 150.0,
+      3.602879701896397e16)
       .map(java.lang.Double.valueOf))
 
   private val arrayGen: Gen[Seq[java.lang.Double]] = Gen.frequency(
@@ -128,6 +143,31 @@ class DifferentialFuzzSpec extends SparkTestBase {
   private val rowGen: Gen[(java.lang.Long, java.lang.Double, String, Seq[java.lang.Double])] =
     for { a <- longGen; d <- doubleGen; s <- stringGen; r <- arrayGen }
       yield (a, d, s, r)
+
+  // driver-side JSON encoder for the dynamic arm: null fields omitted,
+  // doubles rendered via shortestDouble (see class doc — to_json's legacy
+  // Jackson double encoding is a different rational on the excess-digit
+  // class, which would make the two compilers disagree on text the engine
+  // never chose)
+  private val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def shortestNode(d: java.lang.Double) =
+    com.fasterxml.jackson.databind.node.DecimalNode.valueOf(
+      graft.functions.ExactRatPredExpr.shortestDouble(d.doubleValue()))
+  private def encodeRow(a: java.lang.Long, d: java.lang.Double, s: String,
+                        r: Seq[java.lang.Double]): String = {
+    val o = jm.createObjectNode()
+    if (a != null) o.put("a", a.longValue())
+    if (d != null) o.set[com.fasterxml.jackson.databind.JsonNode](
+      "d", shortestNode(d))
+    if (s != null) o.put("s", s)
+    if (r != null) {
+      val arr = o.putArray("r")
+      r.foreach { e =>
+        if (e == null) arr.addNull() else { arr.add(shortestNode(e)); () }
+      }
+    }
+    jm.writeValueAsString(o)
+  }
 
   test("typed and dynamic compilers agree on 40 random specs x 48 edge rows") {
     // GRAFT_FUZZ_SPECS widens the campaign for one-off deep hunts
@@ -151,8 +191,8 @@ class DifferentialFuzzSpec extends SparkTestBase {
         .select("k", "valid").collect()
         .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
 
-      val dyn = df.select(col("k"),
-        to_json(struct(col("a"), col("d"), col("s"), col("r"))).as("j"))
+      val dyn = rows.map { case (k, a, d, s, r) => (k, encodeRow(a, d, s, r)) }
+        .toDF("k", "j")
       val dynSuite = SuiteCompiler.compile(
         Spec.fromJson(
           s"""{"columns":{"j":{"json":{"properties":{$shared}}}}}"""),

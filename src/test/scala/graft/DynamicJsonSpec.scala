@@ -346,4 +346,50 @@ class DynamicJsonSpec extends SparkTestBase {
       """[]"""
     )) == Seq(true, true, false, false, true))
   }
+
+  test("variant-double storage compares by the shortest repr, not to_json's legacy text") {
+    // 3.602879701896397e16 (the shortest repr of 4*2^53) has negative
+    // scale, so Spark's variant stores it as DOUBLE and to_json re-renders
+    // it via Jackson's legacy form 3.6028797018963968E16 — a DIFFERENT
+    // rational (the JDK-4511638 excess-digit class) that read BELOW the
+    // minimum and broke multipleOf. numCanon must route such values
+    // through the shortest repr (found by the differential fuzz).
+    val minSpec =
+      """{"columns":{"j":{"json":{"minimum":3.602879701896397e16}}}}"""
+    assert(validsOf(minSpec, Seq("3.602879701896397e16")) == Seq(true))
+    val multSpec = """{"columns":{"j":{"json":{"multipleOf":5}}}}"""
+    // shortest repr ...970 IS a multiple of 5 (the rational the reference's
+    // float64 decode sees); the exact integer value ...968 is not
+    assert(validsOf(multSpec, Seq("3.602879701896397e16")) == Seq(true))
+    val constSpec =
+      """{"columns":{"j":{"json":{"const":3.602879701896397e16}}}}"""
+    assert(validsOf(constSpec, Seq(
+      "3.602879701896397e16",
+      // ulp at 2^55 is 8, so ...969 parses to the SAME double as the const
+      // (the storage boundary: variant DOUBLE cannot keep the digit-exact
+      // text, so the engine — like the reference's float64 decode — sees
+      // the same rational) while ...976 is the NEXT double → a different
+      // shortest repr → unequal
+      "3.6028797018963969e16",
+      "3.6028797018963976e16"
+    )) == Seq(true, true, false))
+    // uniqueItems element keys go through the same canon
+    val uniq = """{"columns":{"j":{"json":{"uniqueItems":true}}}}"""
+    assert(validsOf(uniq, Seq(
+      "[3.602879701896397e16, 3.602879701896397e16]",
+      "[3.602879701896397e16, 2]"
+    )) == Seq(false, true))
+  }
+
+  test("type integer uses the exact zero-fraction rule on the canonical text") {
+    val spec = """{"columns":{"j":{"json":{"type":"integer"}}}}"""
+    assert(validsOf(spec, Seq(
+      "2.0",                   // zero fraction → integer
+      "1.00000000000000001",   // 17 fractional digits: the old double
+                               // extract ROUNDED this onto 1 and passed it;
+                               // the reference's big.Rat IsInt fails it
+      "1e30",                  // integral shortest repr → integer
+      "1.0000000000001"        // 13 fractional digits → not integer
+    )) == Seq(true, false, true, false))
+  }
 }
