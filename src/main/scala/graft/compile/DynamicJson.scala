@@ -73,10 +73,10 @@ object DynamicJson {
     * class (JDK-4511638) and flipped bound/const/multipleOf verdicts vs
     * both the typed compiler and the reference (found by the differential
     * fuzz). Non-number values fall through to the plain canonical JSON.
-    * Residual (storage boundary, documented): numbers NESTED inside
-    * container values that overflow variant decimal still render legacy
-    * inside `to_json(container)` — deep-container const/uniqueItems on
-    * that class compare by the double's legacy text.
+    * Numbers NESTED inside containers get the same storage-class rule via
+    * [[graft.functions.VariantCanonExpr]] (deep const/enum/uniqueItems
+    * walk the variant binary, not `to_json` text), so deep and shallow
+    * canon agree at every level.
     */
   private def numCanon(v: Column, sv: Column): Column =
     when(sv === "DOUBLE",
@@ -191,11 +191,16 @@ object DynamicJson {
         // keys sorted through the SAME Jackson writer, so {"a":1.0} equals
         // const {"a":1} (the reference's deep numeric equality,
         // util.go:286-329) while digit-distinct nested numbers stay
-        // distinct. The constant side canonicalizes once at COMPILE time.
+        // distinct. The constant side canonicalizes once at COMPILE time;
+        // the instance side walks the variant BINARY (VariantCanonExpr) so
+        // nested variant-DOUBLE-stored numbers render by shortest repr —
+        // the same storage rule numCanon applies at top level — instead of
+        // to_json's legacy double text (which also destroyed the
+        // decimal-vs-double distinction for any post-hoc rewrite).
         val constCanon = graft.functions.JsonNumCanonExpr.canonJson(
           org.apache.spark.unsafe.types.UTF8String.fromString(jn.toString)
         ).toString
-        graft.functions.JsonNumCanonExpr.canon(canon(v)) === lit(constCanon)
+        graft.functions.VariantCanonExpr.col(v) === lit(constCanon)
       }
 
     node.const.foreach { c =>
@@ -288,19 +293,17 @@ object DynamicJson {
       // Extra-Test-Suite uniqueItems.json "zero fraction") while
       // digit-distinct numbers at ANY scale stay distinct — no Decimal or
       // double rounding at any magnitude (util.go:322-325 semantics).
-      // EVERY element takes the deep canonicalizer (numbers normalized at
-      // any nesting level, keys sorted, strings re-escaped through one
-      // writer: {"a":1.0} duplicates {"a":1}, 2.0 duplicates 2, "2" stays
-      // distinct from 2) — one Jackson pass per element, no per-branch
-      // schema_of_variant type dispatch (jsonTypeOf costs up to 5 variant
-      // traversals per call and HOF lambdas get no codegen CSE).
-      // scalar-number elements route through numCanon so variant-double
-      // storage groups by the shortest repr (one schema_of_variant per
-      // element in the when-guard — the 5-traversal jsonTypeOf dispatch
-      // the comment above avoids is not needed, the guard is one call)
+      // EVERY element takes the storage-faithful deep canonicalizer
+      // (VariantCanonExpr: one variant-binary walk per element — numbers
+      // normalized at ANY nesting level by their actual storage class,
+      // decimal → digit-exact / double → shortest repr, keys sorted,
+      // strings re-escaped through one writer: {"a":1.0} duplicates
+      // {"a":1}, 2.0 duplicates 2, "2" stays distinct from 2). No
+      // schema_of_variant dispatch, no to_json + Jackson reparse — and
+      // nested variant-DOUBLE numbers group by the same shortest-repr
+      // rule the scalar path applies (deep = shallow at every level).
       val canonArr = transform(arr,
-        e => graft.functions.JsonNumCanonExpr.canon(
-          numCanon(e, schema_of_variant(e))))
+        e => graft.functions.VariantCanonExpr.col(e))
       arrCheck("uniqueItems", size(array_distinct(canonArr)) === size(arr),
         lit("uniqueItems: duplicate items found"),
         ErrorKind.UniqueItemsK)

@@ -303,6 +303,11 @@ object JsonNumCanonExpr {
     m
   }
 
+  /** JSON string-literal quoting, shared with [[VariantCanonExpr]] so the
+    * runtime variant-binary canon and this compile-time text canon escape
+    * identically (byte-comparable keys). Thread-safe (configured reader). */
+  def quote(s: String): String = mapper.writeValueAsString(s)
+
   def canonJson(s: UTF8String): UTF8String =
     try {
       val sb = new java.lang.StringBuilder(s.numChars() + 8)
@@ -315,7 +320,7 @@ object JsonNumCanonExpr {
     if (n.isNumber)
       sb.append(n.decimalValue().stripTrailingZeros().toString)
     else if (n.isTextual)
-      sb.append(mapper.writeValueAsString(n.asText()))
+      sb.append(quote(n.asText()))
     else if (n.isBoolean) sb.append(n.asBoolean())
     else if (n.isNull) sb.append("null")
     else if (n.isArray) {
@@ -332,7 +337,7 @@ object JsonNumCanonExpr {
       keys.forEach { k =>
         if (!first) sb.append(',')
         first = false
-        sb.append(mapper.writeValueAsString(k)).append(':')
+        sb.append(quote(k)).append(':')
         write(n.get(k), sb)
       }
       sb.append('}')

@@ -381,6 +381,43 @@ class DynamicJsonSpec extends SparkTestBase {
     )) == Seq(false, true))
   }
 
+  test("variant-double numbers NESTED in containers canonicalize by storage class") {
+    // Deep = shallow: the former to_json-based container canon rendered a
+    // nested variant-DOUBLE (any exponent-notation text — Spark's variant
+    // decimal parse rejects 'e') via Jackson's LEGACY double text, the
+    // JDK-4511638 excess-digit rational, and once rendered it was
+    // indistinguishable from a digit-exact decimal. VariantCanonExpr walks
+    // the variant binary, so the storage class survives at every depth.
+    val constSpec =
+      """{"columns":{"j":{"json":{"const":[3.602879701896397e16]}}}}"""
+    assert(validsOf(constSpec, Seq(
+      "[3.602879701896397e16]",   // DOUBLE storage → shortest repr = const
+      "[3.6028797018963969e16]",  // same double (ulp 8 at 2^55) → equal
+      "[36028797018963970]",      // digit-exact LONG = the const's rational
+      "[36028797018963968]",      // the double's exact integer value is a
+                                  // DIFFERENT rational than its shortest repr
+      "[3.6028797018963976e16]"   // next double up → unequal
+    )) == Seq(true, true, true, false, false))
+
+    val objConst =
+      """{"columns":{"j":{"json":{"const":{"x":1e-39,"y":"a"}}}}}"""
+    assert(validsOf(objConst, Seq(
+      """{"y":"a","x":1e-39}""",     // key order canonical; scale-39 double
+      """{"y":"a","x":1.0e-39}"""    // same double, other rendering
+    )) == Seq(true, true))
+
+    // uniqueItems over CONTAINER elements: nested storage classes stay
+    // distinct (double's shortest repr vs the digit-exact long of its
+    // exact integer value), same doubles collapse
+    val uniq = """{"columns":{"j":{"json":{"uniqueItems":true}}}}"""
+    assert(validsOf(uniq, Seq(
+      "[[3.602879701896397e16], [36028797018963968]]",   // distinct rationals
+      "[[3.602879701896397e16], [3.6028797018963969e16]]", // same double: dup
+      "[[3.602879701896397e16], [36028797018963970]]",   // long == shortest: dup
+      """[{"a":2.0}, {"a":2}]"""                         // 2.0 == 2 deep: dup
+    )) == Seq(true, false, false, false))
+  }
+
   test("type integer uses the exact zero-fraction rule on the canonical text") {
     val spec = """{"columns":{"j":{"json":{"type":"integer"}}}}"""
     assert(validsOf(spec, Seq(
