@@ -439,4 +439,60 @@ class PropertySpec extends SparkTestBase {
     assert(valid(s"""{"columns":{"x":{"maximum":$legacy}}}"""),
       "d's shortest repr is BELOW the legacy rational")
   }
+
+  test("VariantCanonExpr renders nested numbers by Spark's OWN storage class") {
+    // True differential over the deep canon: Spark's schema_of_variant
+    // classifies each generated number text's storage (DECIMAL/BIGINT vs
+    // DOUBLE — the engine does not re-derive the rule), and the
+    // variant-binary walk's rendering must match the per-class canon:
+    // digit-exact stripTrailingZeros for decimal/integer storage, shortest
+    // correctly-rounded repr for double storage. Catches both a wrong walk
+    // and a wrong storage-rule assumption (e.g. if a Spark upgrade started
+    // decimal-storing exponent notation, the expectation flips with it).
+    import org.scalacheck.Gen
+    val digits = Gen.chooseNum(1, 42).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    val numText: Gen[String] = for {
+      sign <- Gen.oneOf("", "-")
+      intPart <- digits.map(_.dropWhile(_ == '0')).map(s => if (s.isEmpty) "0" else s)
+      frac <- Gen.option(digits)
+      exp <- Gen.frequency(
+        2 -> Gen.const(""),
+        1 -> Gen.chooseNum(-45, 45).map(e => s"e$e"),
+        1 -> Gen.chooseNum(-45, 45).map(e => s"E+$e".replace("+-", "-")))
+      extra <- Gen.oneOf(true, false)
+    } yield {
+      val base = sign + intPart + frac.map("." + _).getOrElse("") + exp
+      if (extra && exp.isEmpty && frac.isEmpty) base + ".0" else base
+    }
+    val texts = (Gen.listOfN(3000, numText)
+      .apply(Gen.Parameters.default, Seed(99L)).get ++ Seq(
+        "3.602879701896397e16", "3.6028797018963968e16", "36028797018963968",
+        "1e40", "-1e-40", "0.1000000000000000055511151231257827021181583404541015625",
+        "5.722351919331477E17", "5.7223519193314771E17", "0", "-0.0", "0e5",
+        "1" + "0" * 39, "9" * 39, "9" * 38)).distinct
+      .filter(t => { val d = java.lang.Double.parseDouble(t)
+        !d.isInfinite && !d.isNaN }) // variant double storage can't hold ±Inf
+    val df = texts.toDF("t")
+    val got = df.select(col("t"),
+        graft.functions.VariantCanonExpr.col(
+          parse_json(concat(lit("["), col("t"), lit("]")))),
+        schema_of_variant(parse_json(col("t"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    got.foreach { case (t, canon, storage) =>
+      val expected =
+        if (storage == "DOUBLE")
+          graft.functions.ExactRatPredExpr
+            .shortestDouble(java.lang.Double.parseDouble(t)).toString
+        else if (storage.startsWith("DECIMAL") || storage == "BIGINT" ||
+                 storage == "INT" || storage == "SMALLINT" || storage == "TINYINT")
+          new java.math.BigDecimal(t).stripTrailingZeros().toString
+        else fail(s"unexpected variant storage $storage for $t")
+      assert(canon == s"[$expected]",
+        s"text $t (storage $storage): canon $canon, want [$expected]")
+    }
+    // the generator must actually exercise both storage classes
+    assert(got.exists(_._3 == "DOUBLE") &&
+      got.exists(_._3.startsWith("DECIMAL")) && got.exists(_._3 == "BIGINT"))
+  }
 }
