@@ -465,7 +465,14 @@ object DynamicJson {
       // reference, Extra-Test-Suite contentSchema.json group 2) it MUST be
       // ignored when contentMediaType is absent.
       node.contentSchema.filter(_ => node.contentMediaType.nonEmpty).foreach { cs =>
-        val parsed = b(when(t === "string", try_parse_json(contentValue)))
+        // same Go-decoder dup-key fallback + one-value guard as the
+        // top-level parse (the reference decodes content via the same
+        // UnmarshalJSON, content.go:47-48)
+        val parsed = b(when(
+          (t === "string") && graft.functions.JsonOneValueExpr.col(contentValue),
+          coalesce(
+            try_parse_json(contentValue),
+            try_parse_json(graft.functions.JsonNormExpr.col(contentValue)))))
         out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder, depth + 1)
       }
     }
@@ -651,7 +658,19 @@ object DynamicJson {
                           instPath: String,
                           binder: Option[Binder] = None,
                           depth: Int = 0): Seq[Check] = {
-    val parsed = try_parse_json(jsonCol)
+    // Go-decoder parity, two halves (loader.go:255-266):
+    //  - duplicate object keys: Spark's variant parser rejects them, Go
+    //    keeps the LAST value — the Jackson-normalize fallback arm only
+    //    evaluates when the native parse returned null (Coalesce
+    //    short-circuits), so well-formed JSON never pays it, and anything
+    //    Jackson rejects stays a loud !parse failure;
+    //  - trailing content: Spark ACCEPTS '{"a":2} x' (parses the prefix),
+    //    Go errors "invalid character after top-level value" — the
+    //    codegen'd one-pass lexical guard nulls the parse so such rows
+    //    fail !parse like any malformed document.
+    val parsed = when(graft.functions.JsonOneValueExpr.col(jsonCol),
+      coalesce(try_parse_json(jsonCol),
+        try_parse_json(graft.functions.JsonNormExpr.col(jsonCol))))
     // the parse feeds EVERY check below — bind it so it runs once per row
     val v = binder.map(_.bind(parsed)).getOrElse(parsed)
     val parseCheck = Check(

@@ -26,7 +26,13 @@ object Content {
   )
 
   @volatile private var mediaTypes: Map[String, Column => Column] = Map(
-    "application/json" -> (v => try_parse_json(v).isNotNull)
+    // Go-decoder parity (the reference checks content via the same
+    // UnmarshalJSON, loader.go:255-266): duplicate keys are valid (last
+    // wins — Jackson-normalize fallback, evaluated only when the native
+    // parse rejects), trailing content after the first value is NOT
+    // (one-pass lexical guard) — see JsonNormExpr / JsonOneValueExpr
+    "application/json" -> (v => JsonOneValueExpr.col(v) &&
+      coalesce(try_parse_json(v), try_parse_json(JsonNormExpr.col(v))).isNotNull)
   )
 
   def registerEncoding(name: String, decode: Column => Column): Unit =

@@ -418,6 +418,57 @@ class DynamicJsonSpec extends SparkTestBase {
     )) == Seq(true, false, false, false))
   }
 
+  test("duplicate object keys decode last-wins (Go encoding/json parity)") {
+    // Spark's variant parser rejects duplicate keys; the reference decodes
+    // with Go's encoding/json, which keeps the LAST value silently. The
+    // Jackson-normalize fallback (JsonNormExpr, evaluated only when the
+    // native parse rejects) restores parity — and stays fail-closed:
+    // malformed text and trailing tokens (which Go also rejects) still
+    // fail !parse.
+    val spec = """{"columns":{"j":{"json":{"properties":{"a":{"minimum":2}}}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"a":1,"a":2}""",     // last wins → 2 → valid
+      """{"a":2,"a":1}""",     // last wins → 1 → below the bound
+      """{"a":1,"a":2""",      // malformed: still !parse
+      """{"a":2} {"a":2}"""    // trailing top-level token: Go rejects too
+    )) == Seq(true, false, false, false))
+
+    // deep equality sees the DEDUPED object; numbers survive the re-render
+    // digit-exact and keep their storage class (exponent notation stays
+    // DOUBLE-stored → shortest-repr canon)
+    val constSpec =
+      """{"columns":{"j":{"json":{"const":{"a":2,"x":3.602879701896397e16}}}}}"""
+    assert(validsOf(constSpec, Seq(
+      """{"a":1,"a":2,"x":3.602879701896397e16}""",
+      """{"x":3.6028797018963969e16,"a":2,"x":3.602879701896397e16}""",
+      """{"a":1,"a":3,"x":3.602879701896397e16}"""
+    )) == Seq(true, true, false))
+
+    // nested duplicate keys dedup too (the normalize pass is a full-tree
+    // re-serialization), and digit-exact fractions are preserved
+    val deep = """{"columns":{"j":{"json":{"properties":{"o":{"const":{"b":1.0000000000001}}}}}}}"""
+    assert(validsOf(deep, Seq(
+      """{"o":{"b":2,"b":1.0000000000001}}""",
+      """{"o":{"b":2,"b":1.0000000000002}}"""
+    )) == Seq(true, false))
+
+    // trailing content after EVERY value shape fails !parse (Go:
+    // "invalid character after top-level value", loader.go:262-264 —
+    // Spark's native parser would silently validate the prefix), while
+    // whitespace padding and escape-laden strings stay fine
+    val anySpec = """{"columns":{"j":{"json":true}}}"""
+    assert(validsOf(anySpec, Seq(
+      "1 2",                      // scalar then scalar
+      """"a" "b"""",              // string then string
+      "[1]x",                     // container then junk
+      """{"a":2},""",             // container then comma
+      "true false",
+      """  {"a":2}  """,          // padding ok
+      """ "quote \" brace }" """, // escaped quote; structural char in string
+      "1e5 "
+    )) == Seq(false, false, false, false, false, true, true, true))
+  }
+
   test("type integer uses the exact zero-fraction rule on the canonical text") {
     val spec = """{"columns":{"j":{"json":{"type":"integer"}}}}"""
     assert(validsOf(spec, Seq(

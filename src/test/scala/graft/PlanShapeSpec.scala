@@ -53,8 +53,16 @@ class PlanShapeSpec extends SparkTestBase {
     // variant walks repeat the parse per check — 10× wall at sf0.1
     val plan = Queries3.qValidateJsonDynamic(spark, dir)
       .queryExecution.executedPlan.toString
+    // one parse SITE = 2 textual parseJson arms: the native hot arm plus
+    // the Go-parity Jackson-normalize fallback, which Coalesce evaluates
+    // only on rows the native arm rejected — per-row cost on well-formed
+    // JSON is still ONE parse
     val parses = "parseJson".r.findAllIn(plan).size
-    assert(parses == 1, s"expected exactly 1 parseJson, got $parses")
+    assert(parses == 2, s"expected exactly 2 parseJson (native + fallback arm), got $parses")
+    val norms = "json_go_norm".r.findAllIn(plan).size
+    assert(norms == 1, s"expected exactly 1 json_go_norm fallback, got $norms")
+    val guards = "json_one_value".r.findAllIn(plan).size
+    assert(guards == 1, s"expected exactly 1 json_one_value guard, got $guards")
     val schemaWalks = "schemaOfVariant".r.findAllIn(plan).size
     assert(schemaWalks <= 2, s"expected <=2 schemaOfVariant (root+child), got $schemaWalks")
   }
@@ -63,13 +71,17 @@ class PlanShapeSpec extends SparkTestBase {
     // regression guard: the contentSchema recursion must bind its
     // try_parse_json(decoded) once — unbound it would re-inline per nested
     // check (the round-2 failure mode). The honest floor is 3 single-use
-    // parses: the outer document, the application/json media-type predicate
-    // (an opaque registry function with its own parse), and the bound
-    // contentSchema parse of the decoded payload.
+    // parse SITES — the outer document, the application/json media-type
+    // predicate (an opaque registry function with its own parse), and the
+    // bound contentSchema parse of the decoded payload — each carrying 2
+    // textual arms (native + lazily-evaluated Go-parity fallback).
     val plan = Queries3.qValidateContentDynamic(spark, dir)
       .queryExecution.executedPlan.toString
     val parses = "parseJson".r.findAllIn(plan).size
-    assert(parses <= 3, s"expected <=3 single-use parseJson, got $parses")
+    assert(parses <= 6, s"expected <=6 parseJson (3 sites x 2 arms), got $parses")
+    val norms = "json_go_norm".r.findAllIn(plan).size
+    assert(norms <= 3 && norms * 2 == parses,
+      s"fallback arms must pair 1:1 with native parses: $norms norms, $parses parses")
   }
 
   test("static JSON plan evaluates from_json once per row") {
