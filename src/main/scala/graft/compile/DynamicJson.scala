@@ -469,7 +469,7 @@ object DynamicJson {
         // top-level parse (the reference decodes content via the same
         // UnmarshalJSON, content.go:47-48)
         val parsed = b(when(
-          (t === "string") && graft.functions.JsonOneValueExpr.col(contentValue),
+          (t === "string") && graft.functions.JsonGoLexExpr.col(contentValue),
           coalesce(
             try_parse_json(contentValue),
             try_parse_json(graft.functions.JsonNormExpr.col(contentValue)))))
@@ -668,7 +668,7 @@ object DynamicJson {
     //    Go errors "invalid character after top-level value" — the
     //    codegen'd one-pass lexical guard nulls the parse so such rows
     //    fail !parse like any malformed document.
-    val parsed = when(graft.functions.JsonOneValueExpr.col(jsonCol),
+    val parsed = when(graft.functions.JsonGoLexExpr.col(jsonCol),
       coalesce(try_parse_json(jsonCol),
         try_parse_json(graft.functions.JsonNormExpr.col(jsonCol))))
     // the parse feeds EVERY check below — bind it so it runs once per row

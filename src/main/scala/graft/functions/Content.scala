@@ -30,8 +30,8 @@ object Content {
     // UnmarshalJSON, loader.go:255-266): duplicate keys are valid (last
     // wins — Jackson-normalize fallback, evaluated only when the native
     // parse rejects), trailing content after the first value is NOT
-    // (one-pass lexical guard) — see JsonNormExpr / JsonOneValueExpr
-    "application/json" -> (v => JsonOneValueExpr.col(v) &&
+    // (one-pass lexical guard) — see JsonNormExpr / JsonGoLexExpr
+    "application/json" -> (v => JsonGoLexExpr.col(v) &&
       coalesce(try_parse_json(v), try_parse_json(JsonNormExpr.col(v))).isNotNull)
   )
 

@@ -83,39 +83,54 @@ object JsonNormExpr {
     GraftColumnBridge.column(JsonNormExpr(GraftColumnBridge.expression(c)))
 }
 
-/** Lexical one-top-level-value guard — the other half of Go-decoder parity.
+/** Go-decoder lexical acceptance guard — the other half of parse parity.
   *
-  * Spark's variant parser ACCEPTS trailing content after a complete value
-  * (`'{"a":2} x'` parses to `{"a":2}`, `'1 2'` to `1` — measured), while
-  * the reference rejects it explicitly: loader.go:262-264 drains the
-  * decoder after the first value and errors with "invalid character after
-  * top-level value". This expression scans the text once (escape-aware
-  * string state + container depth for objects/arrays, the JSON token
-  * alphabet for scalars) and answers whether exactly ONE value is followed
-  * by only whitespace. It does NOT validate the value itself — it runs in
-  * CONJUNCTION with `try_parse_json`, which validates the prefix; the
-  * conjunction equals Go's accept set on every probed divergence class.
-  * Single byte pass, codegen'd — structural chars are ASCII, so UTF-8
-  * continuation bytes (only legal inside strings) pass through the
-  * in-string state untouched.
+  * Two measured divergences between Spark's variant parser and the
+  * reference's Go decode, both handled by ONE single-pass byte scan:
+  *
+  *  1. TRAILING CONTENT: Spark accepts text after a complete value
+  *     (`'{"a":2} x'` parses to `{"a":2}`, `'1 2'` to `1`), while the
+  *     reference drains the decoder and errors "invalid character after
+  *     top-level value" (loader.go:262-264). The scan (escape-aware string
+  *     state + container depth, JSON token alphabet for scalars) answers
+  *     whether exactly one value is followed by only whitespace.
+  *  2. NUMBER RANGE: Spark SATURATES out-of-double-range numbers at any
+  *     nesting depth (`1e999` → +Infinity, `1e-324` → 0.0 — measured),
+  *     silently flipping bound/const/multipleOf verdicts; Go's float64
+  *     decode errors loudly on the same inputs (strconv ErrRange →
+  *     "cannot unmarshal"), and its json.Number mode keeps them exact —
+  *     either way the reference never silently mis-verdicts. Since the
+  *     variant CANNOT represent these values, the guard rejects them and
+  *     the row fails `!parse` — the reference's float64-mode refusal.
+  *     Outside strings, every number token is lexed and its magnitude
+  *     exponent checked against the double range; the 17-significant-digit
+  *     boundary compare matches strconv's accept set except within a
+  *     sub-ulp band at the exact max/min boundary (documented, loud
+  *     either way).
+  *
+  * The guard does NOT validate syntax — it runs in CONJUNCTION with
+  * `try_parse_json`, which validates the value; the conjunction equals
+  * Go's accept set on every probed divergence class. Codegen'd; structural
+  * chars are ASCII, so UTF-8 continuation bytes (only legal inside
+  * strings) pass through the in-string state untouched.
   */
-case class JsonOneValueExpr(child: Expression) extends UnaryExpression {
+case class JsonGoLexExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = child.nullable
-  override def prettyName: String = "json_one_value"
+  override def prettyName: String = "json_go_lex"
 
   override protected def nullSafeEval(input: Any): Any =
-    JsonOneValueExpr.oneValue(input.asInstanceOf[UTF8String])
+    JsonGoLexExpr.goLexOk(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.JsonOneValueExpr.oneValue($c)")
+      s"graft.functions.JsonGoLexExpr.goLexOk($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): JsonOneValueExpr =
+  override protected def withNewChildInternal(newChild: Expression): JsonGoLexExpr =
     copy(child = newChild)
 }
 
-object JsonOneValueExpr {
+object JsonGoLexExpr {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
 
@@ -125,7 +140,67 @@ object JsonOneValueExpr {
     (b >= '0' && b <= '9') || (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       b == '+' || b == '-' || b == '.'
 
-  def oneValue(s: UTF8String): Boolean = {
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  // double max 1.7976931348623157e308; half of the min subnormal
+  // 2.4703282292062327e-324 (below it strconv/Java round to exact 0)
+  private final val MaxSig17 = "17976931348623157"
+  private final val MinSig17 = "24703282292062327"
+
+  /** Is the number token in s[st, end) within finite double range?
+    * Computes the magnitude exponent (value = d.ddd × 10^magExp) from the
+    * digit layout + explicit exponent; 17-significant-digit string compare
+    * at the two boundary magnitudes. Zero mantissas are always in range.
+    */
+  private def numInRange(s: UTF8String, st: Int, end: Int): Boolean = {
+    var i = st
+    if (i < end && (s.getByte(i) == '-' || s.getByte(i) == '+')) i += 1
+    var digitsBeforePoint = 0
+    var leadingZeros = 0
+    var seenNonzero = false
+    var sigCount = 0
+    val sig = new java.lang.StringBuilder(18)
+    var inFraction = false
+    var exp = 0L
+    var break = false
+    while (i < end && !break) {
+      val b = s.getByte(i)
+      if (isDigit(b)) {
+        if (!inFraction) digitsBeforePoint += 1
+        if (!seenNonzero) {
+          if (b == '0') leadingZeros += 1 else seenNonzero = true
+        }
+        if (seenNonzero && sigCount < 17) { sig.append(b.toChar); sigCount += 1 }
+        i += 1
+      } else if (b == '.') { inFraction = true; i += 1 }
+      else if (b == 'e' || b == 'E') {
+        i += 1
+        var negExp = false
+        if (i < end && (s.getByte(i) == '-' || s.getByte(i) == '+')) {
+          negExp = s.getByte(i) == '-'; i += 1
+        }
+        var e = 0L
+        while (i < end && isDigit(s.getByte(i))) {
+          if (e < 10000000L) e = e * 10 + (s.getByte(i) - '0')
+          i += 1
+        }
+        exp = if (negExp) -e else e
+        break = true
+      } else break = true // malformed tail: the native parser's problem
+    }
+    if (!seenNonzero) return true // ±0 at any exponent is exactly 0
+    val magExp = exp + (digitsBeforePoint - 1 - leadingZeros)
+    if (magExp > 308 || magExp < -324) return false
+    if (magExp == 308 || magExp == -324) {
+      while (sig.length() < 17) sig.append('0')
+      val s17 = sig.toString
+      if (magExp == 308 && s17.compareTo(MaxSig17) > 0) return false
+      if (magExp == -324 && s17.compareTo(MinSig17) < 0) return false
+    }
+    true
+  }
+
+  def goLexOk(s: UTF8String): Boolean = {
     val n = s.numBytes()
     var i = 0
     while (i < n && isWs(s.getByte(i))) i += 1
@@ -134,15 +209,26 @@ object JsonOneValueExpr {
     if (c0 == '{' || c0 == '[') {
       var depth = 0
       var inStr = false
+      var numStart = -1
       var done = false
       while (i < n && !done) {
         val b = s.getByte(i)
         if (inStr) {
           if (b == '\\') i += 1 // skip the escaped byte
           else if (b == '"') inStr = false
-        } else if (b == '"') inStr = true
-        else if (b == '{' || b == '[') depth += 1
-        else if (b == '}' || b == ']') { depth -= 1; if (depth == 0) done = true }
+        } else {
+          // outside strings, a number token starts at '-' or a digit and
+          // spans the scalar alphabet ('e'/'E' appear in no other token)
+          if (numStart < 0) {
+            if (b == '-' || isDigit(b)) numStart = i
+          } else if (!isScalarByte(b) && b != '.') {
+            if (!numInRange(s, numStart, i)) return false
+            numStart = -1
+          }
+          if (b == '"') inStr = true
+          else if (b == '{' || b == '[') depth += 1
+          else if (b == '}' || b == ']') { depth -= 1; if (depth == 0) done = true }
+        }
         i += 1
       }
       if (!done) return false // unterminated (native rejects too)
@@ -157,12 +243,15 @@ object JsonOneValueExpr {
       }
       if (!closed) return false
     } else {
+      val st = i
       while (i < n && isScalarByte(s.getByte(i))) i += 1
+      val b0 = s.getByte(st)
+      if ((b0 == '-' || isDigit(b0)) && !numInRange(s, st, i)) return false
     }
     while (i < n && isWs(s.getByte(i))) i += 1
     i == n
   }
 
   def col(c: Column): Column =
-    GraftColumnBridge.column(JsonOneValueExpr(GraftColumnBridge.expression(c)))
+    GraftColumnBridge.column(JsonGoLexExpr(GraftColumnBridge.expression(c)))
 }

@@ -82,8 +82,14 @@ class DynamicJsonSpec extends SparkTestBase {
       """[2, 2.0]""",
       """[1.0000000000001, 1.0000000000002]""",
       """[1.0000000000001, 1.0000000000001]""",
-      """[1e308, 2e308]"""               // beyond decimal range: raw-text arm
-    )) == Seq(false, true, false, true))
+      """[1e308, 1.5e308]""", // beyond decimal range (double storage), in
+                              // double range (2e308 would overflow — the
+                              // Go-lex guard rejects THAT loudly, see the
+                              // range-parity test)
+      """[1e308, 2e308]"""    // 2e308 > double max: the whole document
+                              // fails !parse (Go float64 decode errors on
+                              // range, never silently saturates to Inf)
+    )) == Seq(false, true, false, true, false))
   }
 
   test("nested object properties + required via variant paths") {
@@ -467,6 +473,27 @@ class DynamicJsonSpec extends SparkTestBase {
       """ "quote \" brace }" """, // escaped quote; structural char in string
       "1e5 "
     )) == Seq(false, false, false, false, false, true, true, true))
+
+    // number RANGE parity: Spark's variant silently saturates
+    // out-of-double-range numbers (1e999 → Infinity, 1e-999 → 0.0 —
+    // measured), flipping verdicts; Go's float64 decode errors on range
+    // (strconv ErrRange), so the Go-lex guard fails such documents at
+    // !parse — loud, never silently saturated. In-range extremes (double
+    // max, min subnormal) stay accepted; zero mantissa at any exponent is
+    // exactly 0; digits INSIDE strings are not numbers.
+    assert(validsOf(anySpec, Seq(
+      "1e999", "-1e999", "1e-999",
+      "0.00001e-320",                 // = 1e-325: underflows to 0
+      """[{"x":1e999}]""",            // nested: same rule at any depth
+      "2e308",                        // just above double max
+      "1e308", "1.7976931348623157e308", // max double: in range
+      "4.9e-324",                     // min subnormal: in range
+      "0e999999", "-0.0e-999999",     // zero mantissa: exactly 0
+      """ "1e999" """,                // a STRING, not a number
+      "123456789012345678901234567890123456789012345678"  // 48-digit int:
+                                      // huge but finite (1.2e47)
+    )) == Seq(false, false, false, false, false, false,
+              true, true, true, true, true, true, true))
   }
 
   test("type integer uses the exact zero-fraction rule on the canonical text") {

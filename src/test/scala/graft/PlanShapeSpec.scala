@@ -61,8 +61,8 @@ class PlanShapeSpec extends SparkTestBase {
     assert(parses == 2, s"expected exactly 2 parseJson (native + fallback arm), got $parses")
     val norms = "json_go_norm".r.findAllIn(plan).size
     assert(norms == 1, s"expected exactly 1 json_go_norm fallback, got $norms")
-    val guards = "json_one_value".r.findAllIn(plan).size
-    assert(guards == 1, s"expected exactly 1 json_one_value guard, got $guards")
+    val guards = "json_go_lex".r.findAllIn(plan).size
+    assert(guards == 1, s"expected exactly 1 json_go_lex guard, got $guards")
     val schemaWalks = "schemaOfVariant".r.findAllIn(plan).size
     assert(schemaWalks <= 2, s"expected <=2 schemaOfVariant (root+child), got $schemaWalks")
   }
