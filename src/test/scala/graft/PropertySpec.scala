@@ -495,4 +495,40 @@ class PropertySpec extends SparkTestBase {
     assert(got.exists(_._3 == "DOUBLE") &&
       got.exists(_._3.startsWith("DECIMAL")) && got.exists(_._3 == "BIGINT"))
   }
+
+  test("Go-lex range guard: no false rejects on any finite-double text") {
+    // the guard rejects numbers outside finite double range; it must ACCEPT
+    // every rendering of every finite double (legacy toString, shortest
+    // repr, exact binary expansion, uppercase-E, padded zeros) — a false
+    // reject would fail !parse on a document the reference accepts
+    import org.scalacheck.Gen
+    val dGen = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble),
+      Gen.chooseNum(-1e308, 1e308),
+      Gen.oneOf(java.lang.Double.MAX_VALUE, java.lang.Double.MIN_VALUE,
+        java.lang.Double.MIN_NORMAL, 0.0, -0.0, 1e-300, 9.99e307))
+    val ds = Gen.listOfN(4000, dGen)
+      .apply(Gen.Parameters.default, Seed(123L)).get
+      .filter(d => !d.isNaN && !d.isInfinite)
+    def lexOk(t: String): Boolean = graft.functions.JsonGoLexExpr.goLexOk(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    ds.foreach { d =>
+      val renders = Seq(
+        java.lang.Double.toString(d),
+        graft.functions.ExactRatPredExpr.shortestDouble(d).toString,
+        new java.math.BigDecimal(d).toPlainString,
+        java.lang.Double.toString(d).toUpperCase,
+        s"[${java.lang.Double.toString(d)}, 1]",
+        s"""{"x":${java.lang.Double.toString(d)}}""")
+      renders.foreach { t =>
+        assert(lexOk(t), s"false reject of finite double $d as $t")
+      }
+    }
+    // and the refusal class: every rendering beyond the range is rejected
+    Seq("1e999", "-1e999", "2e308", "1.7976931348623159e308", "1e-999",
+      "1e-325", "2e-324", "0.001e312", "1000e306", "[1, 2e308]",
+      """{"deep":[{"x":-3e308}]}""").foreach { t =>
+      assert(!lexOk(t), s"missed out-of-range number in $t")
+    }
+  }
 }
