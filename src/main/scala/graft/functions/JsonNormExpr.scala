@@ -103,10 +103,12 @@ object JsonNormExpr {
   *     variant CANNOT represent these values, the guard rejects them and
   *     the row fails `!parse` — the reference's float64-mode refusal.
   *     Outside strings, every number token is lexed and its magnitude
-  *     exponent checked against the double range; the 17-significant-digit
-  *     boundary compare matches strconv's accept set except within a
-  *     sub-ulp band at the exact max/min boundary (documented, loud
-  *     either way).
+  *     exponent checked against the double range; at the two boundary
+  *     magnitudes the full significand compares EXACTLY against the IEEE
+  *     rounding midpoints (2^1024 - 2^970 overflow, 2^-1075 underflow-to-
+  *     zero), so the accept set equals strconv's — including the sub-ulp
+  *     band (`1.7976931348623158e308` is a finite MaxValue parse, not an
+  *     overflow).
   *
   * The guard does NOT validate syntax — it runs in CONJUNCTION with
   * `try_parse_json`, which validates the value; the conjunction equals
@@ -142,15 +144,46 @@ object JsonGoLexExpr {
 
   private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
 
-  // double max 1.7976931348623157e308; half of the min subnormal
-  // 2.4703282292062327e-324 (below it strconv/Java round to exact 0)
-  private final val MaxSig17 = "17976931348623157"
-  private final val MinSig17 = "24703282292062327"
+  // The EXACT IEEE-754 rounding boundaries, as full decimal digit strings
+  // (both are exact finite decimals):
+  //  - a decimal text parses to a FINITE double iff |x| < 2^1024 - 2^970
+  //    (the MaxValue↔Inf midpoint; an exact tie rounds-half-even to the
+  //    larger-binade even mantissa, i.e. Inf — strconv ErrRange);
+  //  - it rounds to ZERO (Go's nonzero→0 underflow, also ErrRange) iff
+  //    |x| <= 2^-1075 (the 0↔min-subnormal midpoint; the tie rounds to 0).
+  // Significand digits with magnitude exponent 308 / -324 respectively.
+  private final val OverDigits: String = // 2^1024 - 2^970 (309 digits)
+    java.math.BigInteger.ONE.shiftLeft(1024)
+      .subtract(java.math.BigInteger.ONE.shiftLeft(970)).toString
+  private final val UnderDigits: String = // 2^-1075 = 5^1075 × 10^-1075
+    java.math.BigInteger.valueOf(5).pow(1075).toString
+  // enough collected digits to decide against the longer boundary (752):
+  // any nonzero digit past the cap can only make the input LARGER when the
+  // compared prefixes tie, which the truncNonzero flag records
+  private final val SigCap = 800
 
-  /** Is the number token in s[st, end) within finite double range?
-    * Computes the magnitude exponent (value = d.ddd × 10^magExp) from the
-    * digit layout + explicit exponent; 17-significant-digit string compare
-    * at the two boundary magnitudes. Zero mantissas are always in range.
+  /** sig (+"nonzero digits were truncated past SigCap") vs boundary digits,
+    * both read as 0.ddd… at the same magnitude: -1 below, 0 equal, 1 above.
+    */
+  private def cmpSig(sig: java.lang.StringBuilder, truncNonzero: Boolean,
+                     bound: String): Int = {
+    val ls = sig.length(); val lb = bound.length
+    val l = if (ls > lb) ls else lb
+    var k = 0
+    while (k < l) {
+      val a = if (k < ls) sig.charAt(k) else '0'
+      val b = if (k < lb) bound.charAt(k) else '0'
+      if (a != b) return if (a < b) -1 else 1
+      k += 1
+    }
+    if (truncNonzero) 1 else 0
+  }
+
+  /** Is the number token in s[st, end) within the Go/strconv float64 accept
+    * set? Computes the magnitude exponent (value = d.ddd × 10^magExp) from
+    * the digit layout + explicit exponent; at the two boundary magnitudes
+    * the full significand compares EXACTLY against the IEEE rounding
+    * midpoints above (no sub-ulp band). Zero mantissas are always in range.
     */
   private def numInRange(s: UTF8String, st: Int, end: Int): Boolean = {
     var i = st
@@ -159,6 +192,7 @@ object JsonGoLexExpr {
     var leadingZeros = 0
     var seenNonzero = false
     var sigCount = 0
+    var truncNonzero = false
     val sig = new java.lang.StringBuilder(18)
     var inFraction = false
     var exp = 0L
@@ -170,7 +204,10 @@ object JsonGoLexExpr {
         if (!seenNonzero) {
           if (b == '0') leadingZeros += 1 else seenNonzero = true
         }
-        if (seenNonzero && sigCount < 17) { sig.append(b.toChar); sigCount += 1 }
+        if (seenNonzero) {
+          if (sigCount < SigCap) { sig.append(b.toChar); sigCount += 1 }
+          else if (b != '0') truncNonzero = true
+        }
         i += 1
       } else if (b == '.') { inFraction = true; i += 1 }
       else if (b == 'e' || b == 'E') {
@@ -191,12 +228,8 @@ object JsonGoLexExpr {
     if (!seenNonzero) return true // ±0 at any exponent is exactly 0
     val magExp = exp + (digitsBeforePoint - 1 - leadingZeros)
     if (magExp > 308 || magExp < -324) return false
-    if (magExp == 308 || magExp == -324) {
-      while (sig.length() < 17) sig.append('0')
-      val s17 = sig.toString
-      if (magExp == 308 && s17.compareTo(MaxSig17) > 0) return false
-      if (magExp == -324 && s17.compareTo(MinSig17) < 0) return false
-    }
+    if (magExp == 308) return cmpSig(sig, truncNonzero, OverDigits) < 0
+    if (magExp == -324) return cmpSig(sig, truncNonzero, UnderDigits) > 0
     true
   }
 

@@ -531,4 +531,61 @@ class PropertySpec extends SparkTestBase {
       assert(!lexOk(t), s"missed out-of-range number in $t")
     }
   }
+
+  test("Go-lex range guard: EXACT strconv accept set at the IEEE boundaries") {
+    // ground truth: Java's parseDouble is correctly-rounded IEEE like Go's
+    // strconv — a text is in the float64 accept set iff it parses finite
+    // and does not underflow a nonzero value to zero (both are ErrRange
+    // in Go, loud refusals in the reference)
+    def lexOk(t: String): Boolean = graft.functions.JsonGoLexExpr.goLexOk(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    def strconvOk(t: String): Boolean = {
+      val d = java.lang.Double.parseDouble(t)
+      val zeroText = new java.math.BigDecimal(t).signum() == 0
+      !d.isInfinite && (d != 0.0 || zeroText)
+    }
+    // the former sub-ulp band, exact midpoints, ties, and both sides of
+    // each boundary — every case must match strconv exactly
+    val overMid = new java.math.BigDecimal( // 2^1024 - 2^970
+      java.math.BigInteger.ONE.shiftLeft(1024)
+        .subtract(java.math.BigInteger.ONE.shiftLeft(970)))
+    val underMid = java.math.BigDecimal.ONE.divide( // 2^-1075, exact
+      new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(1075)))
+    val cases = Seq(
+      "1.7976931348623157e308",   // MaxValue: finite
+      "1.7976931348623158e308",   // in the sub-ulp band: rounds DOWN, finite
+      "1.797693134862315807e308", // still below the midpoint: finite
+      overMid.toString,           // exact tie: half-even -> Inf (reject)
+      overMid.toPlainString,      // same tie, plain rendering
+      "1.7976931348623159e308",   // above: Inf (reject)
+      "17976931348623158.08e292", // band value, shifted rendering
+      "4.9e-324",                 // min subnormal: accepted
+      "2.5e-324",                 // above 2^-1075: rounds to subnormal
+      "2.4703282292062328e-324",  // just above the midpoint: subnormal
+      underMid.toString,          // exact tie: rounds to 0 (reject)
+      underMid.toPlainString,
+      "2.4703282292062327e-324",  // just below: rounds to 0 (reject)
+      "2.4703282292062326e-324",
+      "2e-324", "1e-324",
+      "0e999", "0.000e-999", "-0e308", // zeros at any exponent: accepted
+      overMid.subtract(new java.math.BigDecimal("1e280")).toString, // < mid
+      underMid.add(new java.math.BigDecimal("1e-1080")).toPlainString, // > mid
+      underMid.subtract(new java.math.BigDecimal("1e-1080")).toPlainString)
+    cases.foreach { t =>
+      assert(lexOk(t) == strconvOk(t),
+        s"guard=${lexOk(t)} strconv=${strconvOk(t)} for $t")
+    }
+    // randomized band sweep: perturb the two midpoints by tiny exact deltas
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val dOver = new java.math.BigDecimal(rnd.nextInt(2000) - 1000)
+        .multiply(new java.math.BigDecimal("1e281"))
+      val tO = overMid.add(dOver).toString
+      assert(lexOk(tO) == strconvOk(tO), s"over-band mismatch for $tO")
+      val dUnder = new java.math.BigDecimal(rnd.nextInt(2000) - 1000)
+        .multiply(new java.math.BigDecimal("1e-1079"))
+      val tU = underMid.add(dUnder).toPlainString
+      assert(lexOk(tU) == strconvOk(tU), s"under-band mismatch for $tU")
+    }
+  }
 }
