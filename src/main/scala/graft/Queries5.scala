@@ -40,7 +40,8 @@ object Queries5 {
     * memoize by URL, so swapping remotes clears that cache.
     */
   def setDynamicRemotes(remotes: Map[String, String]): Unit = {
-    dynamicRemotes = remotes.map { case (k, v) => k -> mapper.readTree(v) }
+    dynamicRemotes = remotes.map { case (k, v) =>
+      k -> mapper.readTree(graft.functions.SurrogateCanon.canonText(v)) }
     graft.spec.Dialect.clearMetaCache()
   }
   @volatile private var dynamicRemotes: Map[String, com.fasterxml.jackson.databind.JsonNode] = Map.empty

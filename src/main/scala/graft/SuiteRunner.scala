@@ -65,7 +65,8 @@ object SuiteRunner {
         files.flatMap { f: Path =>
           val rel = tests.relativize(f).toString
           val optional = rel.contains("optional/") || rel.contains("optional\\")
-          mapper.readTree(f.toFile).asScala.zipWithIndex.map { case (g, gi) =>
+          graft.spec.Spec.readJsonDocFile(f.toString)
+            .asScala.zipWithIndex.map { case (g, gi) =>
             val desc = Option(g.get("description")).map(_.asText()).getOrElse("")
             val schema = g.get("schema").toString
             val cases = Option(g.get("tests")).map(_.asScala.toVector)

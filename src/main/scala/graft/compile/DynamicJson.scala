@@ -468,11 +468,12 @@ object DynamicJson {
         // same Go-decoder dup-key fallback + one-value guard as the
         // top-level parse (the reference decodes content via the same
         // UnmarshalJSON, content.go:47-48)
+        val cc = graft.functions.SurrogateCanon.col(contentValue)
         val parsed = b(when(
           (t === "string") && graft.functions.JsonGoLexExpr.col(contentValue),
           coalesce(
-            try_parse_json(contentValue),
-            try_parse_json(graft.functions.JsonNormExpr.col(contentValue)))))
+            try_parse_json(cc),
+            try_parse_json(graft.functions.JsonNormExpr.col(cc)))))
         out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder, depth + 1)
       }
     }
@@ -668,9 +669,14 @@ object DynamicJson {
     //    Go errors "invalid character after top-level value" — the
     //    codegen'd one-pass lexical guard nulls the parse so such rows
     //    fail !parse like any malformed document.
+    //  - lone surrogate escapes: Go decodes `"\ud800"` to U+FFFD, Spark's
+    //    variant to '?' — the length-preserving textual canon rewrites the
+    //    escape to � ahead of BOTH parse arms (the lex guard stays on
+    //    the raw text: the rewrite never changes lexical acceptance).
+    val jc = graft.functions.SurrogateCanon.col(jsonCol)
     val parsed = when(graft.functions.JsonGoLexExpr.col(jsonCol),
-      coalesce(try_parse_json(jsonCol),
-        try_parse_json(graft.functions.JsonNormExpr.col(jsonCol))))
+      coalesce(try_parse_json(jc),
+        try_parse_json(graft.functions.JsonNormExpr.col(jc))))
     // the parse feeds EVERY check below — bind it so it runs once per row
     val v = binder.map(_.bind(parsed)).getOrElse(parsed)
     val parseCheck = Check(

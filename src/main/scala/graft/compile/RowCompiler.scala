@@ -944,10 +944,24 @@ object RowCompiler {
       // reference) it is IGNORED when contentMediaType is absent
       node.contentSchema.filter(_ => node.contentMediaType.nonEmpty).foreach { cs =>
         val st = sparkTypeOf(cs, kw("contentSchema"))
-        val parsed0 = from_json(contentValue, st)
-        // parse once per row, not once per emitted check
-        val parsed = binder.map(_.bind(parsed0)).getOrElse(parsed0)
-        out ++= compile(spec, cs, parsed, st, instPath + "!json", stack, binder, depth + 1)
+        st match {
+          case _: StructType | _: ArrayType | _: MapType =>
+            // surrogate canon ahead of from_json: a lone \uD800 escape
+            // decodes to U+FFFD like Go, not a '?'-encoding unpaired char
+            val parsed0 = from_json(
+              graft.functions.SurrogateCanon.col(contentValue), st)
+            // parse once per row, not once per emitted check
+            val parsed = binder.map(_.bind(parsed0)).getOrElse(parsed0)
+            out ++= compile(spec, cs, parsed, st, instPath + "!json", stack, binder, depth + 1)
+          case _ =>
+            // Spark 4's from_json refuses scalar schemas — a scalar
+            // contentSchema goes through the dynamic (variant) compiler,
+            // which is also the reference-faithful shape: content is
+            // decoded as an arbitrary JSON value and type-dispatched at
+            // runtime (validator.go:497-510), surrogate canon included
+            out ++= DynamicJson.checksForJsonColumn(spec, cs, contentValue,
+              instPath + "!json", binder, depth + 1)
+        }
       }
       // json: DYNAMIC validation over variant (runtime type dispatch — the
       // reference's dynamically-typed instance model; see DynamicJson)

@@ -88,7 +88,7 @@ object MetaSpec {
       .sortBy(v => (v.path, v.keyword))
 
   def violations(spark: SparkSession, json: String): Vector[MetaViolation] =
-    violations(spark, mapper.readTree(json))
+    violations(spark, Spec.readJsonDoc(json))
 
   /** The raw violations frame for one document — the single definition of
     * the meta input row shape (the gate and the diagnostics probe both go
@@ -102,7 +102,7 @@ object MetaSpec {
   }
 
   def violationsFrame(spark: SparkSession, json: String): org.apache.spark.sql.DataFrame =
-    violationsFrame(spark, mapper.readTree(json))
+    violationsFrame(spark, Spec.readJsonDoc(json))
 
   /** Gate: throw a typed [[SpecError]] on the first meta-violation (CLI exit
     * 2), mirroring the reference's compile-time metaschema rejection.
@@ -122,7 +122,10 @@ object MetaSpec {
     */
   def enumerateRows(json: String): Seq[(String, String, String)] =
     try {
-      val doc = mapper.readTree(json)
+      // surrogate canon ahead of the node walk: emitted node texts carry
+      // U+FFFD for lone surrogate escapes, like every other schema decode
+      // (the raw root row is canon'd by the engine's own instance path)
+      val doc = mapper.readTree(graft.functions.SurrogateCanon.canonText(json))
       ("#", json, null) +: schemaNodes(doc).map { case (p, n) => (p, null, n.toString) }
     } catch {
       case _: java.io.IOException | _: RuntimeException =>

@@ -588,7 +588,9 @@ object SchemaLint {
     // document is a BUG and must surface, not read as "invalid document".
     // Jackson's default depth limit bounds the walker's recursion.
     val doc =
-      try mapper.readTree(json)
+      // surrogate canon ahead of the walk — emitted node texts must carry
+      // U+FFFD for lone surrogate escapes like every other schema decode
+      try mapper.readTree(graft.functions.SurrogateCanon.canonText(json))
       catch {
         case _: java.io.IOException => return Seq(("#", version, json))
       }
@@ -783,7 +785,7 @@ object SchemaLint {
     // $vocabulary; an unsupported must-understand vocabulary THROWS the
     // typed SpecError here (the reference jv exits 2). Unreachable metas
     // keep the document out of the gate's scope, as before.
-    val customs = (try Option(mapper.readTree(schemaJson))
+    val customs = (try Option(Spec.readJsonDoc(schemaJson))
                    catch { case _: java.io.IOException => None })
       .filter(_.isObject)
       .flatMap(o => Option(o.get("$schema")).filter(_.isTextual)

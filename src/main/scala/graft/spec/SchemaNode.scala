@@ -346,7 +346,7 @@ object Dialect {
     * self-contained (its own `$defs`, no external refs).
     */
   def registerVocabularySchema(uri: String, schemaJson: String): Unit =
-    vocabSchemas.put(uri.stripSuffix("#"), Spec.jsonMapper.readTree(schemaJson))
+    vocabSchemas.put(uri.stripSuffix("#"), Spec.readJsonDoc(schemaJson))
 
   private[graft] def registeredVocabSchema(uri: String) =
     vocabSchemas.get(uri.stripSuffix("#"))

@@ -396,7 +396,22 @@ object Spec {
     m
   }
 
-  def fromJson(json: String): Spec = parse(mapper.readTree(json))
+  /** JSON-document read with Go-decoder surrogate parity: lone `\uXXXX`
+    * surrogate escapes canonicalize to `�` BEFORE Jackson, so schema
+    * string constants carry U+FFFD exactly like the reference's
+    * encoding/json decode (a Jackson-kept U+D800 would re-encode as '?' on
+    * the way into a Catalyst literal). Instance text gets the same rule via
+    * [[graft.functions.SurrogateCanonExpr]] — both sides agree with Go.
+    */
+  private[graft] def readJsonDoc(json: String): JsonNode =
+    mapper.readTree(graft.functions.SurrogateCanon.canonText(json))
+
+  private[graft] def readJsonDocFile(path: String): JsonNode =
+    readJsonDoc(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromJson(json: String): Spec = parse(readJsonDoc(json))
 
   /** YAML specs — mirrors the reference CLI's YAML loader
     * (/root/reference/cmd/jv/loader.go:50-114).
@@ -407,13 +422,13 @@ object Spec {
     * meta-spec validation first ([[MetaSpec.check]]) load the document, gate
     * it, then [[parse]] it.
     */
-  def documentFromJson(json: String): JsonNode = mapper.readTree(json)
+  def documentFromJson(json: String): JsonNode = readJsonDoc(json)
 
   def documentFromFile(path: String): JsonNode =
     try {
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
         yamlMapper.readTree(new java.io.File(path))
-      else mapper.readTree(new java.io.File(path))
+      else readJsonDocFile(path)
     } catch {
       // unreadable/malformed files keep the typed SpecError contract
       // (CLI exit 2), like the loader registry
@@ -504,11 +519,11 @@ object Spec {
       val path = url.stripPrefix("file://").stripPrefix("file:")
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
         yamlMapper.readTree(new java.io.File(path))
-      else mapper.readTree(new java.io.File(path))
+      else readJsonDocFile(path)
     },
     // inline payloads must percent-encode '#' as %23 (and '%' as %25) per
     // RFC 3986 — a raw '#' would start the URL's fragment. Decoded here.
-    "inline+json" -> (s => mapper.readTree(pctDecodeHash(s.stripPrefix("inline+json:")))),
+    "inline+json" -> (s => readJsonDoc(pctDecodeHash(s.stripPrefix("inline+json:")))),
     "inline+yaml" -> (s => yamlMapper.readTree(pctDecodeHash(s.stripPrefix("inline+yaml:")))),
     // OFFICIAL META-SCHEMAS served offline: http(s)://json-schema.org/...
     // resolves from documents bundled on the classpath — the reference's
