@@ -71,6 +71,11 @@ class DifferentialFuzzSpec extends SparkTestBase {
     Gen.oneOf("^a", "b$", "^[a-z-]+$", "x").map(p => s""""pattern":"$p""""),
     Gen.const(""""enum":["","a","ab-9","hello"]"""),
     Gen.const(""""const":"ab-9""""),
+    // a lone-surrogate ESCAPE in the spec document: both compilers must
+    // read it as U+FFFD (SurrogateCanon ahead of the schema parse), so a
+    // data string holding the real replacement char matches on both sides
+    Gen.const(""""const":"\\ud800""""),
+    Gen.const(""""enum":["�","a�b"]"""),
     Gen.const(""""format":"ipv4""""))
 
   private val arrayKw: Gen[String] = Gen.oneOf(
@@ -123,7 +128,11 @@ class DifferentialFuzzSpec extends SparkTestBase {
 
   private val stringGen: Gen[String] = Gen.frequency(
     8 -> Gen.oneOf("", "a", "ab-9", "abc", "hello", "b", "xxb", "AB",
-      "1.2.3.4", "999.1.1.1", "héllo"),
+      "1.2.3.4", "999.1.1.1", "héllo",
+      // U+FFFD data — what a lone-surrogate escape decodes to on both
+      // sides (a RAW lone surrogate is not representable in UTF-8, so
+      // the replacement char IS the whole observable class)
+      "�", "a�b"),
     1 -> Gen.const(null))
 
   private val doubleGenNN: Gen[java.lang.Double] = Gen.oneOf(
