@@ -1152,6 +1152,18 @@ object RowCompiler {
               if (instPath.isEmpty) k else s"$instPath/$k", stack, binder, depth + 1)
           } // absent field: subschema vacuous
         }
+        // patternProperties over a STRUCT: field names are static, so each
+        // regex is matched against them at compile time — through the
+        // engine-paired hook (Formats.staticPatternMatch), like the uneval
+        // static lowering, so a custom engine keeps struct and map columns
+        // agreeing — and the paired subschema applies to matching fields
+        // (absent field: vacuous, same as properties)
+        node.patternProperties.foreach { case (re, ps) =>
+          st.fields.filter(f => Formats.staticPatternMatch(f.name, re)).foreach { f =>
+            out ++= compile(spec, ps, v.getField(f.name), f.dataType,
+              if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
+          }
+        }
         node.dependentRequired.foreach { case (k, reqs) =>
           if (fields.contains(k)) {
             val core = reqs.map(r => if (fields.contains(r)) v.getField(r).isNotNull else lit(false))
@@ -1199,16 +1211,31 @@ object RowCompiler {
             concat(lstr("maxProperties: got "), nProps.cast(StringType), lstr(s", want <= $n")),
             ErrorKind.MaxProperties(n))
         }
-        // additionalProperties=false over a closed struct is statically true;
-        // a subschema form applies to fields not named in `properties`
-        node.additionalProperties.foreach {
-          case Left(_)   => // struct is statically closed — nothing to check
-          case Right(as) =>
-            val known = node.properties.map(_._1).toSet
-            st.fields.filterNot(f => known.contains(f.name)).foreach { f =>
-              out ++= compile(spec, as, v.getField(f.name), f.dataType,
-                if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
-            }
+        // additionalProperties over a STRUCT: the field SET is closed, but a
+        // PRESENT (non-null) field not covered by `properties` or a
+        // `patternProperties` regex is still an additional property
+        // (/root/reference/validator.go:252-266 under the NULL=absent
+        // convention) — `false` requires it absent, the subschema form
+        // applies to its value
+        node.additionalProperties.foreach { ap =>
+          val extra = st.fields.filterNot(f =>
+            node.properties.exists(_._1 == f.name) ||
+              node.patternProperties.exists(p =>
+                Formats.staticPatternMatch(f.name, p._1)))
+          ap match {
+            case Left(true) =>
+            case Left(false) =>
+              extra.foreach { f =>
+                add(kw("additionalProperties"), vac(v, v.getField(f.name).isNull),
+                  lstr(s"additionalProperties: unexpected property '${f.name}'"),
+                  ErrorKind.AdditionalPropertiesK)
+              }
+            case Right(as) =>
+              extra.foreach { f =>
+                out ++= compile(spec, as, v.getField(f.name), f.dataType,
+                  if (instPath.isEmpty) f.name else s"$instPath/${f.name}", stack, binder, depth + 1)
+              }
+          }
         }
         // unevaluatedProperties — static lowering over the struct's known
         // field set when the evaluated set is compile-time-known: a
