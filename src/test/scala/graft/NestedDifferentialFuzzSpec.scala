@@ -33,7 +33,7 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
 
   // ---- spec fragments over the object column ----
 
-  private val fieldNames = Seq("x", "y", "arr", "sub")
+  private val fieldNames = Seq("x", "y", "arr", "sub", "objs", "tags")
 
   private val requiredKw: Gen[String] = for {
     n <- Gen.chooseNum(1, 2)
@@ -89,14 +89,42 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
     Gen.const("""{"minProperties":1}"""),
     Gen.const("""{"propertyNames":{"pattern":"^[pq]$"}}"""))
 
+  // object keywords applied PER ELEMENT of an array<struct> — a different
+  // compile path than top-level struct columns (lambda-variable values
+  // inside forall/exists), plus deep struct equality for uniqueItems
+  private val objsSpec: Gen[String] = Gen.oneOf(
+    Gen.const("""{"items":{"required":["m"]}}"""),
+    Gen.chooseNum(-2L, 8L).map(b =>
+      s"""{"items":{"properties":{"m":{"minimum":$b}}}}"""),
+    Gen.const("""{"contains":{"required":["n"]},"minContains":1}"""),
+    Gen.const("""{"items":{"dependentRequired":{"m":["n"]}}}"""),
+    Gen.const("""{"uniqueItems":true}"""),
+    Gen.const("""{"items":{"additionalProperties":{"minimum":0}}}"""),
+    Gen.const("""{"items":{"propertyNames":{"maxLength":1}},"minItems":1}"""))
+
+  // map<string,long> field: the map object arm under NESTING (top-level map
+  // columns are covered by ObjectArraySpec; here the map is a struct field)
+  private val tagsSpec: Gen[String] = Gen.oneOf(
+    Gen.const("""{"required":["ka"]}"""),
+    Gen.chooseNum(-2L, 8L).map(b =>
+      s"""{"properties":{"ka":{"minimum":$b}}}"""),
+    Gen.const("""{"patternProperties":{"^k":{"multipleOf":2}}}"""),
+    Gen.const("""{"properties":{"ka":{}},"additionalProperties":false}"""),
+    Gen.const("""{"propertyNames":{"pattern":"^k[ab]$"}}"""),
+    Gen.const("""{"minProperties":1}"""),
+    Gen.const("""{"dependentRequired":{"ka":["kb"]}}"""))
+
   private val propertiesKw: Gen[String] = for {
     px <- xSpec // at least one entry, so the fragment is never empty
     py <- Gen.option(ySpec)
     pa <- Gen.option(arrSpec)
     ps <- Gen.option(subSpec)
+    po <- Gen.option(objsSpec)
+    pt <- Gen.option(tagsSpec)
     entries = Seq(Some(s""""x":$px"""),
       py.map(s => s""""y":$s"""),
-      pa.map(s => s""""arr":$s"""), ps.map(s => s""""sub":$s""")).flatten
+      pa.map(s => s""""arr":$s"""), ps.map(s => s""""sub":$s"""),
+      po.map(s => s""""objs":$s"""), pt.map(s => s""""tags":$s""")).flatten
   } yield s""""properties":{${entries.mkString(",")}}"""
 
   // additionalProperties over a subset: non-covered fields must be ABSENT
@@ -201,12 +229,35 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
     1 -> Gen.const(Row(java.lang.Long.valueOf(1L), "a")),
     2 -> Gen.const(null.asInstanceOf[Row]))
 
+  // array<struct> elements: m/n absent via null; whole-element JSON null too
+  private val objsElem: Gen[Row] = Gen.frequency(
+    4 -> (for { m <- xGen; nm <- yGen } yield Row(m, nm)),
+    1 -> Gen.const(null.asInstanceOf[Row]))
+
+  private val objsGen: Gen[Seq[Row]] = Gen.frequency(
+    3 -> Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, objsElem)),
+    1 -> Gen.const(Seq(Row(java.lang.Long.valueOf(1L), "a"),
+      Row(java.lang.Long.valueOf(1L), "a"))), // duplicate structs
+    1 -> Gen.const(Seq.empty[Row]),
+    3 -> Gen.const(null.asInstanceOf[Seq[Row]]))
+
+  // map values: JSON null value = key PRESENT with null value (distinct
+  // from an absent key — unlike struct fields, where null = absent)
+  private val tagsGen: Gen[Map[String, java.lang.Long]] = Gen.frequency(
+    2 -> (for { a <- xGen; b <- xGen } yield Map("ka" -> a, "kb" -> b)),
+    1 -> xGen.map(a => Map("ka" -> a)),
+    1 -> xGen.map(b => Map("kb" -> b, "zz" -> b)),
+    1 -> Gen.const(Map.empty[String, java.lang.Long]),
+    3 -> Gen.const(null.asInstanceOf[Map[String, java.lang.Long]]))
+
   private val objGen: Gen[Row] = Gen.frequency(
-    8 -> (for { x <- xGen; y <- yGen; a <- arrGen; s <- subGen }
-      yield Row(x, y, a, s)),
+    8 -> (for { x <- xGen; y <- yGen; a <- arrGen; s <- subGen
+                os <- objsGen; tg <- tagsGen }
+      yield Row(x, y, a, s, os, tg)),
     // the const instance, so whole-object const is satisfiable
     1 -> Gen.const(Row(java.lang.Long.valueOf(2L), "ab",
-      Seq(0.1, 2.0).map(java.lang.Double.valueOf), Row(java.lang.Long.valueOf(1L), "a"))),
+      Seq(0.1, 2.0).map(java.lang.Double.valueOf), Row(java.lang.Long.valueOf(1L), "a"),
+      null, null)),
     1 -> Gen.const(null.asInstanceOf[Row]))
 
   private val typedSchema = StructType(Seq(
@@ -217,7 +268,12 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
       StructField("arr", ArrayType(DoubleType, containsNull = true)),
       StructField("sub", StructType(Seq(
         StructField("p", LongType),
-        StructField("q", StringType)))))))))
+        StructField("q", StringType)))),
+      StructField("objs", ArrayType(StructType(Seq(
+        StructField("m", LongType),
+        StructField("n", StringType))), containsNull = true)),
+      StructField("tags", MapType(StringType, LongType,
+        valueContainsNull = true)))))))
 
   // driver-side JSON encoder: null fields omitted, doubles via
   // shortestDouble (see DifferentialFuzzSpec — to_json's legacy Jackson
@@ -250,6 +306,30 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
         if (p != null) sn.put("p", p.longValue())
         if (q != null) sn.put("q", q)
       }
+      val os = o.get(4).asInstanceOf[Seq[Row]]
+      if (os != null) {
+        val arr = node.putArray("objs")
+        os.foreach { e =>
+          if (e == null) { arr.addNull(); () }
+          else {
+            val en = arr.addObject()
+            val m = e.get(0).asInstanceOf[java.lang.Long]
+            val nm = e.get(1).asInstanceOf[String]
+            if (m != null) en.put("m", m.longValue())
+            if (nm != null) en.put("n", nm)
+          }
+        }
+      }
+      val tg = o.get(5).asInstanceOf[Map[String, java.lang.Long]]
+      if (tg != null) {
+        val tn = node.putObject("tags")
+        // deterministic key order (semantically irrelevant; keeps failures
+        // reproducible); a null map VALUE encodes as JSON null — the key is
+        // present, unlike a null struct field
+        tg.toSeq.sortBy(_._1).foreach { case (k2, v2) =>
+          if (v2 == null) tn.putNull(k2) else { tn.put(k2, v2.longValue()); () }
+        }
+      }
     }
     jm.writeValueAsString(root)
   }
@@ -267,8 +347,16 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
         .zipWithIndex.map { case (o, k) => Row(k.toLong, o) }
 
       val df = spark.createDataFrame(rows.asJava, typedSchema)
+      // every 4th spec routes through $defs/$ref indirection, so ref
+      // inlining is fuzzed differentially on both compilers too
+      val viaRef = i % 4 == 0
+      val typedSpecJson =
+        if (viaRef)
+          s"""{"$$defs":{"d":$objSpec},
+              "columns":{"o":{"$$ref":"#/$$defs/d"}}}"""
+        else s"""{"columns":{"o":$objSpec}}"""
       val typedSuite = SuiteCompiler.compile(
-        Spec.fromJson(s"""{"columns":{"o":$objSpec}}"""), df.schema)
+        Spec.fromJson(typedSpecJson), df.schema)
       val typedValid = graft.exec.Validator.annotate(df, typedSuite)
         .select("k", "valid").collect()
         .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
@@ -276,9 +364,13 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
       import spark.implicits._
       val dyn = rows.map(r => (r.getLong(0), encodeObj(r.getStruct(1))))
         .toDF("k", "j")
+      val dynSpecJson =
+        if (viaRef)
+          s"""{"$$defs":{"d":$objSpec},
+              "columns":{"j":{"json":{"properties":{"o":{"$$ref":"#/$$defs/d"}}}}}}"""
+        else s"""{"columns":{"j":{"json":{"properties":{"o":$objSpec}}}}}"""
       val dynSuite = SuiteCompiler.compile(
-        Spec.fromJson(
-          s"""{"columns":{"j":{"json":{"properties":{"o":$objSpec}}}}}"""),
+        Spec.fromJson(dynSpecJson),
         dyn.schema)
       val dynValid = graft.exec.Validator.annotate(dyn, dynSuite)
         .select("k", "valid").collect()
