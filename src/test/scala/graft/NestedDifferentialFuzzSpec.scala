@@ -383,6 +383,29 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
             s"json=${encodeObj(r.getStruct(1))}: " +
             s"typed=${typedValid(k)} dynamic=${dynValid(k)}")
       }
+
+      // ATTRIBUTION probe (env-gated): same failing KEYWORD NAMES per row?
+      if (sys.env.contains("GRAFT_FUZZ_PATHS")) {
+        def kwNames(df0: org.apache.spark.sql.DataFrame,
+                    suite: graft.compile.CompiledSuite): Map[Long, Set[String]] =
+          graft.exec.Validator.annotate(df0, suite)
+            .select(org.apache.spark.sql.functions.col("k"),
+              org.apache.spark.sql.functions.transform(
+                org.apache.spark.sql.functions.col("violations"),
+                x => org.apache.spark.sql.functions.element_at(
+                  org.apache.spark.sql.functions.split(x.getField("keyword"), "/"), -1))
+                .as("kws"))
+            .collect()
+            .map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+        val tk = kwNames(df, typedSuite)
+        val dk = kwNames(dyn, dynSuite)
+        rows.foreach { r =>
+          val k = r.getLong(0)
+          if (tk(k) != dk(k))
+            info(s"ATTR spec #$i $objSpec row k=$k " +
+              s"json=${encodeObj(r.getStruct(1))} typed=${tk(k)} dyn=${dk(k)}")
+        }
+      }
     }
   }
 }
