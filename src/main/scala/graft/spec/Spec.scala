@@ -455,10 +455,12 @@ object Spec {
   private[graft] def tryResolveUrl(base: String, rel: String): Option[String] = {
     if (rel.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) return None // absolute
     val h = rel.indexOf('#')
-    val (relPath, frag) =
+    val (relNoFrag, frag) =
       if (h >= 0) (rel.substring(0, h), rel.substring(h)) else (rel, "")
     val baseNoFrag = { val i = base.indexOf('#'); if (i >= 0) base.substring(0, i) else base }
-    if (relPath.isEmpty) return Some(baseNoFrag + frag)
+    // same-document reference: keep the base's path AND query (RFC 3986
+    // §5.4 "" / "#s" rows)
+    if (relNoFrag.isEmpty) return Some(baseNoFrag + frag)
     // Split the base into root (scheme + authority, untouchable) and path.
     // The authority form is recognized only when "://" immediately follows
     // the scheme — an "://" deeper in the string (e.g. a URL embedded in an
@@ -468,21 +470,48 @@ object Spec {
     if (schemeEnd < 0) return None
     val schemeSep =
       if (baseNoFrag.startsWith("://", schemeEnd)) schemeEnd else -1
+    // network-path reference "//host/p": new authority under the base's
+    // scheme (RFC 3986 §5.4.1 "//g"); only meaningful on a hierarchical base
+    if (relNoFrag.startsWith("//")) {
+      if (schemeSep < 0) return None
+      val pe = relNoFrag.indexWhere(c => c == '/' || c == '?', 2)
+      return Some(
+        if (pe < 0) baseNoFrag.substring(0, schemeEnd + 1) + relNoFrag + frag
+        else {
+          val auth = relNoFrag.substring(0, pe)
+          val qi = relNoFrag.indexOf('?', pe)
+          val (p, q) = if (qi >= 0) (relNoFrag.substring(pe, qi), relNoFrag.substring(qi))
+                       else (relNoFrag.substring(pe), "")
+          baseNoFrag.substring(0, schemeEnd + 1) + auth +
+            (if (p.isEmpty) "" else normalizeDotSegments(p)) + q + frag
+        })
+    }
+    // the reference's query is NOT part of its path: dot-segment
+    // normalization must never see it (§5.4.2 "g?y/./x")
+    val qi = relNoFrag.indexOf('?')
+    val (relPath, relQuery) =
+      if (qi >= 0) (relNoFrag.substring(0, qi), relNoFrag.substring(qi))
+      else (relNoFrag, "")
     val rootEnd =
       if (schemeSep >= 0) {
         val j = baseNoFrag.indexOf('/', schemeSep + 3)
         if (j < 0) baseNoFrag.length else j
       } else schemeEnd + 1
     val root = baseNoFrag.substring(0, rootEnd)
-    val basePath = baseNoFrag.substring(rootEnd)
+    // the base's own query is never carried into a path-changing resolution
+    val afterRoot = baseNoFrag.substring(rootEnd)
+    val bq = afterRoot.indexOf('?')
+    val basePath = if (bq >= 0) afterRoot.substring(0, bq) else afterRoot
+    if (relPath.isEmpty) // query-only reference: keep the base path (§5.4.1 "?y")
+      return Some(root + basePath + relQuery + frag)
     if (relPath.startsWith("/")) // path-absolute: replace the whole path
-      return Some(root + normalizeDotSegments(relPath) + frag)
+      return Some(root + normalizeDotSegments(relPath) + relQuery + frag)
     if (basePath.isEmpty && schemeSep >= 0) // authority, empty path: merge at "/"
-      return Some(root + normalizeDotSegments("/" + relPath) + frag)
+      return Some(root + normalizeDotSegments("/" + relPath) + relQuery + frag)
     if (!basePath.startsWith("/")) return None // opaque base (no hierarchy)
     val dirEnd = basePath.lastIndexOf('/')
     val joined = basePath.substring(0, dirEnd) + "/" + relPath
-    Some(root + normalizeDotSegments(joined) + frag)
+    Some(root + normalizeDotSegments(joined) + relQuery + frag)
   }
 
   /** RFC 3986 §5.2.4 remove_dot_segments over a path that starts with '/':

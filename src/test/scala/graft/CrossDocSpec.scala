@@ -320,6 +320,46 @@ class CrossDocSpec extends SparkTestBase {
     assert(!out(1)._1 && out(1)._2.size == 2, out(1).toString)
   }
 
+  test("tryResolveUrl: the complete RFC 3986 \u00a75.4 reference-resolution table") {
+    // The normative examples, base "http://a/b/c/d;p?q" \u2014 the exact set
+    // Go's url.ResolveReference (the reference's resolver, util.go:41)
+    // implements. "g:h" and "http:g" carry a scheme, so the engine returns
+    // None and the caller treats them as already-absolute (the same final
+    // URL Go's strict parser produces).
+    val base = "http://a/b/c/d;p?q"
+    val normal = Seq(
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g",
+      "//g" -> "http://g", "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y", "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s", "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x", "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s", "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g", "../.." -> "http://a/",
+      "../../" -> "http://a/", "../../g" -> "http://a/g")
+    val abnormal = Seq(
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x")
+    (normal ++ abnormal).foreach { case (rel, want) =>
+      assert(Spec.tryResolveUrl(base, rel).contains(want),
+        s"base=$base rel='$rel' got=${Spec.tryResolveUrl(base, rel)} want=$want")
+    }
+    assert(Spec.tryResolveUrl(base, "g:h").isEmpty)     // already absolute
+    assert(Spec.tryResolveUrl(base, "http:g").isEmpty)  // strict-parser form
+  }
+
   test("tryResolveUrl never pops the authority and drops excess '..' (RFC 3986 \u00a75.2.4)") {
     // the depth-1 case that used to yield 'https://other.json'
     assert(Spec.tryResolveUrl("https://example.com/schema.json", "../other.json")
