@@ -384,6 +384,35 @@ class NestedDifferentialFuzzSpec extends SparkTestBase {
             s"typed=${typedValid(k)} dynamic=${dynValid(k)}")
       }
 
+      // NEGATION metamorphism: {"not": S} must INVERT the verdict for a
+      // present object and stay vacuously valid for an absent one
+      // (/root/reference/validator.go:552-560) — exercises predicate()
+      // composition against the check-list verdict on both compilers
+      val notSuite = SuiteCompiler.compile(
+        Spec.fromJson(s"""{"columns":{"o":{"not":$objSpec}}}"""), df.schema)
+      val notValid = graft.exec.Validator.annotate(df, notSuite)
+        .select("k", "valid").collect()
+        .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+      val dynNotSuite = SuiteCompiler.compile(
+        Spec.fromJson(
+          s"""{"columns":{"j":{"json":{"properties":{"o":{"not":$objSpec}}}}}}"""),
+        dyn.schema)
+      val dynNotValid = graft.exec.Validator.annotate(dyn, dynNotSuite)
+        .select("k", "valid").collect()
+        .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+      rows.foreach { r =>
+        val k = r.getLong(0)
+        val present = r.get(1) != null
+        val want = if (present) !typedValid(k) else true
+        assert(notValid(k) == want,
+          s"NOT spec #$i $objSpec row k=$k o=${r.get(1)}: " +
+            s"S=${typedValid(k)} not-S=${notValid(k)} want=$want")
+        assert(dynNotValid(k) == want,
+          s"NOT-dyn spec #$i $objSpec row k=$k " +
+            s"json=${encodeObj(r.getStruct(1))}: " +
+            s"S=${dynValid(k)} not-S=${dynNotValid(k)} want=$want")
+      }
+
       // ATTRIBUTION probe (env-gated): same failing KEYWORD NAMES per row?
       if (sys.env.contains("GRAFT_FUZZ_PATHS")) {
         def kwNames(df0: org.apache.spark.sql.DataFrame,
