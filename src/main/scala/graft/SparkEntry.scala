@@ -14,9 +14,9 @@ object SparkEntry {
   }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.registry ++ Queries5.registry ++ Queries6.registry ++ Queries7.registry).map { case (k, (fn, _)) => k -> fn }
+    (Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.registry ++ Queries5.registry ++ Queries6.registry ++ Queries7.registry ++ Queries8.registry).map { case (k, (fn, _)) => k -> fn }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    (Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.registry ++ Queries5.registry ++ Queries6.registry ++ Queries7.registry).map { case (k, (_, sql)) => k -> sql }
+    (Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.registry ++ Queries5.registry ++ Queries6.registry ++ Queries7.registry ++ Queries8.registry).map { case (k, (_, sql)) => k -> sql }
 }

@@ -150,8 +150,10 @@ object AudioGen {
   def registerFormats(): Unit = {
     graft.functions.Formats.register("wav", c => decodedSamples(c).isNotNull)
     // the audio bootstrap also brings the decode-derived signal constraint
-    // family (clipping / silence / DC / sr + duration consistency)
+    // family (clipping / silence / DC / sr + duration consistency) and its
+    // metadata-side companion (transcript↔duration consistency)
     AudioChecks.register()
+    TranscriptChecks.register()
   }
 
   /** SNR (dB) of stored bytes vs the expected generated signal, keyed by id —
