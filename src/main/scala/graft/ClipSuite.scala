@@ -56,7 +56,10 @@ object ClipSuite {
 
   /** Signal suite: [[deepSpecJson]] PLUS the decode-derived `audioSignal`
     * constraint family ([[graft.audio.AudioChecks]]) — clipping and silence
-    * checks plus container-vs-metadata sr consistency. (The family also
+    * checks plus container-vs-metadata sr consistency — and the zero-decode
+    * `containerMagic` family ([[graft.audio.MagicChecks]]): codec-column
+    * claims must match the container magic bytes (the corpus's RIFF-mangled
+    * rows fire it on wav/pcm_s16le-labeled rows at wire speed, no decode). (The family also
     * supports DC-offset and duration-consistency checks, exercised with
     * handcrafted clips in AudioChecksSpec; they are left out of THIS suite
     * because the generated corpus deliberately truncates PCM to 1600
@@ -70,6 +73,12 @@ object ClipSuite {
             "srHz": "sr_hz",
             "maxClippingRatio": 0.01, "minRmsDb": -60.0,
             "srConsistent": true },
+        "containerMagic": { "bytes": "bytes", "key": "clip_id",
+            "codec": "codec",
+            "magics": { "wav": [ {"offset": 0, "ascii": "RIFF"},
+                                 {"offset": 8, "ascii": "WAVE"} ],
+                        "pcm_s16le": [ {"offset": 0, "ascii": "RIFF"},
+                                       {"offset": 8, "ascii": "WAVE"} ] } },
         "stats":""")
 
   /** The reference codec dimension table (FIXTURES.md §2). */

@@ -58,14 +58,18 @@ object Queries5 {
     if (!remotesRegistered) {
       Spec.registerLoader("http", { url =>
         val prefix = "http://localhost:1234/"
-        if (url.startsWith(prefix))
-          mapper.readTree(
-            Paths.get(remotesRoot, "remotes", url.stripPrefix(prefix)).toFile)
-        else if (url.stripSuffix("#")
-            .stripPrefix("http://json-schema.org/") != url.stripSuffix("#"))
-          Spec.loadOfficialMeta(url) // bundled official metas stay served
-        else dynamicRemotes.getOrElse(url,
-          throw SpecError(url, s"remote '$url' not found"))
+        // per-case remotes SHADOW the served suite dir, like the reference's
+        // per-test loaders (debug_test.go:64-72 serves only its own map)
+        dynamicRemotes.get(url).getOrElse {
+          if (url.startsWith(prefix))
+            mapper.readTree(
+              Paths.get(remotesRoot, "remotes", url.stripPrefix(prefix)).toFile)
+          else if (url.stripSuffix("#")
+              .stripPrefix("http://json-schema.org/") != url.stripSuffix("#"))
+            Spec.loadOfficialMeta(url) // bundled official metas stay served
+          else
+            throw SpecError(url, s"remote '$url' not found")
+        }
       })
       remotesRegistered = true
     }

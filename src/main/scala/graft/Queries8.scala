@@ -63,8 +63,53 @@ object Queries8 {
          WHERE dur_ms > 1000 AND (transcript IS NULL OR length(transcript) = 0)
        ) ORDER BY instance_path, keyword"""
 
+  /** The container-magic family ([[graft.audio.MagicChecks]]) as an
+    * oracle-checked query: like the transcript family it is pure column
+    * ops (binary substring/compare, zero decode), so the full registered-
+    * family path gets a DuckDB hash gate. The clip frame is derived from
+    * the documents table with ASCII-only synthetic containers (UTF-8 cast
+    * = byte-identical to the SQL string), corruptions seeded on fixed
+    * doc_id moduli: %31 mangles the RIFF magic, %43 truncates below the
+    * WAVE offset, %7 relabels the codec out of the declared-magics scope.
+    */
+  def qContainerMagic(spark: SparkSession, dir: String): DataFrame = {
+    graft.audio.MagicChecks.register()
+    val clips = spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").cast("string").as("clip_id"),
+      when(col("doc_id") % 31 === 0, lit("XXXX9999WAVE"))
+        .when(col("doc_id") % 43 === 0, lit("RI"))
+        .otherwise(lit("RIFF9999WAVEdata")).cast("binary").as("bytes"),
+      when(col("doc_id") % 7 === 0, lit("opus")).otherwise(lit("wav")).as("codec"))
+    val spec =
+      """{"table": {"containerMagic": {
+           "bytes": "bytes", "key": "clip_id", "codec": "codec",
+           "magics": {"wav": [{"offset": 0, "ascii": "RIFF"},
+                              {"offset": 8, "ascii": "WAVE"}]}}}}"""
+    Engine.tableViolations(clips, Engine.compile(spec, clips))
+      .select(col("instance_path"), col("keyword"))
+      .orderBy("instance_path", "keyword")
+  }
+
+  val sqlContainerMagic: String =
+    """WITH clips AS (
+         SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+                CASE WHEN doc_id % 31 = 0 THEN 'XXXX9999WAVE'
+                     WHEN doc_id % 43 = 0 THEN 'RI'
+                     ELSE 'RIFF9999WAVEdata' END AS bytes_s,
+                CASE WHEN doc_id % 7 = 0 THEN 'opus' ELSE 'wav' END AS codec
+         FROM documents
+       )
+       SELECT clip_id || '/bytes' AS instance_path,
+              'table/containerMagic/wav' AS keyword
+       FROM clips
+       WHERE codec = 'wav'
+         AND NOT (substring(bytes_s, 1, 4) = 'RIFF'
+                  AND substring(bytes_s, 9, 4) = 'WAVE')
+       ORDER BY instance_path, keyword"""
+
   /** (query, oracle) registry for this batch. */
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q_transcript_consistency" -> ((qTranscriptConsistency _, sqlTranscriptConsistency))
+    "q_transcript_consistency" -> ((qTranscriptConsistency _, sqlTranscriptConsistency)),
+    "q_container_magic" -> ((qContainerMagic _, sqlContainerMagic))
   )
 }

@@ -154,6 +154,7 @@ object AudioGen {
     // metadata-side companion (transcript↔duration consistency)
     AudioChecks.register()
     TranscriptChecks.register()
+    MagicChecks.register()
   }
 
   /** SNR (dB) of stored bytes vs the expected generated signal, keyed by id —

@@ -545,7 +545,14 @@ object Spec {
     */
   @volatile private var loaders: Map[String, String => JsonNode] = Map(
     "file" -> { url =>
-      val path = url.stripPrefix("file://").stripPrefix("file:")
+      val raw = url.stripPrefix("file://").stripPrefix("file:")
+      // literal path first (spaces etc. may arrive unencoded); fall back to
+      // percent-decoding — the reference's toFileURL percent-encodes file
+      // paths and its FileLoader decodes them (loader.go:25-58), so a
+      // relative $ref like "sample%20schema.json" must reach the real file
+      val path =
+        if (!new java.io.File(raw).exists() && raw.contains("%")) pctDecodeAll(raw)
+        else raw
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
         yamlMapper.readTree(new java.io.File(path))
       else readJsonDocFile(path)
@@ -745,35 +752,43 @@ object Spec {
       baseUrl = base)
   }
 
+  /** Full UTF-8 `%XX` percent-decode (multi-byte sequences re-assembled;
+    * malformed escapes stay literal). Shared by JSON-pointer segment
+    * unescaping and the file loader's encoded-path fallback — the
+    * reference's url.PathUnescape analogues (util.go:221-244,
+    * loader.go:25-58).
+    */
+  private[spec] def pctDecodeAll(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    val bytes = new java.io.ByteArrayOutputStream
+    var i = 0
+    def flush(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } catch {
+          case _: NumberFormatException => flush(); sb.append(c); i += 1
+        }
+      } else { flush(); sb.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
   /** Split an RFC 6901 JSON pointer into unescaped segments: `~1` → `/`,
     * `~0` → `~`, plus `%XX` percent-decoding since a `$ref` fragment is URI
     * syntax (the reference decodes both, /root/reference/util.go:221-244).
     */
   private[spec] def pointerSegments(ptr: String): Vector[String] =
     ptr.split("/", -1).toVector.map { seg =>
-      val pct = if (seg.contains('%')) {
-        val sb = new StringBuilder
-        val bytes = new java.io.ByteArrayOutputStream
-        var i = 0
-        def flush(): Unit = if (bytes.size() > 0) {
-          sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-          bytes.reset()
-        }
-        while (i < seg.length) {
-          val c = seg.charAt(i)
-          if (c == '%' && i + 2 < seg.length) {
-            try {
-              bytes.write(Integer.parseInt(seg.substring(i + 1, i + 3), 16))
-              i += 3
-            } catch {
-              case _: NumberFormatException => flush(); sb.append(c); i += 1
-            }
-          } else { flush(); sb.append(c); i += 1 }
-        }
-        flush()
-        sb.toString
-      } else seg
-      pct.replace("~1", "/").replace("~0", "~")
+      pctDecodeAll(seg).replace("~1", "/").replace("~0", "~")
     }
 
   /** Keyword-position map: which keywords hold schemas, and in what shape —

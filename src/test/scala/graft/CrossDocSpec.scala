@@ -68,6 +68,39 @@ class CrossDocSpec extends SparkTestBase {
     assert(out2(0)._1 && !out2(1)._1)
   }
 
+  test("file paths with spaces, literal and percent-encoded (filepaths_test.go parity)") {
+    // the reference compiles absolute and relative paths containing spaces
+    // (filepaths_test.go:11-46); its toFileURL percent-encodes and its
+    // FileLoader decodes, so BOTH spellings of a ref must reach the file
+    val dir = java.nio.file.Files.createTempDirectory("graft path sp")
+    java.nio.file.Files.writeString(dir.resolve("common schema.json"),
+      """{"$defs": {"rate": {"minimum": 8000, "maximum": 48000}}}""")
+    java.nio.file.Files.writeString(dir.resolve("sample schema.json"),
+      """{"strict": {"$ref": "common%20schema.json#/$defs/rate"}}""")
+    // literal space in the spec-level absolute ref; percent-encoded space in
+    // the nested relative ref (resolved against the space-carrying base)
+    val spec =
+      s"""{"columns": {"sr_hz":
+            {"$$ref": "file://$dir/sample schema.json#/strict"}}}"""
+    val out = validate(spec, intRowSchema, Seq(Row(0, 16000), Row(1, 4000)))
+    assert(out(0)._1)
+    assert(!out(1)._1 && out(1)._2.exists(_.endsWith("/rate/minimum")))
+
+    // the reference's OWN space-named example compiles and validates its
+    // example instance (jv-parity path: bare schema by file URL)
+    val spec3 = Queries5.wrapSchemaUrl(
+      "file:///root/reference/testdata/examples/sample schema.json")
+    val df = spark.createDataFrame(Seq(
+      Row(0, """{"firstName": "Santhosh Kumar", "lastName": "Tekuri"}"""),
+      Row(1, """{"firstName": "only"}""")).asJava,
+      StructType(Seq(StructField("__row", IntegerType),
+        StructField("j", StringType))))
+    val suite = SuiteCompiler.compile(spec3, df.schema)
+    val got = Validator.annotate(df, suite).orderBy("__row")
+      .select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+  }
+
   test("cross-document cycle with no data descent is a typed compile error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cycle")
     val a = dir.resolve("a.json"); val b = dir.resolve("b.json")

@@ -11,6 +11,6 @@ class EntrySmokeSpec extends SparkTestBase {
   }
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
-    assert(SparkEntry.queries.size == 43)
+    assert(SparkEntry.queries.size == 44)
   }
 }

@@ -20,6 +20,8 @@ class FuzzSpec extends SparkTestBase {
   private val mapper = new ObjectMapper()
   private val rnd = new scala.util.Random(42)
 
+  graft.audio.AudioGen.registerFormats() // constraint families for base 5
+
   private val bases = Seq(
     """{"columns":{
          "a":{"type":"integer","minimum":0,"maximum":100,"multipleOf":5},
@@ -45,7 +47,20 @@ class FuzzSpec extends SparkTestBase {
         "columns":{"a":{"allOf":[{"$ref":"#/$defs/lib/definitions/old"},
                                  {"$ref":"urn:graft:fuzz"}]},
                    "s":{"$vocabulary":{"https://example.com/v":true},
-                        "minLength":1}}}""")
+                        "minLength":1}}}""",
+    // r5 surfaces: registered constraint families — shape gates and parse
+    // callbacks must stay typed under arbitrary mutation too
+    """{"columns":{},
+        "table":{
+          "audioSignal":{"bytes":"s","key":"a","srHz":"a",
+                         "maxClippingRatio":0.01,"minRmsDb":-60,
+                         "srConsistent":true},
+          "transcriptConsistency":{"transcript":"s","key":"a","durMs":"a",
+                                   "minCharsPerSec":6,"maxCharsPerSec":40,
+                                   "requireNonEmptyOverMs":1000},
+          "containerMagic":{"bytes":"s","key":"a","codec":"s",
+            "magics":{"wav":[{"offset":0,"ascii":"RIFF"},
+                             {"offset":8,"ascii":"WAVE"}]}}}}""")
 
   private val schema = StructType(Seq(
     StructField("a", IntegerType), StructField("s", StringType),
@@ -85,7 +100,7 @@ class FuzzSpec extends SparkTestBase {
     root.toString
   }
 
-  test("532 mutated specs: typed SpecError or clean compile, never a raw crash") {
+  test("665 mutated specs: typed SpecError or clean compile, never a raw crash") {
     var compiled = 0; var typedRejects = 0
     bases.foreach { base =>
       (1 to 133).foreach { _ =>

@@ -69,6 +69,26 @@ class ReferenceSuiteSpec extends SparkTestBase {
     assert(spec.columns.head._2.prefixItems.isEmpty)
   }
 
+  test("the reference's debug.json scratch case replays verdict-for-verdict") {
+    // /root/reference/testdata/debug.json, run by debug_test.go:13-61:
+    // one (remotes, schema, data, valid) tuple through the same machinery
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.readTree(
+      java.nio.file.Paths.get("/root/reference/testdata/debug.json").toFile)
+    val remotes = {
+      val it = doc.get("remotes").fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.toString }
+      b.result()
+    }
+    Queries5.setDynamicRemotes(remotes)
+    try {
+      val got = Queries5.verdicts(spark, doc.get("schema").toString,
+        Seq(doc.get("data").toString))
+      assert(got == Seq(doc.get("valid").asBoolean()), s"got=$got")
+    } finally Queries5.setDynamicRemotes(Map.empty)
+  }
+
   test("oracle SQL literals agree with the suite files row-for-row") {
     val sql = Queries5.sqlRefSuite
     val expectedRows = Queries5.suiteGroups.map(_._5.size).sum
