@@ -23,6 +23,30 @@ object StreamValidate {
   def annotate(stream: DataFrame, suite: CompiledSuite): DataFrame =
     Validator.annotate(stream, suite)
 
+  /** Registered constraint FAMILIES on a stream: a per-row (stateless)
+    * family — containerMagic, transcriptConsistency, audioSignal — compiles
+    * to a narrow select/explode plan, so the SAME violations() frame streams
+    * unchanged, emitting (keyword, instance_path, detail) rows per
+    * micro-batch. A family that genuinely needs aggregation or a join
+    * raises Spark's unsupported-operation error at query start — loud,
+    * never a silently-wrong streamed result.
+    */
+  def familyViolations(
+      stream: DataFrame,
+      suite: CompiledSuite,
+      refTables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val fams = suite.tableConstraints.collect {
+      case c: graft.spec.CustomConstraint => c
+    }
+    fams.map(_.violations(stream, refTables))
+      .reduceOption(_ unionByName _)
+      .getOrElse {
+        import stream.sparkSession.implicits._
+        Seq.empty[(String, String, String)]
+          .toDF("keyword", "instance_path", "detail")
+      }
+  }
+
   /** Windowed violation counts by keyword: the streaming analogue of the
     * flat BasicOutput — one row per (event-time window, keyword) with a
     * violation count, watermarked for state eviction.

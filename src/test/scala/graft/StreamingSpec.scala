@@ -107,4 +107,34 @@ class StreamingSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
     assert(got == exp && got > 0)
   }
+
+  test("streaming family constraints ≡ batch (containerMagic + transcriptConsistency)") {
+    graft.audio.AudioGen.registerFormats()
+    val dir = java.nio.file.Files.createTempDirectory("clips_stream").toString
+    graft.audio.AudioGen.clips(spark, 2000L, seed = 7L)
+      .write.mode("overwrite").parquet(dir)
+    val spec = Spec.fromJson(
+      """{"table": {
+           "containerMagic": {"bytes": "bytes", "key": "clip_id",
+             "codec": "codec",
+             "magics": {"wav": [{"offset": 0, "ascii": "RIFF"},
+                                {"offset": 8, "ascii": "WAVE"}]}},
+           "transcriptConsistency": {"transcript": "transcript",
+             "key": "clip_id", "durMs": "dur_ms",
+             "maxCharsPerSec": 40, "requireNonEmptyOverMs": 100}}}""")
+    val batch = spark.read.parquet(dir)
+    val suite = SuiteCompiler.compile(spec, batch.schema)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamValidate.familyViolations(stream, suite)
+      .writeStream.outputMode("append").format("memory").queryName("famv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM famv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val exp = graft.exec.Engine.tableViolations(batch, suite).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == exp && got.nonEmpty)
+    assert(got.exists(_._1.startsWith("table/containerMagic")))
+    assert(got.exists(_._1.startsWith("table/transcriptConsistency")))
+  }
 }
