@@ -93,6 +93,16 @@ class MagicChecksSpec extends SparkTestBase {
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
 
+  test("the checks are pure column ops: no UDF in the plan, scan prunes to 3 columns") {
+    val df = spark.createDataFrame(
+      Seq(Row("x", wavBytes, "wav", "unrelated")).asJava,
+      StructType(clipSchema.fields :+ StructField("extra", StringType)))
+    val suite = SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
+    val plan = Engine.tableViolations(df, suite).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(!plan.contains("extra"), plan)
+  }
+
   test("family spec shape gate rejects malformed containerMagic specs with a typed error") {
     Seq(
       """{"columns":{},"table":{"containerMagic": 5}}""" -> "type",
