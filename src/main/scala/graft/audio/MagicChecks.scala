@@ -61,12 +61,15 @@ object MagicChecks {
             substring(bytes, p.offset + 1, want.length) === lit(want)
         }.reduce(_ && _)
         val wantDesc = pairs.map(p => s"${p.ascii}@${p.offset}").mkString("+")
+        // dump the whole declared-magic window so the defective region is
+        // always visible in the detail (not just a healthy prefix)
+        val dumpLen = pairs.map(p => p.offset + p.ascii.length).max
         when(col("__codec") === codec && !(bytes.isNotNull && matchesAll),
           struct(lit(s"$kwBase/$codec").as("keyword"),
             path.as("instance_path"),
             concat(lit(s"codec '$codec' requires container magic $wantDesc, bytes carry "),
               when(bytes.isNull, lit("NULL"))
-                .otherwise(concat(lit("0x"), hex(substring(bytes, 1, 8)))))
+                .otherwise(concat(lit("0x"), hex(substring(bytes, 1, dumpLen)))))
               .as("detail")))
       }
       projected

@@ -551,7 +551,7 @@ object Spec {
       // paths and its FileLoader decodes them (loader.go:25-58), so a
       // relative $ref like "sample%20schema.json" must reach the real file
       val path =
-        if (!new java.io.File(raw).exists() && raw.contains("%")) pctDecodeAll(raw)
+        if (raw.contains("%") && !new java.io.File(raw).exists()) pctDecodeAll(raw)
         else raw
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
         yamlMapper.readTree(new java.io.File(path))
@@ -767,16 +767,20 @@ object Spec {
       sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       bytes.reset()
     }
+    // strict [0-9A-Fa-f] only: Integer.parseInt would also accept '+x'/'-x'
+    // and Unicode digits, which RFC 3986 (and the reference's
+    // url.PathUnescape) reject — those escapes must stay literal
+    def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
-          i += 3
-        } catch {
-          case _: NumberFormatException => flush(); sb.append(c); i += 1
-        }
-      } else { flush(); sb.append(c); i += 1 }
+      val hi = if (c == '%' && i + 2 < s.length) hexVal(s.charAt(i + 1)) else -1
+      val lo = if (hi >= 0) hexVal(s.charAt(i + 2)) else -1
+      if (lo >= 0) { bytes.write(hi * 16 + lo); i += 3 }
+      else { flush(); sb.append(c); i += 1 }
     }
     flush()
     sb.toString

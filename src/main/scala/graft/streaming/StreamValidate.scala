@@ -40,11 +40,11 @@ object StreamValidate {
     }
     fams.map(_.violations(stream, refTables))
       .reduceOption(_ unionByName _)
-      .getOrElse {
-        import stream.sparkSession.implicits._
-        Seq.empty[(String, String, String)]
-          .toDF("keyword", "instance_path", "detail")
-      }
+      // no families: an empty frame DERIVED from the input, so a streaming
+      // caller still gets a streaming Dataset (writeStream keeps working)
+      .getOrElse(stream.where(lit(false)).select(
+        lit("").as("keyword"), lit("").as("instance_path"),
+        lit("").as("detail")))
   }
 
   /** Windowed violation counts by keyword: the streaming analogue of the

@@ -101,6 +101,20 @@ class CrossDocSpec extends SparkTestBase {
     assert(got == Seq(true, false))
   }
 
+  test("malformed percent escapes in $ref pointers stay literal (strict hex digits only)") {
+    // RFC 3986 escapes are exactly two [0-9A-Fa-f] digits; '%+4' is not an
+    // escape and must survive as the literal property name (the reference's
+    // url.PathUnescape leaves it untouched), while '%25' still decodes to '%'
+    val spec =
+      """{"$defs": {"a%+4": {"minimum": 8000}},
+          "columns": {"sr_hz": {"allOf": [
+            {"$ref": "#/$defs/a%+4"},
+            {"$ref": "#/$defs/a%25+4"}]}}}"""
+    val out = validate(spec, intRowSchema, Seq(Row(0, 16000), Row(1, 4000)))
+    assert(out(0)._1)
+    assert(!out(1)._1 && out(1)._2.exists(_.endsWith("/minimum")))
+  }
+
   test("cross-document cycle with no data descent is a typed compile error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cycle")
     val a = dir.resolve("a.json"); val b = dir.resolve("b.json")

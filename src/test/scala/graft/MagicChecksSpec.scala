@@ -58,14 +58,19 @@ class MagicChecksSpec extends SparkTestBase {
       ("flac-label", "table/containerMagic/flac")))
   }
 
-  test("detail carries the wanted magic and the observed prefix") {
+  test("detail carries the wanted magic and the whole declared window") {
     val mangled = wavBytes.clone(); mangled(0) = 'X'.toByte
+    val waveMangled = wavBytes.clone(); waveMangled(9) = 'Z'.toByte
     val df = spark.createDataFrame(
-      Seq(Row("m", mangled, "wav"), Row("n", null, "wav")).asJava, clipSchema)
+      Seq(Row("m", mangled, "wav"), Row("w", waveMangled, "wav"),
+        Row("n", null, "wav")).asJava, clipSchema)
     val suite = SuiteCompiler.compile(Spec.fromJson(spec), df.schema)
     val d = Engine.allViolations(df, suite, Seq("clip_id"))
       .collect().map(r => r.getString(1).takeWhile(_ != '/') -> r.getString(2)).toMap
     assert(d("m").contains("RIFF@0+WAVE@8") && d("m").contains("0x58"), d("m"))
+    // the dump spans to the END of the declared window, so an offset-8
+    // defect ('Z' = 0x5A at byte 9) is visible, not just a healthy prefix
+    assert(d("w").contains("575A5645"), d("w"))
     assert(d("n").contains("NULL"), d("n"))
   }
 

@@ -137,4 +137,18 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exists(_._1.startsWith("table/containerMagic")))
     assert(got.exists(_._1.startsWith("table/transcriptConsistency")))
   }
+
+  test("familyViolations with no families still yields a streaming Dataset (empty)") {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val suite = SuiteCompiler.compile(
+      Spec.fromJson("""{"columns": {}, "table": {"unique": ["user_id"]}}"""),
+      schema)
+    val out = StreamValidate.familyViolations(stream, suite)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("famv0").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM famv0").collect()(0).getLong(0) == 0L)
+  }
 }
