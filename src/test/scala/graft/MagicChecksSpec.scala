@@ -108,6 +108,57 @@ class MagicChecksSpec extends SparkTestBase {
     assert(!plan.contains("extra"), plan)
   }
 
+  test("differential property: engine verdicts equal a plain-Scala oracle on 600 random rows") {
+    val rnd = new scala.util.Random(20260820L)
+    val magics: Seq[(String, Seq[(Int, String)])] = Seq(
+      "wav"  -> Seq(0 -> "RIFF", 8 -> "WAVE"),
+      "flac" -> Seq(0 -> "fLaC"),
+      "ogg"  -> Seq(1 -> "ggS")) // nonzero base offset arm
+    val magicJson = magics.map { case (c, ps) =>
+      s""""$c": [${ps.map(p => s"""{"offset": ${p._1}, "ascii": "${p._2}"}""").mkString(",")}]"""
+    }.mkString(",")
+    val codecs = Seq("wav", "flac", "ogg", "opus", null)
+    val rows = (0 until 600).map { i =>
+      val codec = codecs(rnd.nextInt(codecs.size))
+      val bytes: Array[Byte] = rnd.nextInt(5) match {
+        case 0 => null
+        case 1 => Array.fill(rnd.nextInt(12))(rnd.nextInt(256).toByte) // short/garbage
+        case _ =>
+          // start from a plausible container, then maybe corrupt one byte
+          val base = ("RIFF0000WAVE" + "x" * rnd.nextInt(8)).getBytes("US-ASCII")
+          if (rnd.nextBoolean() && base.nonEmpty)
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+          base
+      }
+      Row(s"r$i", bytes, codec)
+    }
+    // plain-Scala oracle: declared codec must match every (offset, ascii)
+    def expectViolation(bytes: Array[Byte], codec: String): Boolean =
+      magics.toMap.get(codec) match {
+        case None => false
+        case Some(ps) => bytes == null || ps.exists { case (off, ascii) =>
+          val want = ascii.getBytes("US-ASCII")
+          bytes.length < off + want.length ||
+            !java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(bytes, off, off + want.length), want)
+        }
+      }
+    val expected = rows.collect {
+      case r if expectViolation(r.get(1).asInstanceOf[Array[Byte]], r.getString(2)) =>
+        r.getString(0)
+    }.toSet
+    val df = spark.createDataFrame(rows.asJava, clipSchema)
+    val suite = SuiteCompiler.compile(Spec.fromJson(
+      s"""{"columns": {}, "table": {"containerMagic": {
+           "bytes": "bytes", "key": "clip_id", "codec": "codec",
+           "magics": {$magicJson}}}}"""), df.schema)
+    val got = Engine.allViolations(df, suite, Seq("clip_id"))
+      .collect().map(_.getString(1).stripSuffix("/bytes")).toSet
+    assert(got == expected,
+      s"diff: engine-only=${got diff expected}, oracle-only=${expected diff got}")
+    assert(expected.nonEmpty && expected.size < rows.size)
+  }
+
   test("family spec shape gate rejects malformed containerMagic specs with a typed error") {
     Seq(
       """{"columns":{},"table":{"containerMagic": 5}}""" -> "type",
