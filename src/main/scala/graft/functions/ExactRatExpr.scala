@@ -109,54 +109,57 @@ object ExactRatPredExpr {
     * `d`'s exact binary value (ties to even). Java 17's legacy toString
     * emits one excess digit for ~0.3% of doubles (JDK-4511638), a different
     * rational, so it only serves as the round-tripping upper bound here.
-    *
-    * Scan DOWN from the legacy digit count: rounding the exact binary value
-    * to p significant digits half-even yields the nearest p-digit decimal,
-    * and round-tripping is monotone in p (every p-digit decimal is also a
-    * (p+1)-digit decimal, so the nearest (p+1)-digit candidate is at least
-    * as close to d and round-trips whenever the p-digit one does) — the
-    * last round-tripping candidate is the shortest repr. The candidate at
-    * the STARTING precision is recomputed too (not anchored on the legacy
-    * value): even at equal length the legacy string need not be the
-    * correctly-rounded candidate (~0.001% of doubles), and the spec picks
-    * the one closest to d. Legacy excess is ≤1 digit, so this is two
-    * roundings + two parses on the common path (validated 0/5M mismatches
-    * against the definitional linear-scan oracle).
     */
-  def shortestDouble(d: Double): java.math.BigDecimal = {
-    if (d == 0.0d) return java.math.BigDecimal.ZERO // covers -0.0: rational 0
-    val legacy = new java.math.BigDecimal(java.lang.Double.toString(d))
-      .stripTrailingZeros()
-    val exact = new java.math.BigDecimal(d)
-    var best: java.math.BigDecimal = null
-    var p = legacy.precision()
-    while (p >= 1) {
-      val cand = exact.round(
-        new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
-      if (cand.doubleValue() == d) { best = cand; p -= 1 }
-      else p = 0
-    }
-    // best == null only if even the full-length nearest candidate fails the
-    // round trip (an equidistant tie at an asymmetric binade boundary):
-    // the legacy value is then a valid round-tripping repr of the same length
-    (if (best == null) legacy else best).stripTrailingZeros()
-  }
+  def shortestDouble(d: Double): java.math.BigDecimal =
+    if (d == 0.0d) java.math.BigDecimal.ZERO // covers -0.0: rational 0
+    else shortest(java.lang.Double.toString(d), new java.math.BigDecimal(d),
+      cand => cand.doubleValue() == d)
 
   /** Float analogue of [[shortestDouble]] (float → double widening is
     * exact, so `new BigDecimal(f.toDouble)` is the exact binary value;
     * candidates round-trip through `floatValue`). */
-  def shortestFloat(f: Float): java.math.BigDecimal = {
-    if (f == 0.0f) return java.math.BigDecimal.ZERO
-    val legacy = new java.math.BigDecimal(java.lang.Float.toString(f))
-      .stripTrailingZeros()
-    val exact = new java.math.BigDecimal(f.toDouble)
+  def shortestFloat(f: Float): java.math.BigDecimal =
+    if (f == 0.0f) java.math.BigDecimal.ZERO
+    else shortest(java.lang.Float.toString(f), new java.math.BigDecimal(f.toDouble),
+      cand => cand.floatValue() == f)
+
+  /** Scan DOWN from the legacy digit count. Any p-digit decimal that parses
+    * back to the value must bracket the exact binary value, so at each p
+    * BOTH p-digit neighbours are complete candidates: the HALF_EVEN-nearest
+    * one first (the spec prefers the candidate closest to the value, ties
+    * to even), then the neighbour on the other side — the nearest candidate
+    * alone is NOT sufficient (for ~0.05% of full-exponent-range doubles it
+    * fails the round trip while the other neighbour passes, e.g.
+    * 7.1202363472230444E-307 whose 16-digit shortest repr is the
+    * away-rounded 7.120236347223045E-307). When neither neighbour
+    * round-trips, no p-digit decimal does, and the previous level's pick is
+    * the shortest repr. The candidate at the STARTING precision is
+    * recomputed too (not anchored on the legacy value): even at equal
+    * length the legacy string need not be the correctly-rounded candidate,
+    * and the fallback to the legacy value only fires if both full-length
+    * neighbours fail (legacy round-trips by construction).
+    */
+  private def shortest(legacyStr: String, exact: java.math.BigDecimal,
+                       roundTrips: java.math.BigDecimal => Boolean)
+      : java.math.BigDecimal = {
+    val legacy = new java.math.BigDecimal(legacyStr).stripTrailingZeros()
     var best: java.math.BigDecimal = null
     var p = legacy.precision()
-    while (p >= 1) {
-      val cand = exact.round(
+    var scanning = true
+    while (scanning && p >= 1) {
+      val near = exact.round(
         new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
-      if (cand.floatValue() == f) { best = cand; p -= 1 }
-      else p = 0
+      if (roundTrips(near)) { best = near; p -= 1 }
+      else {
+        val down = exact.round(
+          new java.math.MathContext(p, java.math.RoundingMode.DOWN))
+        val other =
+          if (near.compareTo(down) == 0)
+            exact.round(new java.math.MathContext(p, java.math.RoundingMode.UP))
+          else down
+        if (roundTrips(other)) { best = other; p -= 1 }
+        else scanning = false
+      }
     }
     (if (best == null) legacy else best).stripTrailingZeros()
   }
@@ -177,10 +180,15 @@ object ExactRatPredExpr {
       case other => throw new IllegalArgumentException(s"op $other")
     }
 
-  /** Column-level builder. `operand` keeps full precision via plain string. */
+  /** Column-level builder. `operand` keeps full precision via
+    * `BigDecimal.toString` — lossless (the lazy parse re-reads the exact
+    * (unscaledValue, scale) pair) and COMPACT: scientific notation for
+    * huge exponents, where `toPlainString` would materialize the full
+    * digit expansion (1e999999999 → a ~10^9-char string → OOM at compile).
+    */
   def pred(c: Column, op: Int, operand: java.math.BigDecimal): Column =
     GraftColumnBridge.column(
-      ExactRatPredExpr(GraftColumnBridge.expression(c), op, operand.toPlainString))
+      ExactRatPredExpr(GraftColumnBridge.expression(c), op, operand.toString))
 }
 
 /** Shortest-repr decimal text of an IEEE double — the dynamic compiler's
@@ -222,50 +230,12 @@ object ShortestReprExpr {
     GraftColumnBridge.column(ShortestReprExpr(GraftColumnBridge.expression(c)))
 }
 
-/** Canonical exact-rational rendering of a JSON number text — the engine's
-  * big.Rat-equality GROUPING KEY (the predicate form above answers yes/no
-  * against one constant; this one makes equal-rational texts collapse to
-  * one string for distinct/group operations like uniqueItems).
-  *
-  * BigDecimal parse → stripTrailingZeros → toString: injective over
-  * rationals (the normalized (unscaledValue, scale) pair is unique and
-  * toString round-trips it), so "2", "2.0", "2e0", "0.2e1" all render "2"
-  * while digit-distinct numbers at ANY scale — 1.0000000000000001 vs
-  * 1.00000000000000011 — stay distinct, exactly the reference's numeric
-  * equality (/root/reference/util.go:322-325). Unparseable text passes
-  * through unchanged (callers feed canonical JSON number text, so this arm
-  * never fires in practice; total-ness keeps codegen null handling simple).
-  */
-case class ExactRatCanonExpr(child: Expression) extends UnaryExpression {
-
-  override def dataType: DataType = StringType
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "exact_rat_canon"
-
-  override protected def nullSafeEval(input: Any): Any =
-    ExactRatCanonExpr.canonNum(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ExactRatCanonExpr.canonNum($c)")
-
-  override protected def withNewChildInternal(newChild: Expression): ExactRatCanonExpr =
-    copy(child = newChild)
-}
-
-object ExactRatCanonExpr {
-  def canonNum(s: UTF8String): UTF8String =
-    try UTF8String.fromString(
-      new java.math.BigDecimal(s.toString).stripTrailingZeros().toString)
-    catch { case _: NumberFormatException => s }
-
-  def canon(c: Column): Column =
-    GraftColumnBridge.column(ExactRatCanonExpr(GraftColumnBridge.expression(c)))
-}
-
 /** Deep canonical JSON for uniqueItems grouping of CONTAINER elements:
   * every number at ANY depth rewritten to its exact-rational canonical
-  * rendering (see [[ExactRatCanonExpr]]), object keys sorted, strings
+  * rendering (BigDecimal parse → stripTrailingZeros → toString — injective
+  * over rationals, so "2", "2.0", "2e0" collapse while digit-distinct
+  * numbers at any scale stay distinct, the reference's numeric equality
+  * /root/reference/util.go:322-325), object keys sorted, strings
   * re-escaped deterministically — so `{"a": 1.0}` and `{"a": 1}` collapse
   * to one key (the reference's deep numeric equality,
   * /root/reference/util.go:286-329) while digit-distinct nested numbers
@@ -305,8 +275,18 @@ object JsonNumCanonExpr {
 
   /** JSON string-literal quoting, shared with [[VariantCanonExpr]] so the
     * runtime variant-binary canon and this compile-time text canon escape
-    * identically (byte-comparable keys). Thread-safe (configured reader). */
-  def quote(s: String): String = mapper.writeValueAsString(s)
+    * identically (byte-comparable keys). Uses the raw string encoder the
+    * ObjectMapper's generator delegates to — identical escaping without
+    * constructing a serializer/writer per call (this runs once per key and
+    * per string value inside the per-row canon walk). Thread-safe. */
+  def quote(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+      .append(com.fasterxml.jackson.core.io.JsonStringEncoder.getInstance()
+        .quoteAsString(s))
+      .append('"')
+    sb.toString
+  }
 
   def canonJson(s: UTF8String): UTF8String =
     try {

@@ -25,8 +25,7 @@ import org.apache.spark.unsafe.types.{UTF8String, VariantVal}
   * rational. Reading the binary keeps the distinction at every depth:
   *
   *  - LONG / DECIMAL storage → digit-exact rational, rendered
-  *    `stripTrailingZeros().toString` (the [[ExactRatCanonExpr]] grouping
-  *    form — injective over rationals, so 2, 2.0, 2e0 collapse while
+  *    `stripTrailingZeros().toString` (injective over rationals, so 2, 2.0, 2e0 collapse while
   *    digit-distinct decimals stay distinct; reference json.Number mode,
   *    /root/reference/util.go:322-325);
   *  - DOUBLE / FLOAT storage → the shortest correctly-rounded repr

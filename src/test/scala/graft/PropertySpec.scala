@@ -361,12 +361,25 @@ class PropertySpec extends SparkTestBase {
     // fmt.Sprint shortest repr. The scan-down implementation must match the
     // definitional oracle: smallest p whose half-even rounding of the exact
     // binary value round-trips.
+    // definitional oracle: smallest p where SOME p-digit decimal parses
+    // back to d. Any such decimal must bracket the exact binary value, so
+    // the two p-digit neighbours are a complete candidate set; the spec
+    // prefers the nearest (half-even) one when both round-trip.
+    def neighbours(exact: java.math.BigDecimal, p: Int): Seq[java.math.BigDecimal] = {
+      val near = exact.round(new java.math.MathContext(
+        p, java.math.RoundingMode.HALF_EVEN))
+      val down = exact.round(new java.math.MathContext(
+        p, java.math.RoundingMode.DOWN))
+      val other = if (near.compareTo(down) == 0)
+        exact.round(new java.math.MathContext(p, java.math.RoundingMode.UP))
+      else down
+      Seq(near, other)
+    }
     def oracle(d: Double): java.math.BigDecimal = {
       val exact = new java.math.BigDecimal(d)
-      (1 to 17).iterator.map { p =>
-        exact.round(new java.math.MathContext(
-          p, java.math.RoundingMode.HALF_EVEN))
-      }.find(_.doubleValue() == d)
+      (1 to 18).iterator
+        .flatMap(p => neighbours(exact, p).find(_.doubleValue() == d))
+        .nextOption()
         .getOrElse(exact).stripTrailingZeros()
     }
     val rnd = new java.util.Random(20260818L)
@@ -390,10 +403,9 @@ class PropertySpec extends SparkTestBase {
     // float arm: same property at float precision
     def oracleF(f: Float): java.math.BigDecimal = {
       val exact = new java.math.BigDecimal(f.toDouble)
-      (1 to 9).iterator.map { p =>
-        exact.round(new java.math.MathContext(
-          p, java.math.RoundingMode.HALF_EVEN))
-      }.find(_.floatValue() == f)
+      (1 to 10).iterator
+        .flatMap(p => neighbours(exact, p).find(_.floatValue() == f))
+        .nextOption()
         .getOrElse(exact).stripTrailingZeros()
     }
     i = 0
@@ -438,6 +450,41 @@ class PropertySpec extends SparkTestBase {
     assert(!valid(s"""{"columns":{"x":{"const":$legacy}}}"""))
     assert(valid(s"""{"columns":{"x":{"maximum":$legacy}}}"""),
       "d's shortest repr is BELOW the legacy rational")
+  }
+
+  test("other-neighbour shortest-repr class: near candidate fails, the away neighbour round-trips") {
+    // For ~0.05% of full-exponent-range doubles the half-even-NEAREST
+    // p-digit candidate does not round-trip while the p-digit neighbour on
+    // the other side does — the shortest repr is that neighbour, and
+    // stopping at the nearest one (the pre-fix scan) returns a LONGER repr
+    // that is a different rational, flipping verdicts vs the reference.
+    val d = java.lang.Double.parseDouble("7.1202363472230444E-307")
+    val short = "7.120236347223045E-307" // 16 digits, parses back to d
+    assert(java.lang.Double.parseDouble(short) == d,
+      "pinned double no longer exercises the other-neighbour class")
+    assert(graft.functions.ExactRatPredExpr.shortestDouble(d)
+      .compareTo(new java.math.BigDecimal(short)) == 0)
+    val df = Seq(d).toDF("x")
+    def valid(spec: String): Boolean =
+      graft.exec.Validator.flag(df,
+        SuiteCompiler.compile(Spec.fromJson(spec), df.schema))
+        .select("valid").collect().head.getBoolean(0)
+    assert(valid(s"""{"columns":{"x":{"const":$short}}}"""),
+      "const == the true shortest repr must match (reference big.Rat equality)")
+    assert(valid(s"""{"columns":{"x":{"minimum":$short}}}"""))
+  }
+
+  test("huge-exponent schema bounds compile without materializing the digit expansion") {
+    // 1e999999999 is a legal JSON number the reference holds as an exact
+    // rational; serializing it via toPlainString would attempt a ~10^9-char
+    // string at compile time. The operand must stay in scientific notation.
+    val df = Seq(1.5d, -2.0d).toDF("x")
+    val suite = SuiteCompiler.compile(Spec.fromJson(
+      """{"columns":{"x":{"maximum":1e999999999,"minimum":-1e999999999}}}"""),
+      df.schema)
+    val ok = graft.exec.Validator.flag(df, suite)
+      .select("valid").collect().map(_.getBoolean(0)).toSeq
+    assert(ok == Seq(true, true))
   }
 
   test("VariantCanonExpr renders nested numbers by Spark's OWN storage class") {
