@@ -51,7 +51,12 @@ object DynamicJson {
       .when(sch === "VOID", lit("null"))
       .when(sch.startsWith("OBJECT"), lit("object"))
       .when(sch.startsWith("ARRAY"), lit("array"))
-      .when(sch === "STRING", lit("string"))
+      // non-JSON storage classes (native variant columns fed from typed
+      // sources — parse_json never produces them) read as strings, which
+      // is how both to_json and the variant-binary canon render them;
+      // without these arms a timestamp would classify as "number"
+      .when(sch === "STRING" || sch === "DATE" || sch.startsWith("TIMESTAMP") ||
+        sch === "BINARY" || sch === "UUID", lit("string"))
       .when(sch === "BOOLEAN", lit("boolean"))
       .otherwise(lit("number"))
 
@@ -81,6 +86,12 @@ object DynamicJson {
   private def numCanon(v: Column, sv: Column): Column =
     when(sv === "DOUBLE",
       graft.functions.ShortestReprExpr.col(asNum(v)))
+      // FLOAT storage (native variant columns only): the float's OWN
+      // shortest repr, matching VariantCanonExpr's deep FLOAT arm — the
+      // to_json fallback would print the legacy excess-digit float text
+      .when(sv === "FLOAT",
+        graft.functions.ShortestFloatReprExpr.col(
+          try_variant_get(v, "$", "float")))
       .otherwise(to_json(v))
 
   /** missing values are vacuous for every keyword (absent property —
@@ -337,16 +348,29 @@ object DynamicJson {
 
     // object keywords via variant path extraction
     // bracket-quoted paths: a key containing '.' must not navigate nested
-    // objects ($['a.b'], not $.a.b)
-    def propPath(k: String): String = "$['" + k.replace("'", "\\'") + "']"
+    // objects ($['a.b'], not $.a.b). Spark's variant path grammar has NO
+    // escape inside quoted segments ([^']* / [^"]*), so pick the quote the
+    // key does not contain; a key containing BOTH quote kinds is
+    // unaddressable by any path and routes through the map view instead
+    // (same variant values, just not path-extracted).
+    def propGet(k: String): Column =
+      if (!k.contains("'"))
+        try_variant_get(v, "$['" + k + "']", "variant")
+      else if (!k.contains("\""))
+        try_variant_get(v, "$[\"" + k + "\"]", "variant")
+      else
+        when(t === "object", try_element_at(
+          from_json(to_json(v),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string, variant>")),
+          lit(k)))
     node.requiredProps.foreach { k =>
       add(kw("required"),
-        vac(v, (t =!= "object") || try_variant_get(v, propPath(k), "variant").isNotNull),
+        vac(v, (t =!= "object") || propGet(k).isNotNull),
         lit(s"required: missing property '$k'"),
         ErrorKind.RequiredK(k))
     }
     node.properties.foreach { case (k, ps) =>
-      val child0 = try_variant_get(v, propPath(k), "variant")
+      val child0 = propGet(k)
       // a property value feeds every check of its subschema — extract once
       val child = binder.map(_.bind(child0)).getOrElse(child0)
       out ++= compile(spec, ps, child,
@@ -354,14 +378,14 @@ object DynamicJson {
     }
     node.dependentSchemas.foreach { case (k, ds) =>
       val present = (t === "object") &&
-        try_variant_get(v, propPath(k), "variant").isNotNull
+        propGet(k).isNotNull
       compile(spec, ds, v, instPath, stack, binder, depth).foreach { c =>
         out += c.copy(pred = !coalesce(present, lit(false)) || c.pred)
       }
     }
     node.dependentRequired.foreach { case (k, reqs) =>
-      val present = try_variant_get(v, propPath(k), "variant").isNotNull
-      val core = reqs.map(r => try_variant_get(v, propPath(r), "variant").isNotNull)
+      val present = propGet(k).isNotNull
+      val core = reqs.map(r => propGet(r).isNotNull)
         .reduceOption(_ && _).getOrElse(lit(true))
       add(kw("dependentRequired", k),
         vac(v, (t =!= "object") || !present || coalesce(core, lit(false))),
@@ -446,15 +470,20 @@ object DynamicJson {
           ErrorKind.ContentEncodingK(enc))
       }
       // decode failure is already contentEncoding's violation — downstream
-      // checks are vacuous on the null decoded value, like the static arm
-      node.contentMediaType.foreach { mt =>
+      // checks are vacuous on the null decoded value, like the static arm.
+      // mediaOk is shared between the contentMediaType check and the
+      // contentSchema !parse gate — ONE bound evaluation per row
+      lazy val mediaOk: Column = {
+        val mt = node.contentMediaType.get
         val parseOk = graft.functions.Content.mediaType(mt).getOrElse(
           throw SpecError(kw("contentMediaType"),
             s"unknown media type '$mt' (registered: ${graft.functions.Content.knownMediaTypes.mkString(", ")})"))
+        b(coalesce(parseOk(contentValue), lit(false)))
+      }
+      node.contentMediaType.foreach { mt =>
         add(kw("contentMediaType"),
           vac(v, (t =!= "string") ||
-            when(contentValue.isNull, lit(true))
-              .otherwise(coalesce(parseOk(contentValue), lit(false)))),
+            when(contentValue.isNull, lit(true)).otherwise(mediaOk)),
           lit(s"contentMediaType: value is not valid $mt"),
           ErrorKind.ContentMediaTypeK(mt))
       }
@@ -474,6 +503,19 @@ object DynamicJson {
           coalesce(
             try_parse_json(cc),
             try_parse_json(graft.functions.JsonNormExpr.col(cc)))))
+        // content the media type ACCEPTS but that is not JSON must FAIL
+        // contentSchema, not validate vacuously (a registered media type
+        // need not imply JSON parseability — the reference's
+        // decode-then-validate errors there, validator.go:497-510).
+        // Content the media type already REJECTED stays that keyword's
+        // single violation, and decode failure stays contentEncoding's
+        // (null contentValue is vacuous, like every downstream check).
+        out += Check(
+          (cs.path :+ "!parse").mkString("/"), instPath + "!json",
+          vac(v, (t =!= "string") || contentValue.isNull || !mediaOk ||
+            parsed.isNotNull),
+          lit("!parse: content is not valid JSON"),
+          ErrorKind.ParseError)
         out ++= compile(spec, cs, parsed, instPath + "!json", stack, binder, depth + 1)
       }
     }
@@ -589,7 +631,7 @@ object DynamicJson {
         val contribs0 = RowCompiler.evaluatedPropsContributions(spec, node,
           kw("unevaluatedProperties"), dynBranchPred,
           k => (t === "object") &&
-            try_variant_get(v, propPath(k), "variant").isNotNull, stack)
+            propGet(k).isNotNull, stack)
         val contribs = contribs0.map(c =>
           if (c.unconditional) c else c.copy(cond = b(c.cond)))
         if (!contribs.exists(c => c.unconditional && c.allEval))
@@ -636,7 +678,10 @@ object DynamicJson {
           out ++= compile(spec, en, v, instPath, stack, binder, depth)
         }
         case None =>
-          val ifPred = coalesce(predicate(spec, ifn, v, stack, depth), lit(false))
+          // bind: the if-predicate feeds EVERY then/else check — without
+          // this the whole if-subschema tree (schema_of_variant traversals
+          // included) re-evaluates once per emitted check
+          val ifPred = b(coalesce(predicate(spec, ifn, v, stack, depth), lit(false)))
           node.thenS.foreach { tn =>
             compile(spec, tn, v, instPath, stack, binder, depth)
               .foreach(c => out += c.copy(pred = !ifPred || c.pred))

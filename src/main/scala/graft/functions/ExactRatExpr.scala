@@ -230,6 +230,39 @@ object ShortestReprExpr {
     GraftColumnBridge.column(ShortestReprExpr(GraftColumnBridge.expression(c)))
 }
 
+/** Float analogue of [[ShortestReprExpr]] for variant-FLOAT-stored numbers
+  * (reachable only on native variant columns fed from non-JSON sources —
+  * parse_json never produces FLOAT storage): the float's own shortest repr
+  * (≤ 9 digits), NOT shortestDouble of the widened value, matching
+  * [[VariantCanonExpr]]'s deep FLOAT arm so scalar and deep canon agree.
+  */
+case class ShortestFloatReprExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shortest_float_repr"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShortestFloatReprExpr.render(input.asInstanceOf[Float])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShortestFloatReprExpr.render($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShortestFloatReprExpr =
+    copy(child = newChild)
+}
+
+object ShortestFloatReprExpr {
+  def render(f: Float): UTF8String =
+    if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+      UTF8String.fromString(java.lang.Float.toString(f))
+    else UTF8String.fromString(
+      ExactRatPredExpr.shortestFloat(f).toString)
+
+  def col(c: Column): Column =
+    GraftColumnBridge.column(ShortestFloatReprExpr(GraftColumnBridge.expression(c)))
+}
+
 /** Deep canonical JSON for uniqueItems grouping of CONTAINER elements:
   * every number at ANY depth rewritten to its exact-rational canonical
   * rendering (BigDecimal parse → stripTrailingZeros → toString — injective

@@ -63,6 +63,14 @@ object JsonNormExpr {
     m.configure(
       com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS,
       true)
+    // keep the EXACT digits when re-rendering: the default node factory
+    // strips trailing zeros / normalizes to scientific notation, which can
+    // flip the variant storage class of the re-parsed text (DECIMAL →
+    // DOUBLE for e.g. 99999999999999999900.0 → 9.99999999999999999E+19),
+    // silently rounding a value that parses digit-exact without this
+    // fallback — same document, different verdicts
+    m.setNodeFactory(
+      com.fasterxml.jackson.databind.node.JsonNodeFactory.withExactBigDecimals(true))
     m
   }
 
@@ -254,7 +262,7 @@ object JsonGoLexExpr {
           // spans the scalar alphabet ('e'/'E' appear in no other token)
           if (numStart < 0) {
             if (b == '-' || isDigit(b)) numStart = i
-          } else if (!isScalarByte(b) && b != '.') {
+          } else if (!isScalarByte(b)) { // '.' is in the scalar alphabet
             if (!numInRange(s, numStart, i)) return false
             numStart = -1
           }

@@ -507,4 +507,86 @@ class DynamicJsonSpec extends SparkTestBase {
       "1.0000000000001"        // 13 fractional digits → not integer
     )) == Seq(true, false, true, false))
   }
+
+  test("property names containing quotes extract correctly (variant paths have no escapes)") {
+    // Spark's variant path grammar has no escape inside quoted segments —
+    // $['it\'s'] is an INVALID path that used to crash the whole query.
+    // Single-quote keys route through the double-quoted path form, and a
+    // key with BOTH quote kinds through the map view.
+    val spec =
+      """{"columns":{"j":{"json":{
+           "properties":{"it's":{"type":"integer"}},
+           "required":["it's"]}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"it's": 3}""",
+      """{"it's": "x"}""",
+      """{"other": 1}""")) == Seq(true, false, false))
+    val both =
+      """{"columns":{"j":{"json":{
+           "properties":{"a'\"b":{"minimum":5}},
+           "required":["a'\"b"]}}}}"""
+    assert(validsOf(both, Seq(
+      """{"a'\"b": 9}""",
+      """{"a'\"b": 1}""",
+      "{}")) == Seq(true, false, false))
+  }
+
+  test("duplicate-key fallback keeps exact digits and storage class (no silent rounding)") {
+    // The Jackson re-serialization used the default node factory, which
+    // normalized 99999999999999999900.0 to 9.99999999999999999E+19 —
+    // variant then stored DOUBLE and ROUNDED it, so the same value got
+    // different verdicts with vs without a duplicate key in the document.
+    val spec =
+      """{"columns":{"j":{"json":{
+           "properties":{"x":{"const":99999999999999999900.0}}}}}}"""
+    assert(validsOf(spec, Seq(
+      """{"x": 99999999999999999900.0}""",                  // native parse
+      """{"a": 1, "a": 2, "x": 99999999999999999900.0}""",  // dup-key fallback
+      """{"a": 1, "a": 2, "x": 99999999999999999901.0}"""   // digit-distinct
+    )) == Seq(true, true, false))
+  }
+
+  test("dynamic contentSchema fails !parse on unparseable content (static parity)") {
+    graft.functions.Content.registerMediaType("text/anything-dyn", _ => org.apache.spark.sql.functions.lit(true))
+    val spec =
+      """{"columns":{"j":{"json":{
+           "contentMediaType":"text/anything-dyn",
+           "contentSchema":{"type":"object"}}}}}"""
+    assert(validsOf(spec, Seq(
+      "\"{\\\"k\\\": 1}\"",   // embedded JSON object → contentSchema ok
+      "\"not json\"",         // media type accepts, but NOT JSON → !parse fails
+      "5"                     // non-string → content* vacuous
+    )) == Seq(true, false, true))
+  }
+
+  test("native variant columns: FLOAT storage canon and non-JSON storage classes") {
+    import org.apache.spark.sql.functions._
+    // a FLOAT-stored variant (unreachable from parse_json): scalar const
+    // must use the float's own shortest repr, like the deep canon — pick a
+    // float whose legacy Float.toString text is a DIFFERENT rational than
+    // its shortest repr, so the to_json fallback would mis-verdict
+    val rnd = new java.util.Random(20260820L)
+    val f = Iterator.continually(java.lang.Float.intBitsToFloat(rnd.nextInt()))
+      .filter(x => !x.isNaN && !x.isInfinite)
+      .find { x =>
+        new java.math.BigDecimal(java.lang.Float.toString(x)).compareTo(
+          graft.functions.ExactRatPredExpr.shortestFloat(x)) != 0
+      }.get
+    val short = graft.functions.ExactRatPredExpr.shortestFloat(f).toString
+    val fdf = Seq(f).toDF("f")
+      .select(lit(0).as("k"), expr("cast(f as variant)").as("j"))
+    val fsuite = SuiteCompiler.compile(Spec.fromJson(
+      s"""{"columns":{"j":{"json":{"const":$short}}}}"""), fdf.schema)
+    assert(Validator.annotate(fdf, fsuite).select("valid")
+      .as[Boolean].collect().toSeq == Seq(true),
+      s"f=$f short=$short legacy=${java.lang.Float.toString(f)}")
+    // a TIMESTAMP-stored variant must NOT classify as a JSON number
+    val tdf = Seq("2024-01-01 00:00:00").toDF("t")
+      .select(lit(0).as("k"),
+        expr("cast(cast(t as timestamp) as variant)").as("j"))
+    val tsuite = SuiteCompiler.compile(Spec.fromJson(
+      """{"columns":{"j":{"json":{"type":"number"}}}}"""), tdf.schema)
+    assert(Validator.annotate(tdf, tsuite).select("valid")
+      .as[Boolean].collect().toSeq == Seq(false))
+  }
 }
