@@ -413,15 +413,33 @@ object Dedup {
     // a DERIVED frame (labels = next.drop("__old")) is a silent no-op —
     // CacheManager only uncaches plans sameResult with the argument.
     // From round 1 on, rounds live as persisted RDDs (`prevRdd`), freed one
-    // round later; the FINAL round's RDD stays persisted for the caller
-    // (same lifecycle as every other frame this module caches — see the
-    // note on maybePersist; RDD blocks are freed when the ContextCleaner
-    // collects the unreferenced RDD).
+    // round later; the FINAL round's RDD is freed before returning (the
+    // result is re-cached through maybePersist so its lifecycle is the
+    // ordinary SQL CacheManager one — clearCache()-able; under
+    // storage = NONE the one final RDD stays pinned until the caller drops
+    // the returned frame, the price of a recompute-free result with zero
+    // SQL-cache footprint).
     var cached = labels
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
       None
+    // best-effort cleanup on ANY failure path (mid-round job failure,
+    // non-convergence): without it the per-round prop/hooked SQL caches and
+    // the round RDDs stay pinned in CacheManager/BlockManager for the rest
+    // of the session
+    var propCur: DataFrame = null
+    var hookedCur: DataFrame = null
+    def cleanupAll(): Unit = {
+      def quiet(f: => Unit): Unit = try f catch { case _: Throwable => }
+      if (storage != StorageLevel.NONE) {
+        quiet(edges.unpersist()); quiet(cached.unpersist())
+        if (propCur != null) quiet(propCur.unpersist())
+        if (hookedCur != null) quiet(hookedCur.unpersist())
+      }
+      prevRdd.foreach(r => quiet(r.unpersist()))
+    }
     var iter = 0
     var converged = false
+    try {
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; keep own label in the pool,
       // TAGGED, so the same aggregation that computes the new label also
@@ -439,6 +457,7 @@ object Dedup {
           .agg(min("comp").as("comp"),
             min(when(col("self"), col("comp"))).as("__old")),
         storage)
+      propCur = prop
       // HOOK (Shiloach–Vishkin): every tree root m receives the best
       // candidate seen ANYWHERE in its tree this round — one groupBy on
       // the old label. Propagation + shortcut alone is NOT O(log n): once
@@ -450,13 +469,15 @@ object Dedup {
       // and the tree count at least halves — the classic O(log n) bound.
       val hooks = prop.groupBy(col("__old").as("__hid"))
         .agg(min("comp").as("__hooked"))
+      // inner join: every __old is a group key of hooks (grouped from prop
+      // itself, and every id carries a self row so __old is never null),
+      // and __hooked = min(comp) over a group containing this row, so it
+      // IS the hooked label — no left/coalesce/least defence needed
       val hooked = maybePersist(
-        prop.join(hooks, col("__old") === col("__hid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("__hooked"), col("comp")))
-              .as("comp"),
-            col("__old")),
+        prop.join(hooks, col("__old") === col("__hid"))
+          .select(col("id"), col("__hooked").as("comp"), col("__old")),
         storage)
+      hookedCur = hooked
       // SHORTCUT: comp ← comp(comp) (pointer jumping). Labels are always
       // vertex ids (mins over vertex sets), so the lookup hits; labels
       // only ever decrease (comp(x) ≤ x), so least() is monotone-safe.
@@ -484,17 +505,27 @@ object Dedup {
       // self-join chain recomputes 2^rounds times, so there is no
       // persistence-free variant of this loop (round frames are O(vertices)
       // slim rows; freed two rounds later below).
+      // disk-backed ALWAYS (MEMORY_ONLY included): predecessor rounds are
+      // already unpersisted, so a memory-evicted round block would recompute
+      // through the doubled lineage — the 2^rounds blowup this cut exists
+      // to prevent. MEMORY_AND_DISK spills instead of dropping. (Residual:
+      // executor LOSS still drops its disk blocks — a multi-hour cluster
+      // run that must survive that needs reliable checkpointing, out of
+      // scope for the round loop.)
       val roundLevel =
-        if (storage == StorageLevel.NONE) StorageLevel.MEMORY_AND_DISK
+        if (storage == StorageLevel.NONE || storage == StorageLevel.MEMORY_ONLY)
+          StorageLevel.MEMORY_AND_DISK
         else storage
       val nextRdd = jumped.rdd.persist(roundLevel)
       val next = jumped.sparkSession.createDataFrame(nextRdd, jumped.schema)
       val changed = next.filter(col("comp") =!= col("__old")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc-debug] round=$iter changed=$changed")
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"[cc] round=$iter changed=$changed")
       if (storage != StorageLevel.NONE) cached.unpersist()
       prevRdd.foreach(_.unpersist())
       if (storage != StorageLevel.NONE) { prop.unpersist(); hooked.unpersist() }
+      propCur = null; hookedCur = null
       cached = next
       prevRdd = Some(nextRdd)
       labels = next.drop("__old")
@@ -506,8 +537,19 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (Shiloach–Vishkin rounds are O(log n): the tree " +
           "count at least halves per round, so 25 rounds cover ~2^25 trees)")
+    // hand the result back through the ordinary SQL-cache lifecycle: cache
+    // the final labels, materialize them, then free the last round's RDD —
+    // the caller's frame is clearCache()-able like every other cached frame
+    // in this module. Under storage = NONE the RDD stays (see above).
+    if (storage != StorageLevel.NONE) {
+      val out = labels.persist(storage)
+      out.count()
+      prevRdd.foreach(_.unpersist()); prevRdd = None
+      labels = out
+    }
     if (storage != StorageLevel.NONE) edges.unpersist()
     (labels, iter)
+    } catch { case t: Throwable => cleanupAll(); throw t }
   }
 
   /** Duplicate clusters from near-dup pairs: one row per component with the
