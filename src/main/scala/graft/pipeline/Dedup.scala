@@ -78,6 +78,24 @@ object Dedup {
         s"unknown minhash hash engine '$other' (md5 | xxhash64)")
     }
 
+  /** (key, shingle-array) — the shared upstream of the LSH band index and
+    * the exact-verify exploded shingle frame. Factored out so
+    * [[jaccardPairsLsh]] computes tokenize+shingle ONCE per document and
+    * derives both consumers from the persisted frame (it used to run the
+    * full shingle pass twice: once inside candidate generation, once for
+    * the verification sets).
+    */
+  private def shingledFrame(df: DataFrame, keyCol: String, textCol: String,
+                            shingleN: Int): DataFrame =
+    df.select(col(keyCol), shingles(col(textCol), shingleN).as("__graft_sh"))
+
+  private def bandsFromShingled(shingled: DataFrame, keyCol: String,
+                                numBands: Int, hashEngine: String): DataFrame = {
+    val bandsArr = array((0 until numBands)
+      .map(b => bandHash(col("__graft_sh"), b, hashEngine)): _*)
+    shingled.select(col(keyCol), posexplode(bandsArr).as(Seq("band", "h")))
+  }
+
   /** (key, band, h) — one row per document per band; the LSH index.
     * Shingling is materialized in its own Project and referenced numBands
     * times from the band array — multi-referenced non-cheap aliases are not
@@ -86,13 +104,9 @@ object Dedup {
     */
   def minhashBands(df: DataFrame, keyCol: String, textCol: String,
                    numBands: Int, shingleN: Int = 3,
-                   hashEngine: String = "md5"): DataFrame = {
-    val shingled = df.select(col(keyCol),
-      shingles(col(textCol), shingleN).as("__graft_sh"))
-    val bandsArr = array((0 until numBands)
-      .map(b => bandHash(col("__graft_sh"), b, hashEngine)): _*)
-    shingled.select(col(keyCol), posexplode(bandsArr).as(Seq("band", "h")))
-  }
+                   hashEngine: String = "md5"): DataFrame =
+    bandsFromShingled(shingledFrame(df, keyCol, textCol, shingleN), keyCol,
+      numBands, hashEngine)
 
   /** Candidate near-dup pairs: documents sharing ≥1 MinHash band bucket.
     * `maxBucket` drops degenerate mega-buckets so the bucket self-join stays
@@ -112,9 +126,17 @@ object Dedup {
                         storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val bands = maybePersist(
       minhashBands(df, keyCol, textCol, numBands, shingleN, hashEngine), storage)
-    // drop empty/mega buckets BEFORE pairing (skew valve), then generate
-    // pairs with a bucket-equality self-join — parallelizes across buckets
-    // instead of materializing n² arrays per bucket
+    candidatesFromBands(bands, keyCol, maxBucket)
+  }
+
+  /** Candidate pairs from a (persisted) band index — see
+    * [[minhashCandidates]]. Drop empty/mega buckets BEFORE pairing (skew
+    * valve), then generate pairs with a bucket-equality self-join —
+    * parallelizes across buckets instead of materializing n² arrays per
+    * bucket.
+    */
+  private def candidatesFromBands(bands: DataFrame, keyCol: String,
+                                  maxBucket: Long): DataFrame = {
     val bucketSizes = bands.groupBy("band", "h").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
       .select("band", "h")
@@ -203,22 +225,43 @@ object Dedup {
                       numBands: Int = 8, maxBucket: Long = 1000L,
                       hashEngine: String = "md5",
                       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val cand = minhashCandidates(df, keyCol, textCol, numBands, shingleN,
-      maxBucket, hashEngine, storage)
-    val sh = maybePersist(df.select(col(keyCol).as("k"),
-      explode(shingles(col(textCol), shingleN)).as("s")), storage)
-    val sizes = sh.groupBy("k").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("x"), col("a") === col("x.k"))
-      .join(sh.as("y"), col("b") === col("y.k") && col("x.s") === col("y.s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
+    // ONE tokenize+shingle pass: the persisted shingled frame feeds both
+    // the band index (candidate generation) and the exact verification —
+    // previously each side ran its own full pass
+    val shingled = maybePersist(
+      shingledFrame(df, keyCol, textCol, shingleN), storage)
+    val bands = maybePersist(
+      bandsFromShingled(shingled, keyCol, numBands, hashEngine), storage)
+    val cand = candidatesFromBands(bands, keyCol, maxBucket)
+    // exact verification by ARRAY INTERSECTION on the per-doc shingle sets
+    // (two equi-joins attaching each side's array) instead of exploding
+    // shingles and re-aggregating: on a near-dup-heavy corpus the exploded
+    // form shuffles |candidates| × |shingles| rows (measured ~800M at the
+    // bench's synthetic sf1) through a join + hash aggregation, while this
+    // form moves each candidate row once per side. Equivalence: shingle
+    // arrays are element-distinct by construction, so
+    // size(array_intersect(A, B)) is exactly the old per-shingle match
+    // count, with null elements excluded the way a null-rejecting equi-join
+    // excluded them; denominators are the array sizes — exactly the old
+    // exploded-count groupBy.
+    val withSets = shingled.select(col(keyCol).as("k"),
+      col("__graft_sh").as("sh"), size(col("__graft_sh")).as("n"))
+    cand
+      .join(withSets.select(col("k").as("a"), col("sh").as("sha"),
+        col("n").as("na")), Seq("a"))
+      .join(withSets.select(col("k").as("b"), col("sh").as("shb"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("inter",
+        size(filter(array_intersect(col("sha"), col("shb")),
+          x => x.isNotNull)).cast("long"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+          (col("na").cast("long") + col("nb").cast("long") - col("inter"))
+            .cast("double"), 6))
+      // inter > 0 mirrors the old aggregation exactly: a candidate pair
+      // with NO common shingle never produced an aggregation row, so it was
+      // never emitted even under threshold ≤ 0
+      .filter(col("inter") > 0 && col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
 
@@ -283,26 +326,39 @@ object Dedup {
     val tok = df.select(col(keyCol).as("k"),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t")))
-    // per-token hex digit values d1..d16 (0..15), 4 simhash bits each —
-    // ONE select referencing h 16 times (a withColumn chain would collapse
-    // pairwise and re-inline md5 into every digit)
-    val withDigits = tok.select(
-      col("k") +: (1 to 16).map(i =>
-        conv(substring(col("h"), i, 1), 16, 10).cast("int").as(s"d_$i")): _*)
-    val sums = (0 until 64).map { b =>
-      val digit = col(s"d_${b / 4 + 1}")
-      val bit = digit.bitwiseAND(lit(1 << (b % 4)))
-      sum(when(bit =!= 0, 1).otherwise(-1)).as(s"s_$b")
-    }
-    val agg = withDigits.groupBy("k").agg(sums.head, sums.tail: _*)
+    // hex digits 1..16 consumed as two 32-bit words — 2 convs per token
+    // instead of 16 substring+conv digit extractions. Digit (b/4 + 1) of
+    // the hash holds simhash bit b at word-bit (7 − b/4)·4 + b%4, and by
+    // construction bits b and b+32 sit at the SAME shift in w0 / w1.
+    val withWords = tok.select(col("k"),
+      conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("w0"),
+      conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("w1"))
+    // PACKED set-bit counts with lane arithmetic: count_b accumulates in
+    // the low 32 bits and count_{b+32} in the high 32 bits of one long
+    // (tokens per doc < 2^30 — a string column cannot hold more — so lanes
+    // cannot carry into each other). 32 aggregate columns + one count
+    // instead of 64 ±1 sums, and the per-token update is pure bit math.
+    // Equivalence to the old per-bit sign sum: s_b = Σ±1 = 2·count_b − n,
+    // so s_b ≥ 0 ⟺ 2·count_b ≥ n — bit-identical codes and bands.
+    val sums = (0 until 32).map { b =>
+      val sh = (7 - b / 4) * 4 + b % 4
+      sum(shiftright(col("w0"), sh).bitwiseAND(lit(1L)) +
+        shiftleft(shiftright(col("w1"), sh).bitwiseAND(lit(1L)), 32))
+        .as(s"p_$b")
+    } :+ count(lit(1)).as("__n")
+    val agg = withWords.groupBy("k").agg(sums.head, sums.tail: _*)
+    def cnt(b: Int): Column =
+      if (b < 32) col(s"p_$b").bitwiseAND(lit(0xFFFFFFFFL))
+      else shiftright(col(s"p_${b - 32}"), 32)
+    def bitSet(b: Int): Column = cnt(b) * 2 >= col("__n")
     val code = (0 until 64).map { b =>
       // 1L << 63 wraps to Long.MinValue — intentional: bit 63 is the sign
       // bit of the packed two's-complement code
-      when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(bitSet(b), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bands = (0 until 4).map { k =>
       (0 until 16).map { j =>
-        when(col(s"s_${16 * k + j}") >= 0, lit(1 << j)).otherwise(lit(0))
+        when(bitSet(16 * k + j), lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _).as(s"band$k")
     }
     agg.select(col("k") +: code.as("simhash") +: bands: _*)
@@ -400,9 +456,14 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIter: Int = 25,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, Int) = {
+    // persist the INPUT pairs before the symmetric union: its two branches
+    // are distinct plan subtrees over the same upstream, so an unpersisted
+    // `pairs` (typically the whole LSH-candidate + exact-verify pipeline)
+    // would execute end-to-end TWICE while edges materializes
+    val pairsP = maybePersist(pairs.select(col("a"), col("b")), storage)
     val edges = maybePersist(
-      pairs.select(col("a").as("u"), col("b").as("v"))
-        .union(pairs.select(col("b").as("u"), col("a").as("v"))), storage)
+      pairsP.select(col("a").as("u"), col("b").as("v"))
+        .union(pairsP.select(col("b").as("u"), col("a").as("v"))), storage)
     // seed with round 1 directly: comp₀ = min(self, direct neighbors) — one
     // groupBy instead of a full join+agg+convergence round
     var labels = maybePersist(
@@ -420,25 +481,32 @@ object Dedup {
     // the returned frame, the price of a recompute-free result with zero
     // SQL-cache footprint).
     var cached = labels
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
-      None
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     // best-effort cleanup on ANY failure path (mid-round job failure,
-    // non-convergence): without it the per-round prop/hooked SQL caches and
+    // non-convergence): without it the per-round hooked SQL cache and
     // the round RDDs stay pinned in CacheManager/BlockManager for the rest
     // of the session
-    var propCur: DataFrame = null
     var hookedCur: DataFrame = null
     def cleanupAll(): Unit = {
       def quiet(f: => Unit): Unit = try f catch { case _: Throwable => }
       if (storage != StorageLevel.NONE) {
-        quiet(edges.unpersist()); quiet(cached.unpersist())
-        if (propCur != null) quiet(propCur.unpersist())
+        quiet(edges.unpersist()); quiet(pairsP.unpersist())
+        quiet(cached.unpersist())
         if (hookedCur != null) quiet(hookedCur.unpersist())
       }
       prevRdd.foreach(r => quiet(r.unpersist()))
     }
     var iter = 0
     var converged = false
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    def dbg(msg: => String): Unit = if (ccDebug)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(s"[cc] $msg")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (ccDebug) {
+      val now = System.nanoTime()
+      dbg(f"$label: ${(now - tMark) / 1e9}%.3f s")
+      tMark = now
+    }
     try {
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; keep own label in the pool,
@@ -447,35 +515,32 @@ object Dedup {
       // frame directly instead of paying a second join per round
       val msgs = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("u").as("id"), col("comp"), lit(false).as("self"))
-      // persisted: both the hook aggregation and the shortcut self-join
-      // below re-read this frame; unpersisted they would recompute the
-      // edge-join+agg subtree once per consumer
-      val prop = maybePersist(
-        labels.select(col("id"), col("comp"), lit(true).as("self"))
-          .unionByName(msgs)
-          .groupBy("id")
-          .agg(min("comp").as("comp"),
-            min(when(col("self"), col("comp"))).as("__old")),
-        storage)
-      propCur = prop
+      val prop = labels.select(col("id"), col("comp"), lit(true).as("self"))
+        .unionByName(msgs)
+        .groupBy("id")
+        .agg(min("comp").as("comp"),
+          min(when(col("self"), col("comp"))).as("__old"))
       // HOOK (Shiloach–Vishkin): every tree root m receives the best
-      // candidate seen ANYWHERE in its tree this round — one groupBy on
-      // the old label. Propagation + shortcut alone is NOT O(log n): once
-      // a region collapses to a star, its root only learns a smaller label
-      // by 1-hop propagation from the region boundary, and the shortcut
-      // composes through the stalled root (measured on the 10^4 path:
-      // plateaus of doubling length, >40 rounds). Hooking moves boundary
-      // information to the root in one round, so trees merge every round
-      // and the tree count at least halves — the classic O(log n) bound.
-      val hooks = prop.groupBy(col("__old").as("__hid"))
-        .agg(min("comp").as("__hooked"))
-      // inner join: every __old is a group key of hooks (grouped from prop
-      // itself, and every id carries a self row so __old is never null),
-      // and __hooked = min(comp) over a group containing this row, so it
-      // IS the hooked label — no left/coalesce/least defence needed
+      // candidate seen ANYWHERE in its tree this round — a partition-min
+      // window over the old label (one exchange; the former
+      // groupBy+join-back needed the same exchange PLUS a join and forced
+      // `prop` to be persisted for its two consumers — the window form has
+      // one consumer, so prop needs no cache at all). Propagation +
+      // shortcut alone is NOT O(log n): once a region collapses to a star,
+      // its root only learns a smaller label by 1-hop propagation from the
+      // region boundary, and the shortcut composes through the stalled
+      // root (measured on the 10^4 path: plateaus of doubling length,
+      // >40 rounds). Hooking moves boundary information to the root in one
+      // round, so trees merge every round and the tree count at least
+      // halves — the classic O(log n) bound. (Window min ≡ the old inner
+      // join: every row's __old is a group key of the grouped frame, so
+      // the join never dropped rows, and min-over-partition is the same
+      // aggregate. __old is never null — every id carries a self row.)
       val hooked = maybePersist(
-        prop.join(hooks, col("__old") === col("__hid"))
-          .select(col("id"), col("__hooked").as("comp"), col("__old")),
+        prop.select(col("id"),
+          min("comp").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("__old")).as("comp"),
+          col("__old")),
         storage)
       hookedCur = hooked
       // SHORTCUT: comp ← comp(comp) (pointer jumping). Labels are always
@@ -516,16 +581,26 @@ object Dedup {
         if (storage == StorageLevel.NONE || storage == StorageLevel.MEMORY_ONLY)
           StorageLevel.MEMORY_AND_DISK
         else storage
-      val nextRdd = jumped.rdd.persist(roundLevel)
-      val next = jumped.sparkSession.createDataFrame(nextRdd, jumped.schema)
+      // InternalRow-layer round-trip (GraftInternalRows): same fresh-leaf /
+      // default-stats cut as the old `jumped.rdd` + createDataFrame route,
+      // WITHOUT the per-row UnsafeRow→Row→UnsafeRow conversion that route
+      // pays every round (boxing every field of every vertex row twice)
+      mark(s"round $iter plan build")
+      if (ccDebug) {
+        // debug-only phase actions: materialize each persisted layer
+        // separately so the straggler phase is attributable
+        val ne = edges.count(); mark(s"round $iter edges ($ne)")
+        val nl = labels.count(); mark(s"round $iter labels ($nl)")
+        val nh = hooked.count(); mark(s"round $iter hooked ($nh)")
+      }
+      val (next, nextRdd) =
+        org.apache.spark.sql.GraftInternalRows.cutLineage(jumped, roundLevel)
       val changed = next.filter(col("comp") =!= col("__old")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .info(s"[cc] round=$iter changed=$changed")
+      mark(s"round $iter action (changed=$changed)")
       if (storage != StorageLevel.NONE) cached.unpersist()
       prevRdd.foreach(_.unpersist())
-      if (storage != StorageLevel.NONE) { prop.unpersist(); hooked.unpersist() }
-      propCur = null; hookedCur = null
+      if (storage != StorageLevel.NONE) hooked.unpersist()
+      hookedCur = null
       cached = next
       prevRdd = Some(nextRdd)
       labels = next.drop("__old")
@@ -547,7 +622,8 @@ object Dedup {
       prevRdd.foreach(_.unpersist()); prevRdd = None
       labels = out
     }
-    if (storage != StorageLevel.NONE) edges.unpersist()
+    mark("final hand-back")
+    if (storage != StorageLevel.NONE) { edges.unpersist(); pairsP.unpersist() }
     (labels, iter)
     } catch { case t: Throwable => cleanupAll(); throw t }
   }
