@@ -77,6 +77,10 @@ object Queries4 {
 
   private val chainMaxDepth = 12
 
+  /** Exposed for the RecProbe dev tool only. */
+  private[graft] def chainJsonForProbe(depthCol: Column, leafCol: Column): Column =
+    chainJson(depthCol, leafCol)
+
   private def chainJson(depthCol: Column, leafCol: Column): Column = {
     // depth d: (d-1) wrappers '{"v":0,"next":' + leaf '{"v":<leaf>}' + '}'*(d-1)
     def js(d: Int): Column = concat(

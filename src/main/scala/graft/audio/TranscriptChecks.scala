@@ -63,7 +63,11 @@ object TranscriptChecks {
           dur.isNotNull && dur > t && (tr.isNull || length(tr) === 0),
           concat(dur.cast("string"),
             lit(s" ms of audio with an empty transcript, want text over $t ms"))))
-      if (checks.isEmpty) return df.sparkSession.emptyDataFrame.select(
+      // derive the empty frame from the INPUT (not spark.emptyDataFrame,
+      // which is a batch frame): a streaming df then yields a streaming
+      // empty frame, so StreamValidate.familyViolations can union it into
+      // a writeStream without a batch/stream AnalysisException
+      if (checks.isEmpty) return df.where(lit(false)).select(
         lit("").as("keyword"), lit("").as("instance_path"), lit("").as("detail"))
       projected
         .select(explode(array(checks: _*)).as("v"))

@@ -40,11 +40,15 @@ object DynamicJson {
   /** Runtime JSON type name of a variant value:
     * missing | null | object | array | string | boolean | number.
     */
-  def jsonTypeOf(v: Column): Column = jsonTypeFrom(v, schema_of_variant(v))
+  def jsonTypeOf(v: Column): Column =
+    jsonTypeFrom(v, graft.functions.VariantTopKindExpr(v))
 
-  /** Same, over a pre-computed (ideally bound) schema_of_variant column —
-    * the CASE chain tests `sch` up to 5 times, so binding it first avoids
-    * 5 full variant traversals per row.
+  /** Same, over a pre-computed (ideally bound) storage-kind column
+    * ([[graft.functions.VariantTopKindExpr]] — O(1) header read; the
+    * former `schema_of_variant` source walked the whole subtree at EVERY
+    * nesting level, O(depth²) per row on recursive documents). The CASE
+    * chain tests `sch` up to 5 times, so binding it first still avoids
+    * repeated reads.
     */
   private def jsonTypeFrom(v: Column, sch: Column): Column =
     when(v.isNull, lit("missing"))
@@ -110,10 +114,10 @@ object DynamicJson {
               instPath: String, stack: List[(String, Int)] = Nil,
               binder: Option[Binder] = None, depth: Int = 0): Seq[Check] = {
     // bind-once views: every keyword of this node re-reads the runtime type
-    // and the typed extraction, so without binding a 3-keyword node walks
-    // the variant 6+ times per row (schema_of_variant is a full traversal)
+    // and the typed extraction, so without binding a 3-keyword node reads
+    // the variant 6+ times per row
     def b(c: Column): Column = binder.map(_.bind(c)).getOrElse(c)
-    val sv = b(schema_of_variant(v))
+    val sv = b(graft.functions.VariantTopKindExpr(v))
     val t = b(jsonTypeFrom(v, sv))
     lazy val vNum = b(asNum(v))
     lazy val vStr = b(asStr(v))
@@ -351,8 +355,12 @@ object DynamicJson {
     // objects ($['a.b'], not $.a.b). Spark's variant path grammar has NO
     // escape inside quoted segments ([^']* / [^"]*), so pick the quote the
     // key does not contain; a key containing BOTH quote kinds is
-    // unaddressable by any path and routes through the map view instead
-    // (same variant values, just not path-extracted).
+    // unaddressable by any path and routes through the map view instead.
+    // CAVEAT (both-quotes keys only): the map view round-trips through
+    // to_json → from_json, which can change a number's variant STORAGE
+    // class (e.g. FLOAT → DECIMAL/DOUBLE) — const/uniqueItems canon on
+    // such a child can diverge from direct path extraction for native
+    // variant columns; parse_json-produced variants are unaffected.
     def propGet(k: String): Column =
       if (!k.contains("'"))
         try_variant_get(v, "$['" + k + "']", "variant")

@@ -699,14 +699,37 @@ object SchemaLint {
     // the returned frame is lazy, so the blocks must outlive this call —
     // each NEW catalog lint releases the previous call's cache (at most one
     // node frame resident per process), and releaseCache() frees the last.
-    val exploded =
-      if (versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE"))
-        persistTracked(exploded0)
-      else exploded0
-    val main = perVersion(exploded, Seq(idCol, "path"), versions)
+    val cachedNodes =
+      versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE")
+    val exploded = if (cachedNodes) persistTracked(exploded0) else exploded0
+    val main = perVersion(exploded, Seq(idCol, "path"),
+      pruneToPresent(exploded, versions, version, cachedNodes))
     if (customs.valuesIterator.contains(badMetaCode))
       main.unionByName(badMetaViolations(exploded, Seq(idCol, "path")))
     else main
+  }
+
+  /** Prune the per-draft branch list to the versions PRESENT in the node
+    * frame: one cheap distinct over the (persisted, slim) node rows replaces
+    * building a full meta-suite branch — a large compiled expression tree to
+    * plan and codegen — for EVERY known draft when the catalog only spans
+    * one or two. Row-set equivalence is trivial: a pruned branch's
+    * `filter(v === ver)` selects zero rows, so it contributed nothing to the
+    * union. `fallback` keeps the reduce non-empty (and the output schema
+    * well-defined) for an empty catalog. Skipped when the node frame is not
+    * cached (SPARK_GRAFT_LINT_NO_CACHE): the probe would re-run the
+    * parse+walk UDF over every document.
+    */
+  private def pruneToPresent(exploded: DataFrame, versions: Vector[Int],
+                             fallback: Int, cached: Boolean): Vector[Int] = {
+    import org.apache.spark.sql.functions.col
+    if (!cached || versions.size <= 1) versions
+    else {
+      val present = exploded.select(col("v")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val kept = versions.filter(present)
+      if (kept.isEmpty) Vector(fallback) else kept
+    }
   }
 
   /** Validate (…, v, node) rows against each draft's flat meta, union of
@@ -750,11 +773,11 @@ object SchemaLint {
                     else Vector(version)) ++
       customs.values.filter(_ >= CUSTOM_BASE).toVector.distinct
     // one walk per document — see violationsForCatalog (incl. lifecycle)
-    val exploded =
-      if (versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE"))
-        persistTracked(exploded0)
-      else exploded0
-    val branches = versions.map { ver =>
+    val cachedNodes =
+      versions.size > 1 && !sys.env.contains("SPARK_GRAFT_LINT_NO_CACHE")
+    val exploded = if (cachedNodes) persistTracked(exploded0) else exploded0
+    val kept = pruneToPresent(exploded, versions, version, cachedNodes)
+    val branches = kept.map { ver =>
       Validator.annotate(exploded.filter(col("v") === ver),
           suiteForCode(ver)._1)
         .select(col(idCol), col("valid"))

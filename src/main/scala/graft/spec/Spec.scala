@@ -549,7 +549,12 @@ object Spec {
       // literal path first (spaces etc. may arrive unencoded); fall back to
       // percent-decoding — the reference's toFileURL percent-encodes file
       // paths and its FileLoader decodes them (loader.go:25-58), so a
-      // relative $ref like "sample%20schema.json" must reach the real file
+      // relative $ref like "sample%20schema.json" must reach the real file.
+      // DELIBERATE divergence: the reference ALWAYS percent-decodes, so
+      // when both 'a%20b.json' and 'a b.json' exist it loads the decoded
+      // one while this loader prefers the literal; the literal-first order
+      // is kept because unencoded paths arrive from CLI/driver callers
+      // that never percent-encode
       val path =
         if (raw.contains("%") && !new java.io.File(raw).exists()) pctDecodeAll(raw)
         else raw
