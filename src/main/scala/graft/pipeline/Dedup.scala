@@ -87,14 +87,23 @@ object Dedup {
     */
   private def shingledFrame(df: DataFrame, keyCol: String, textCol: String,
                             shingleN: Int): DataFrame =
-    df.select(col(keyCol), shingles(col(textCol), shingleN).as("__graft_sh"))
+    fanOut(df.select(col(keyCol), col(textCol)))
+      .select(col(keyCol), graft.functions.ShinglesExpr(
+        col(textCol), shingleN).as("__graft_sh"))
 
   private def bandsFromShingled(shingled: DataFrame, keyCol: String,
-                                numBands: Int, hashEngine: String): DataFrame = {
-    val bandsArr = array((0 until numBands)
-      .map(b => bandHash(col("__graft_sh"), b, hashEngine)): _*)
-    shingled.select(col(keyCol), posexplode(bandsArr).as(Seq("band", "h")))
-  }
+                                numBands: Int, hashEngine: String): DataFrame =
+    // native one-pass band minima ([[graft.functions.BandMinsExpr]] —
+    // byte-identical to numBands × [[bandHash]]): the per-band
+    // array_min(transform(…)) form ran numBands interpreted lambda sweeps
+    // per document (higher-order functions don't codegen) and dominated
+    // the whole candidate pass; bandHash stays as the readable semantic
+    // spec of what each element is
+    shingled.select(col(keyCol),
+      posexplode(graft.functions.BandMinsExpr(
+        col("__graft_sh"), numBands, hashEngine)).as(Seq("band", "h")))
+
+  private def fanOut(df: DataFrame): DataFrame = PipelineUtil.fanOut(df)
 
   /** (key, band, h) — one row per document per band; the LSH index.
     * Shingling is materialized in its own Project and referenced numBands
@@ -180,8 +189,10 @@ object Dedup {
                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // the exploded shingle frame feeds the per-doc sizes AND both sides of
     // the self-join — persist so shingling runs once, not 3×
-    val sh = maybePersist(df.select(col(keyCol).as("k"),
-      explode(shingles(col(textCol), shingleN)).as("s")), storage)
+    val sh = maybePersist(fanOut(df.select(col(keyCol), col(textCol)))
+      .select(col(keyCol).as("k"),
+        explode(graft.functions.ShinglesExpr(
+          col(textCol), shingleN)).as("s")), storage)
     val filtered =
       if (maxDf == Long.MaxValue) sh
       else {
@@ -272,8 +283,10 @@ object Dedup {
   def jaccardStopShingles(df: DataFrame, keyCol: String, textCol: String,
                           shingleN: Int = 3,
                           maxDf: Long = 100000L): DataFrame =
-    df.select(col(keyCol).as("k"),
-        explode(shingles(col(textCol), shingleN)).as("s"))
+    fanOut(df.select(col(keyCol), col(textCol)))
+      .select(col(keyCol).as("k"),
+        explode(graft.functions.ShinglesExpr(
+          col(textCol), shingleN)).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
 
@@ -283,6 +296,9 @@ object Dedup {
     */
   def simhash16(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
     val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // no fanOut here: the 16-bit arm's per-token work (one md5 + 16 sums)
+    // is light enough that the fan-out shuffle costs more than it buys on
+    // small corpora, and this arm is documented as NOT the scale path
     val tok = df.select(col(keyCol).as("k"),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t")))
@@ -323,8 +339,8 @@ object Dedup {
     * semantics are involved.
     */
   def simhash64(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(keyCol).as("k"),
-      explode(tokens(col(textCol))).as("t"))
+    val tok = fanOut(df.select(col(keyCol), col(textCol)))
+      .select(col(keyCol).as("k"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t")))
     // hex digits 1..16 consumed as two 32-bit words — 2 convs per token
     // instead of 16 substring+conv digit extractions. Digit (b/4 + 1) of
@@ -459,11 +475,18 @@ object Dedup {
     // persist the INPUT pairs before the symmetric union: its two branches
     // are distinct plan subtrees over the same upstream, so an unpersisted
     // `pairs` (typically the whole LSH-candidate + exact-verify pipeline)
-    // would execute end-to-end TWICE while edges materializes
+    // would execute end-to-end TWICE while edges materializes. Materialize
+    // EAGERLY: a lazy persist lets the union's two branches race per cache
+    // block and both recompute the upstream pipeline before one wins the
+    // store (measured ~2× the pipeline's wall at bench sf1)
     val pairsP = maybePersist(pairs.select(col("a"), col("b")), storage)
-    val edges = maybePersist(
-      pairsP.select(col("a").as("u"), col("b").as("v"))
-        .union(pairsP.select(col("b").as("u"), col("a").as("v"))), storage)
+    if (storage != StorageLevel.NONE) pairsP.count()
+    // edges stays UNpersisted: it is a projection+union straight over the
+    // materialized pairs cache, so each consumer's re-read costs one cache
+    // scan — cheaper than maintaining (and materializing) a second cache
+    // layer of the same rows
+    val edges = pairsP.select(col("a").as("u"), col("b").as("v"))
+      .union(pairsP.select(col("b").as("u"), col("a").as("v")))
     // seed with round 1 directly: comp₀ = min(self, direct neighbors) — one
     // groupBy instead of a full join+agg+convergence round
     var labels = maybePersist(
@@ -490,7 +513,7 @@ object Dedup {
     def cleanupAll(): Unit = {
       def quiet(f: => Unit): Unit = try f catch { case _: Throwable => }
       if (storage != StorageLevel.NONE) {
-        quiet(edges.unpersist()); quiet(pairsP.unpersist())
+        quiet(pairsP.unpersist())
         quiet(cached.unpersist())
         if (hookedCur != null) quiet(hookedCur.unpersist())
       }
@@ -623,7 +646,7 @@ object Dedup {
       labels = out
     }
     mark("final hand-back")
-    if (storage != StorageLevel.NONE) { edges.unpersist(); pairsP.unpersist() }
+    if (storage != StorageLevel.NONE) pairsP.unpersist()
     (labels, iter)
     } catch { case t: Throwable => cleanupAll(); throw t }
   }

@@ -40,8 +40,9 @@ object SimSearch {
     // sqrt(dot(v,v)) is the same expression, so sim stays bit-identical
     val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    val c = PipelineUtil.fanOut(corpus.select(col(keyCol), col(vecCol)))
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -87,9 +88,10 @@ object SimSearch {
     // signature + norm computed once per row in ONE select (multi-referenced
     // non-cheap aliases survive CollapseProject); the per-pair work is one
     // dot product + a multiply
-    val withB = df.select(col(keyCol).as("k"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"),
-      norm(col(vecCol)).as("n"))
+    val withB = PipelineUtil.fanOut(df.select(col(keyCol), col(vecCol)))
+      .select(col(keyCol).as("k"), col(vecCol).as("v"),
+        lshBucket(col(vecCol), planes).as("bucket"),
+        norm(col(vecCol)).as("n"))
     withB.as("x").join(withB.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.k") < col("y.k"))
       .withColumn("sim",
@@ -183,7 +185,8 @@ object SimSearch {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, keyCol: String,
               vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = PipelineUtil.fanOut(corpus.select(col(keyCol), col(vecCol)))
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
       .withColumn("cell", model.cell(col("cv"), col("cn")))
     val q = probes.select(col(keyCol).as("query_id"), col(vecCol).as("qv"),
@@ -218,8 +221,9 @@ object SimSearch {
   /** Brute-force near-dup (all pairs) — the oracle/recall baseline. */
   def bruteNearDup(df: DataFrame, keyCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val v = df.select(col(keyCol).as("k"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("n"))
+    val v = PipelineUtil.fanOut(df.select(col(keyCol), col(vecCol)))
+      .select(col(keyCol).as("k"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"))
     v.as("x").join(v.as("y"), col("x.k") < col("y.k"))
       .withColumn("sim",
         round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
