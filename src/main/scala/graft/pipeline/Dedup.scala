@@ -263,8 +263,7 @@ object Dedup {
       .join(withSets.select(col("k").as("b"), col("sh").as("shb"),
         col("n").as("nb")), Seq("b"))
       .withColumn("inter",
-        size(filter(array_intersect(col("sha"), col("shb")),
-          x => x.isNotNull)).cast("long"))
+        graft.functions.IntersectCountExpr(col("sha"), col("shb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na").cast("long") + col("nb").cast("long") - col("inter"))

@@ -200,9 +200,18 @@ object TableChecks {
     // range exchange's boundary-sampling pass from re-running the full
     // aggregation. NOTE: unlike the Dedup caches this persist is
     // CORRECTNESS-REQUIRED, not an optimization — do not make it optional.
-    val ranged = perValue.repartitionByRange(col("v"))
+    // the range exchange SAMPLES its child in a separate pass before
+    // shuffling it, so an unpersisted perValue would run the full
+    // union+aggregation twice (sampling job + exchange job); persist it for
+    // the materialization below and release it right after — the ranged
+    // cache carries everything downstream needs
+    val perValueP = perValue
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = perValueP.repartitionByRange(col("v"))
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count()
+    perValueP.unpersist()
     // per-partition totals (O(#partitions) rows) → prefix offsets + grand
     // totals, all tiny and broadcast — the driver never collects anything
     val partials = ranged.groupBy("pid")
