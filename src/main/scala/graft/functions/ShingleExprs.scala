@@ -195,3 +195,59 @@ object BandMinsExpr {
     GraftColumnBridge.column(
       BandMinsExpr(GraftColumnBridge.expression(c), numBands, engine))
 }
+
+/** Native count of common non-null elements of two string arrays — the
+  * hot-path form of `size(filter(array_intersect(a, b), x -> x != null))`
+  * in the exact-Jaccard verification: both `array_intersect` and `filter`
+  * are interpreted (no codegen) and materialize an intermediate result
+  * array per candidate pair, when the verification only needs the COUNT.
+  * For element-distinct inputs (shingle sets are) the count equals
+  * |A ∩ B| over non-null elements — exactly the old expression.
+  */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountExpr.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.IntersectCountExpr.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountExpr {
+
+  /** |{x ∈ a, x non-null} ∩ {y ∈ b, y non-null}| for element-distinct
+    * string arrays: build a set over the smaller side, probe the larger.
+    */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val set = new java.util.HashSet[UTF8String](Math.max(8, n * 2))
+    var i = 0
+    while (i < n) {
+      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var c = 0L
+    val m = large.numElements()
+    var j = 0
+    while (j < m) {
+      if (!large.isNullAt(j) && set.contains(large.getUTF8String(j))) c += 1L
+      j += 1
+    }
+    c
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

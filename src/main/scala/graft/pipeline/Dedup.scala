@@ -140,9 +140,12 @@ object Dedup {
 
   /** Candidate pairs from a (persisted) band index — see
     * [[minhashCandidates]]. Drop empty/mega buckets BEFORE pairing (skew
-    * valve), then generate pairs with a bucket-equality self-join —
-    * parallelizes across buckets instead of materializing n² arrays per
-    * bucket.
+    * valve), then generate pairs with a bucket-equality self-join.
+    * (A collect_list + explode-pairs shape would save two exchanges, but
+    * it materializes a bucket's FULL membership in one aggregation buffer
+    * before the size filter can drop it — a degenerate mega-bucket would
+    * OOM an executor where the count-first shape drops it having only
+    * ever counted. The valve's memory guarantee is worth the exchanges.)
     */
   private def candidatesFromBands(bands: DataFrame, keyCol: String,
                                   maxBucket: Long): DataFrame = {

@@ -194,9 +194,15 @@ object Multimodal {
     c => f(c)
   }
 
-  /** Image feature table: project only (key, bytes), extract, drop bytes. */
+  /** Image feature table: project only (key, bytes), extract, drop bytes.
+    * Fan-out before the decode (see [[PipelineUtil.fanOut]]): per-row image
+    * decode is the most CPU-heavy pass in the module, and a small corpus
+    * arriving as one parquet split would otherwise decode on one core —
+    * no-op at real scale.
+    */
   def imageFeatureTable(df: DataFrame, keyCol: String, bytesCol: String): DataFrame =
-    df.select(col(keyCol), imageFeatures(col(bytesCol)).as("f"))
+    PipelineUtil.fanOut(df.select(col(keyCol), col(bytesCol)))
+      .select(col(keyCol), imageFeatures(col(bytesCol)).as("f"))
       .select(col(keyCol), col("f.*"))
 
   /** STUB image decode: deterministic fake metadata from the byte content.
@@ -234,9 +240,11 @@ object Multimodal {
   }
 
   /** Feature table over a media-bearing frame: project only (key, bytes),
-    * extract, never carry bytes past this operator.
+    * extract, never carry bytes past this operator. Fan-out before the
+    * per-row WAV decode for the same reason as [[imageFeatureTable]].
     */
   def audioFeatureTable(df: DataFrame, keyCol: String, bytesCol: String): DataFrame =
-    df.select(col(keyCol), audioFeatures(col(bytesCol)).as("f"))
+    PipelineUtil.fanOut(df.select(col(keyCol), col(bytesCol)))
+      .select(col(keyCol), audioFeatures(col(bytesCol)).as("f"))
       .select(col(keyCol), col("f.*"))
 }
