@@ -190,12 +190,15 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 100000L,
                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    // the exploded shingle frame feeds the per-doc sizes AND both sides of
-    // the self-join — persist so shingling runs once, not 3×
-    val sh = maybePersist(fanOut(df.select(col(keyCol), col(textCol)))
-      .select(col(keyCol).as("k"),
-        explode(graft.functions.ShinglesExpr(
-          col(textCol), shingleN)).as("s")), storage)
+    // the per-doc shingle ARRAYS are the persisted root: the exploded frame
+    // (both self-join sides + the valve's document-frequency agg) derives
+    // from the cache, and the per-doc sizes read size(array) straight off
+    // it — the former sizes groupBy over every exploded row (one full
+    // exchange) is gone
+    val shingled = maybePersist(
+      shingledFrame(df, keyCol, textCol, shingleN), storage)
+    val sh = shingled.select(col(keyCol).as("k"),
+      explode(col("__graft_sh")).as("s"))
     val filtered =
       if (maxDf == Long.MaxValue) sh
       else {
@@ -203,11 +206,12 @@ object Dedup {
           .filter(col("df") > maxDf).select("s")
         sh.join(broadcast(hot), Seq("s"), "left_anti")
       }
-    // sizes come from the UNFILTERED frame: the Jaccard denominator stays
+    // sizes come from the UNFILTERED arrays: the Jaccard denominator stays
     // the exact shingle-set size even when the valve drops stop-shingles,
     // so every emitted score is exact-or-lower-bound (the intersection can
     // only undercount by dropped shingles) — never inflated
-    val sizes = sh.groupBy("k").agg(count(lit(1)).as("n"))
+    val sizes = shingled.select(col(keyCol).as("k"),
+      size(col("__graft_sh")).cast("long").as("n"))
     val inter = filtered.as("x").join(filtered.as("y"),
         col("x.s") === col("y.s") && col("x.k") < col("y.k"))
       .groupBy(col("x.k").as("a"), col("y.k").as("b"))
@@ -432,6 +436,8 @@ object Dedup {
     def fp(c: Column): Column =
       md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
     val bfp = bench.select(col(keyCol).as("bench_id"), fp(col(textCol)).as("fp"))
+    // no fanOut here (measured): the map-side fingerprint+semi-join is
+    // light enough that a fan-out shuffle costs more than it buys
     val hits = corpus.select(fp(col(textCol)).as("fp"))
       .join(broadcast(bfp.select("fp").distinct()), Seq("fp"), "left_semi")
       .distinct()
