@@ -19,6 +19,9 @@ private[pipeline] object PipelineUtil {
     * (row-order-free).
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames have no .rdd (and micro-batches are already split
+    // by the source) — pass them through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
