@@ -185,6 +185,13 @@ object Dedup {
     * [[jaccardStopShingles]] with the same arguments to enumerate what was
     * dropped (mirrors the minhash mega-bucket companion). Pass
     * `maxDf = Long.MaxValue` for exact small-corpus runs.
+    *
+    * PRECONDITION (this and [[jaccardPairsLsh]]): `keyCol` uniquely keys
+    * the documents. Sizes attach by key equi-join off the per-doc shingle
+    * arrays, so a duplicated key would multiply the pair rows it appears
+    * in (the pre-r6 exploded-count shape silently SUMMED duplicate keys'
+    * sizes instead — garbage either way; dedup operators key documents
+    * uniquely by contract).
     */
   def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
@@ -514,17 +521,22 @@ object Dedup {
     var cached = labels
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     // best-effort cleanup on ANY failure path (mid-round job failure,
-    // non-convergence): without it the per-round hooked SQL cache and
-    // the round RDDs stay pinned in CacheManager/BlockManager for the rest
-    // of the session
+    // non-convergence): without it the per-round prop/hooked SQL caches
+    // and the round RDDs (including a partially materialized CURRENT
+    // round's) stay pinned in CacheManager/BlockManager for the rest of
+    // the session
+    var propCur: DataFrame = null
     var hookedCur: DataFrame = null
+    var curRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     def cleanupAll(): Unit = {
       def quiet(f: => Unit): Unit = try f catch { case _: Throwable => }
       if (storage != StorageLevel.NONE) {
         quiet(pairsP.unpersist())
         quiet(cached.unpersist())
+        if (propCur != null) quiet(propCur.unpersist())
         if (hookedCur != null) quiet(hookedCur.unpersist())
       }
+      curRdd.foreach(r => quiet(r.unpersist()))
       prevRdd.foreach(r => quiet(r.unpersist()))
     }
     var iter = 0
@@ -551,27 +563,33 @@ object Dedup {
         .groupBy("id")
         .agg(min("comp").as("comp"),
           min(when(col("self"), col("comp"))).as("__old"))
+      val propP = maybePersist(prop, storage)
+      propCur = propP
       // HOOK (Shiloach–Vishkin): every tree root m receives the best
-      // candidate seen ANYWHERE in its tree this round — a partition-min
-      // window over the old label (one exchange; the former
-      // groupBy+join-back needed the same exchange PLUS a join and forced
-      // `prop` to be persisted for its two consumers — the window form has
-      // one consumer, so prop needs no cache at all). Propagation +
+      // candidate seen ANYWHERE in its tree this round — one map-side
+      // partial-min groupBy on the old label + a join back. Propagation +
       // shortcut alone is NOT O(log n): once a region collapses to a star,
       // its root only learns a smaller label by 1-hop propagation from the
       // region boundary, and the shortcut composes through the stalled
       // root (measured on the 10^4 path: plateaus of doubling length,
       // >40 rounds). Hooking moves boundary information to the root in one
       // round, so trees merge every round and the tree count at least
-      // halves — the classic O(log n) bound. (Window min ≡ the old inner
-      // join: every row's __old is a group key of the grouped frame, so
-      // the join never dropped rows, and min-over-partition is the same
-      // aggregate. __old is never null — every id carries a self row.)
+      // halves — the classic O(log n) bound.
+      // Deliberately a groupBy+join, NOT min().over(partitionBy(__old)):
+      // once a giant component dominates, most rows share one __old and a
+      // window would funnel that component's ENTIRE row set through a
+      // single sort task with no skew mitigation — the aggregation is
+      // skew-free (map-side partials) and the hot-key join back is
+      // AQE-skew-splittable. prop is persisted for its two consumers.
+      val hooks = propP.groupBy(col("__old").as("__hid"))
+        .agg(min("comp").as("__hooked"))
+      // inner join: every __old is a group key of hooks (grouped from prop
+      // itself, and every id carries a self row so __old is never null),
+      // and __hooked = min(comp) over a group containing this row, so it
+      // IS the hooked label — no left/coalesce/least defence needed
       val hooked = maybePersist(
-        prop.select(col("id"),
-          min("comp").over(org.apache.spark.sql.expressions.Window
-            .partitionBy("__old")).as("comp"),
-          col("__old")),
+        propP.join(hooks, col("__old") === col("__hid"))
+          .select(col("id"), col("__hooked").as("comp"), col("__old")),
         storage)
       hookedCur = hooked
       // SHORTCUT: comp ← comp(comp) (pointer jumping). Labels are always
@@ -626,14 +644,16 @@ object Dedup {
       }
       val (next, nextRdd) =
         org.apache.spark.sql.GraftInternalRows.cutLineage(jumped, roundLevel)
+      curRdd = Some(nextRdd) // tracked for failure-path cleanup of the count
       val changed = next.filter(col("comp") =!= col("__old")).count()
       mark(s"round $iter action (changed=$changed)")
       if (storage != StorageLevel.NONE) cached.unpersist()
       prevRdd.foreach(_.unpersist())
-      if (storage != StorageLevel.NONE) hooked.unpersist()
-      hookedCur = null
+      if (storage != StorageLevel.NONE) { propP.unpersist(); hooked.unpersist() }
+      propCur = null; hookedCur = null
       cached = next
       prevRdd = Some(nextRdd)
+      curRdd = None
       labels = next.drop("__old")
       converged = changed == 0
       iter += 1

@@ -22,7 +22,25 @@ private[pipeline] object PipelineUtil {
     // streaming frames have no .rdd (and micro-batches are already split
     // by the source) — pass them through untouched
     if (df.isStreaming) return df
+    // probe ONLY narrow plans (projections/filters straight over a leaf):
+    // that is exactly where the one-split hazard lives, and on such plans
+    // df.rdd builds the RDD without running jobs. Any wider plan has an
+    // upstream exchange (already ≥ shuffle-partitions parallel), and under
+    // AQE a .rdd probe there would EXECUTE every upstream query stage just
+    // to read a partition count — then throw that work away.
+    if (!isNarrow(df.queryExecution.optimizedPlan)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  private def isNarrow(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+           _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+           _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        p.children.forall(isNarrow)
+      case _ => false
+    }
 }

@@ -719,6 +719,12 @@ object SchemaLint {
     * well-defined) for an empty catalog. Skipped when the node frame is not
     * cached (SPARK_GRAFT_LINT_NO_CACHE): the probe would re-run the
     * parse+walk UDF over every document.
+    *
+    * EAGERNESS: the probe materializes the (persisted) node frame at call
+    * time — acceptable for catalog linting, whose caller always executes
+    * the full result; a caller that only wants a lazily-limited slice
+    * should set SPARK_GRAFT_LINT_NO_CACHE to keep the old fully-lazy
+    * all-branches plan.
     */
   private def pruneToPresent(exploded: DataFrame, versions: Vector[Int],
                              fallback: Int, cached: Boolean): Vector[Int] = {
